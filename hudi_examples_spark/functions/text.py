@@ -1,0 +1,94 @@
+"""Text-analysis Column builders: tokenization, shingles, fingerprints, quality,
+minhash/simhash signatures. All JVM-side expressions (split/transform/aggregate/
+xxhash64) — no Python UDFs, so they scale linearly with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny default stopword list (public, language-agnostic enough for scoring).
+STOPWORDS = ("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
+
+
+def words(text: Column | str) -> Column:
+    """Whitespace word tokens of trimmed text (drops empty tokens)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(c), "\\s+"), lambda w: w != "")
+
+
+def token_count(text: Column | str, pattern: str = "[A-Za-z0-9]+") -> Column:
+    """BPE-ish token count: number of alphanumeric runs (regexp-based)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(pattern))
+
+
+def quality_stopword_ratio(text: Column | str) -> Column:
+    """Fraction of tokens that are stopwords — cheap quality signal."""
+    ws = words(text)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    return F.when(F.size(ws) == 0, F.lit(0.0)).otherwise(n_stop / F.size(ws))
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Deterministic content fingerprint (md5 hex) for exact-dup detection."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(c)
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Array of k-word shingles (space-joined), order-preserving with duplicates.
+
+    Implemented as sequence+transform over the word array — one JVM expression,
+    no explode until the caller wants one.
+    """
+    ws = words(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (k - 1), F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(k)])
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: array of ``num_hashes`` minima of seeded xxhash64 values.
+
+    Seeding trick: instead of N hash families we hash ``seed || shingle`` — standard
+    practice and JVM-side (`xxhash64` accepts multiple cols). Empty shingle sets get
+    sentinel Long.MAX minima.
+    """
+    sentinel = F.lit(2**63 - 1).cast("bigint")
+    mins = [
+        F.coalesce(
+            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s))), sentinel
+        )
+        for i in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH banding: array of ``bands`` bucket ids, each hashing ``rows_per_band``
+    consecutive signature entries. Candidate pairs share ≥1 band bucket."""
+    out = []
+    for b in range(bands):
+        parts = [F.element_at(signature, b * rows_per_band + r + 1) for r in range(rows_per_band)]
+        out.append(F.xxhash64(F.lit(b), *parts))
+    return F.array(*out)
+
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash over a token array: per-bit majority vote of token hashes.
+
+    Expressed as 64 aggregate expressions over xxhash64(token) bits — heavyweight to
+    write but stays whole-stage-codegen. Returns BIGINT.
+    """
+    th = F.transform(tokens, lambda w: F.xxhash64(w))
+    acc = F.lit(0).cast("bigint")
+    n = F.size(tokens)
+    for bit in range(64):
+        mask = F.lit(1 << bit).cast("bigint") if bit < 63 else F.lit(-(1 << 63)).cast("bigint")
+        ones = F.size(F.filter(th, lambda h: h.bitwiseAND(mask) != 0))
+        acc = acc + F.when(ones * 2 > n, mask).otherwise(F.lit(0).cast("bigint"))
+    return acc

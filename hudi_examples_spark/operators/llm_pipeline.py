@@ -1,0 +1,357 @@
+"""LLM-training-data pipeline operators over ``documents`` / ``embeddings``.
+
+These are the beyond-the-reference operators (BASELINE.json north star): dedup,
+similarity search, text analysis. Each SQL-expressible one carries a DuckDB oracle;
+hash-based ones (minhash/simhash — engine hash functions differ across engines) are
+rows-only checked here and differentially tested in tests/ against exact equivalents.
+
+Scale stance (100 TB):
+- dedup/fingerprints are groupBy on a hash — one shuffle, no skew beyond dup clusters;
+- shingle self-joins are bounded by band/bucket joins rather than all-pairs;
+- brute-force cosine is the *oracle baseline*; the LSH-bucketed variant is the scale
+  path (bucket-equi-join prunes the candidate space before any distance math).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hudi_examples_spark.functions.text import (
+    doc_fingerprint,
+    minhash_bands,
+    minhash_signature,
+    quality_stopword_ratio,
+    simhash64,
+    token_count,
+    word_shingles,
+    words,
+)
+from hudi_examples_spark.functions.vectors import cosine_similarity, lsh_hyperplane_bits
+from hudi_examples_spark.operators.spec import QuerySpec
+from hudi_examples_spark.sources.readers import load_sf_table as t
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: group identical texts, keep the lowest doc_id.
+
+    At scale: group on md5(text) (fixed 32-byte shuffle key) instead of the raw text
+    to keep shuffle rows small; here we also emit the copy-count per kept doc.
+    """
+    d = t(spark, sf, "documents")
+    return (
+        d.groupBy(doc_fingerprint("text").alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram word-shingle Jaccard ≥ 0.4.
+
+    Shuffle-aware shape: explode distinct shingles → self-equi-join on shingle →
+    count common shingles per pair → join per-doc shingle counts → Jaccard. This is
+    the *exact* oracle-checkable form; at 100 TB the minhash/LSH variant below
+    replaces the shingle self-join with a banded bucket join.
+    """
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.array_distinct(word_shingles("text", 3)).alias("shingles")
+    )
+    d = d.withColumn("n_sh", F.size("shingles")).filter(F.col("n_sh") > 0)
+    ex = d.select("doc_id", "n_sh", F.explode("shingles").alias("sh"))
+    a = ex.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"), "sh")
+    b = ex.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"), "sh")
+    pairs = (
+        a.join(b, "sh")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2", "n1", "n2")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .withColumn(
+            "jaccard", F.round(F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")), 4)
+        )
+        .filter(F.col("jaccard") >= 0.4)
+        .select("d1", "d2", "jaccard")
+        .orderBy("d1", "d2")
+    )
+    return pairs
+
+
+DEDUP_JACCARD_ORACLE = """
+WITH words AS (
+  SELECT doc_id, str_split(trim(text), ' ') AS ws FROM documents
+), idx AS (
+  SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i FROM words
+), sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh FROM idx
+), counts AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       round(count(*) * 1.0 / (ca.n_sh + cb.n_sh - count(*)), 4) AS jaccard
+FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+     JOIN counts ca ON ca.doc_id = a.doc_id
+     JOIN counts cb ON cb.doc_id = b.doc_id
+GROUP BY a.doc_id, b.doc_id, ca.n_sh, cb.n_sh
+HAVING round(count(*) * 1.0 / (ca.n_sh + cb.n_sh - count(*)), 4) >= 0.4
+ORDER BY d1, d2
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (shingle→minhash→band→bucket-join).
+
+    No cross-engine oracle (xxhash64 is Spark-specific) — the driver records a
+    rows-only check; tests/test_llm_pipeline.py verifies recall against the exact
+    Jaccard pairs. 16 hashes × 4 bands × 4 rows: candidates share ≥1 band bucket.
+    """
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.array_distinct(word_shingles("text", 3)).alias("shingles")
+    )
+    sig = d.select("doc_id", minhash_signature(F.col("shingles"), 16).alias("sig"))
+    banded = sig.select(
+        "doc_id", F.posexplode(minhash_bands(F.col("sig"), bands=4, rows_per_band=4))
+    ).select("doc_id", F.col("pos").alias("band"), F.col("col").alias("bucket"))
+    a = banded.select(F.col("doc_id").alias("d1"), "band", "bucket")
+    b = banded.select(F.col("doc_id").alias("d2"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+        .orderBy("d1", "d2")
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash 64-bit signatures per doc (rows-only check; hamming-pairing in tests)."""
+    d = t(spark, sf, "documents")
+    return d.select("doc_id", simhash64(words("text")).alias("simhash")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality scoring: word/token counts + stopword ratio per doc."""
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(words("text")).alias("n_words"),
+        token_count("text").alias("n_tokens"),
+        F.round(quality_stopword_ratio("text"), 4).alias("stopword_ratio"),
+        F.length(F.trim("text")).alias("n_chars_actual"),
+    )
+
+
+TEXT_STATS_ORACLE = """
+SELECT doc_id,
+       len(list_filter(str_split(trim(text), ' '), w -> w <> ''))  AS n_words,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+'))               AS n_tokens,
+       round(CASE WHEN len(list_filter(str_split(trim(text), ' '), w -> w <> '')) = 0 THEN 0
+             ELSE len(list_filter(str_split(trim(text), ' '),
+                      w -> list_contains(['the','a','an','of','and','or','to','in','is','it'], lower(w)))) * 1.0
+                  / len(list_filter(str_split(trim(text), ' '), w -> w <> ''))
+             END, 4)                                               AS stopword_ratio,
+       length(trim(text))                                          AS n_chars_actual
+FROM documents
+"""
+
+
+def lang_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID rollup (corpus composition report)."""
+    d = t(spark, sf, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+LANG_DIST_ORACLE = """
+SELECT lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Content fingerprints (md5) — matches DuckDB md5 exactly."""
+    d = t(spark, sf, "documents")
+    return d.select("doc_id", doc_fingerprint("text").alias("fp")).orderBy("doc_id")
+
+
+FINGERPRINT_ORACLE = "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def sim_brute_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of vec_id=0 (the correctness baseline).
+
+    The one-row query side is broadcast — no shuffle; similarity is a JVM-side
+    higher-order expression; top-k is a TakeOrdered (no full sort).
+    """
+    e = t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", F.round(cosine_similarity("embedding", "q_emb"), 6).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+SIM_BRUTE_ORACLE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb), 6) AS cos_sim
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+def sim_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    """k-NN join: top-3 neighbors for each of 5 query vectors (vec_id 0..4).
+
+    Shape that survives scale: small query side broadcast against the corpus, then a
+    per-query window top-k (shuffle keyed on query id — perfectly parallel).
+    """
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id", F.round(cosine_similarity("embedding", "q_emb"), 6).alias("cos_sim")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "vec_id", "cos_sim", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+SIM_KNN_ORACLE = """
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb), 6) AS cos_sim
+  FROM embeddings e, q WHERE e.vec_id <> q.q_id
+), ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM ranked
+WHERE rank <= 3 ORDER BY q_id, rank
+"""
+
+
+#: Seeded hyperplanes for LSH ANN (deterministic, generated once at import).
+def _hyperplanes(n_planes: int = 8, dim: int = 64, seed: int = 42) -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+_PLANES = _hyperplanes()
+
+
+def sim_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH: candidates share the query's bucket.
+
+    Scale path for similarity search — the bucket equi-join prunes the corpus ~2^planes
+    fold before any cosine math. Approximate ⇒ rows-only driver check; recall is
+    asserted against brute force in tests/test_llm_pipeline.py.
+    """
+    e = t(spark, sf, "embeddings").withColumn(
+        "bucket", lsh_hyperplane_bits("embedding", _PLANES)
+    )
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
+    )
+    return (
+        e.join(F.broadcast(q), e.bucket == q.q_bucket)
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(cosine_similarity("embedding", "q_emb"), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+def emb_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label centroid norms — aggregation over array columns via posexplode.
+
+    Unpivot→groupBy is the scalable way to average vectors (no driver collect):
+    shuffle keyed on (label, dim_index), 64×|labels| output rows.
+    """
+    e = t(spark, sf, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("dim", "v"))
+    per_dim = ex.groupBy("label", "dim").agg(F.avg("v").alias("mean_v"))
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.round(F.sqrt(F.sum(F.col("mean_v") * F.col("mean_v"))), 6).alias("centroid_norm"),
+            F.count(F.lit(1)).alias("n_dims"),
+        )
+        .orderBy("label")
+    )
+
+
+EMB_CENTROID_ORACLE = """
+WITH ex AS (
+  SELECT label, i - 1 AS dim, embedding[i]::DOUBLE AS v
+  FROM (SELECT label, embedding, unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+), per_dim AS (
+  SELECT label, dim, avg(v) AS mean_v FROM ex GROUP BY label, dim
+)
+SELECT label, round(sqrt(sum(mean_v * mean_v)), 6) AS centroid_norm,
+       count(*) AS n_dims
+FROM per_dim GROUP BY label ORDER BY label
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE, "LLM:dedup"),
+    QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE, "LLM:dedup"),
+    QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, None, "LLM:dedup"),
+    QuerySpec("dedup_simhash", dedup_simhash, None, "LLM:dedup"),
+    QuerySpec("text_stats", text_stats, TEXT_STATS_ORACLE, "LLM:text"),
+    QuerySpec("lang_distribution", lang_distribution, LANG_DIST_ORACLE, "LLM:text"),
+    QuerySpec("doc_fingerprints", doc_fingerprints, FINGERPRINT_ORACLE, "LLM:text"),
+    QuerySpec("sim_brute_topk", sim_brute_topk, SIM_BRUTE_ORACLE, "LLM:sim"),
+    QuerySpec("sim_knn_join", sim_knn_join, SIM_KNN_ORACLE, "LLM:sim"),
+    QuerySpec("sim_ann_lsh", sim_ann_lsh, None, "LLM:sim"),
+    QuerySpec("emb_label_centroids", emb_label_centroids, EMB_CENTROID_ORACLE, "LLM:sim"),
+]

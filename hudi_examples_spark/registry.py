@@ -1,0 +1,30 @@
+"""Assembles the full query registry for the driver contract (__spark_entry__.py)."""
+
+from __future__ import annotations
+
+from hudi_examples_spark.operators.spec import QuerySpec
+
+
+def all_specs() -> list[QuerySpec]:
+    from hudi_examples_spark.operators import llm_pipeline, relational
+
+    specs: list[QuerySpec] = []
+    specs.extend(relational.SPECS)
+    specs.extend(llm_pipeline.SPECS)
+    try:
+        from hudi_examples_spark.operators import table_dml
+
+        specs.extend(table_dml.SPECS)
+    except ImportError:
+        pass  # table layer not built yet in this round
+    names = [s.name for s in specs]
+    assert len(names) == len(set(names)), "duplicate query names in registry"
+    return specs
+
+
+def queries_dict():
+    return {s.name: s.fn for s in all_specs()}
+
+
+def oracles_dict():
+    return {s.name: s.oracle.strip() for s in all_specs() if s.oracle}
