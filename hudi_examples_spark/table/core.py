@@ -1,0 +1,665 @@
+"""Keyed, partitioned, multi-version table: COW + MOR write paths over parquet.
+
+Semantics parity with the reference (citations into /root/reference):
+
+- record key + precombine + hive-style partitioning — ``TestAutomationUtils.scala:92-95``
+- COW vs MOR table types — ``spark/scripts/configs/{cow,mor}_*.props:2``
+- meta columns per row — ``TestAutomationUtils.scala:50,58,73`` (HOODIE_META_COLUMNS)
+- upsert/insert/delete/overwrite ops — ``TestAutomationUtils.scala:32,42-48``, ``Job.py:116``
+- MERGE matched-update / matched-delete / not-matched-insert —
+  ``spark/sql/quickstart.sql:58-63``, ``Job.py:125-133``
+- UPDATE/DELETE ... WHERE — ``quickstart.sql:44,69-71``
+- time travel, 3 timestamp formats — ``quickstart.sql:74-77``
+- incremental query (latest_state over a commit range) — ``quickstart.sql:80-86``
+- CDC row kinds (I/U/D through one sink) — ``HudiDataStreamWriter.java:170-182``
+- compaction / cleaning / rollback / upgrade-downgrade —
+  ``DeltaStreamerExample.scala:46-55``, ``compatibility_test.sh:155-186``,
+  ``DowngradeTable.scala:20-40``
+- bucket count / clustering resize — ``flink/src/main/sql/consistent_hashing.sql:44-49``
+
+Scale design (100 TB):
+- Writes only rewrite **touched partitions** (COW) or append **log files** (MOR);
+  untouched file groups are carried by manifest reference, never copied.
+- The only driver-side collect in the write path is the distinct partition list of
+  the incoming batch (bounded by partition cardinality, not data size).
+- Merge/dedup use hash-partitioned window functions keyed on the record key — one
+  shuffle, AQE-skew-handled; incoming-vs-existing resolution happens in the same pass.
+- Readers get an explicit live-file list (no directory LIST storms) with
+  ``basePath`` so hive partition columns survive and partition pruning still applies.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, StructType
+from pyspark.sql.window import Window
+
+from hudi_examples_spark.table.timeline import Instant, Timeline, new_instant, normalize_as_of
+
+META_COMMIT = "_hoodie_commit_time"
+META_KEY = "_hoodie_record_key"
+META_PARTITION = "_hoodie_partition_path"
+META_DELETED = "_hoodie_is_deleted"
+META_COLS = (META_COMMIT, META_KEY, META_PARTITION)
+
+PROPS_FILE = "_props.json"
+
+
+@dataclass
+class TableConfig:
+    record_key: list[str] = field(default_factory=list)  # empty ⇒ pk-less table
+    precombine: str | None = None
+    partition_by: list[str] = field(default_factory=list)
+    table_type: str = "cow"  # "cow" | "mor"
+    n_buckets: int | None = None  # bucket-index file-group routing
+    table_version: int = 6
+
+    def __post_init__(self):
+        if self.table_type not in ("cow", "mor"):
+            raise ValueError(f"table_type must be cow|mor, got {self.table_type}")
+
+
+class Table:
+    """One keyed multi-version table rooted at ``base``."""
+
+    def __init__(self, spark: SparkSession, base: str):
+        self.spark = spark
+        self.base = base
+        self.timeline = Timeline(base)
+        with open(os.path.join(base, PROPS_FILE)) as f:
+            d = json.load(f)
+        self.config = TableConfig(**d["config"])
+        self.schema = StructType.fromJson(d["schema"])
+
+    # ------------------------------------------------------------------ create
+
+    @classmethod
+    def create(
+        cls, spark: SparkSession, base: str, schema: StructType | str, config: TableConfig
+    ) -> "Table":
+        """M1: CREATE TABLE — declared schema + table properties."""
+        if isinstance(schema, str):
+            schema = StructType.fromDDL(schema)
+        os.makedirs(base, exist_ok=True)
+        props_path = os.path.join(base, PROPS_FILE)
+        if os.path.exists(props_path):
+            raise ValueError(f"table already exists at {base}")
+        if config.precombine and config.precombine not in schema.names:
+            raise ValueError(f"precombine field {config.precombine} not in schema")
+        for k in config.record_key + config.partition_by:
+            if k not in schema.names:
+                raise ValueError(f"field {k} not in schema")
+        with open(props_path, "w") as f:
+            json.dump({"config": asdict(config), "schema": schema.jsonValue()}, f, indent=1)
+        return cls(spark, base)
+
+    @classmethod
+    def create_as(
+        cls, spark: SparkSession, base: str, df: DataFrame, config: TableConfig
+    ) -> "Table":
+        """M6: CTAS — create from a query result and bulk-insert it."""
+        tbl = cls.create(spark, base, df.schema, config)
+        tbl.insert(df)
+        return tbl
+
+    @classmethod
+    def exists(cls, base: str) -> bool:
+        return os.path.exists(os.path.join(base, PROPS_FILE))
+
+    def drop(self) -> None:
+        shutil.rmtree(self.base)
+
+    # ---------------------------------------------------------------- helpers
+
+    @property
+    def data_cols(self) -> list[str]:
+        return list(self.schema.names)
+
+    def _key_expr(self):
+        if not self.config.record_key:
+            return None
+        return F.concat_ws(":", *[F.col(k).cast("string") for k in self.config.record_key])
+
+    def _partition_expr(self):
+        if not self.config.partition_by:
+            return F.lit("")
+        return F.concat_ws(
+            "/",
+            *[
+                F.concat(F.lit(f"{c}="), F.col(c).cast("string"))
+                for c in self.config.partition_by
+            ],
+        )
+
+    def _with_meta(self, df: DataFrame, instant: str) -> DataFrame:
+        key = self._key_expr()
+        return df.select(
+            F.lit(instant).alias(META_COMMIT) if META_COMMIT not in df.columns else F.col(META_COMMIT),
+            (key if key is not None else F.lit(None).cast("string")).alias(META_KEY),
+            self._partition_expr().alias(META_PARTITION),
+            *self.data_cols,
+        )
+
+    def _empty(self, with_deleted: bool = False) -> DataFrame:
+        schema = StructType(
+            [f for f in _meta_struct().fields] + list(self.schema.fields)
+        )
+        df = self.spark.createDataFrame([], schema)
+        if with_deleted:
+            df = df.withColumn(META_DELETED, F.lit(False))
+        return df
+
+    def _write_files(self, df: DataFrame, instant: str) -> list[str]:
+        """Write one commit's files into hive-style partition dirs:
+        ``{base}/{col=val}/{instant}_{n}.parquet`` (Hudi's own layout shape).
+
+        Spark writes to a staging dir, then files are renamed into place — rename is
+        atomic-per-file and the commit point is still the timeline publish, so
+        readers (manifest-driven) never see partial state. Layout control:
+        repartition by (partition cols[, key bucket]) bounds files per hive dir —
+        the small-file knob of ``consistent_hashing.sql:39-40`` as shuffle planning.
+        """
+        if self.config.table_type == "mor" and META_DELETED not in df.columns:
+            # every MOR file carries the tombstone flag so mixed base+log file lists
+            # read with one uniform schema (no mergeSchema dependence)
+            df = df.withColumn(META_DELETED, F.lit(False))
+        parts = self.config.partition_by
+        if self.config.n_buckets and self.config.record_key:
+            bucket = F.pmod(F.xxhash64(*self.config.record_key), F.lit(self.config.n_buckets))
+            cols = [F.col(c) for c in parts] + [bucket]
+            df = df.repartition(self.config.n_buckets, *cols)
+        elif parts:
+            df = df.repartition(*[F.col(c) for c in parts])
+        staging = os.path.join(self.base, ".staging", instant)
+        writer = df.write.mode("overwrite")
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(staging)
+        rels: list[str] = []
+        n = 0
+        for root, _dirs, fns in os.walk(staging):
+            for fn in sorted(fns):
+                if not fn.endswith(".parquet"):
+                    continue
+                relpart = os.path.relpath(root, staging)
+                dest_dir = self.base if relpart == "." else os.path.join(self.base, relpart)
+                os.makedirs(dest_dir, exist_ok=True)
+                dest = os.path.join(dest_dir, f"{instant}_{n:05d}.parquet")
+                os.replace(os.path.join(root, fn), dest)
+                rels.append(os.path.relpath(dest, self.base))
+                n += 1
+        shutil.rmtree(staging, ignore_errors=True)
+        return sorted(rels)
+
+    @staticmethod
+    def _partition_of_relpath(rel: str) -> dict[str, str]:
+        vals = {}
+        for seg in rel.split(os.sep)[:-1]:
+            if "=" in seg:
+                k, v = seg.split("=", 1)
+                vals[k] = v
+        return vals
+
+    def _read_files(self, rels: list[str], with_deleted: bool) -> DataFrame:
+        if not rels:
+            return self._empty(with_deleted)
+        paths = [os.path.join(self.base, r) for r in rels]
+        df = self.spark.read.option("basePath", self.base).parquet(*paths)
+        if with_deleted and META_DELETED not in df.columns:
+            df = df.withColumn(META_DELETED, F.lit(False))
+        if with_deleted:
+            cols = [META_DELETED, *META_COLS, *self.data_cols]
+        else:
+            cols = [*META_COLS, *self.data_cols]
+        # tolerate mixed file schemas (logs carry the tombstone flag, bases don't)
+        have = set(df.columns)
+        df = df.withColumns(
+            {c: F.lit(None) for c in cols if c not in have}
+        ) if not have.issuperset(cols) else df
+        if META_DELETED in cols:
+            df = df.withColumn(META_DELETED, F.coalesce(F.col(META_DELETED).cast(BooleanType()), F.lit(False)))
+        return df.select(*cols)
+
+    def _latest_wins(self, df: DataFrame) -> DataFrame:
+        """Resolve multiple versions of a key: max precombine, then newest commit.
+
+        Parity: precombine semantics of ``DeltaStreamerExample.scala:16,27`` (larger
+        ordering value wins; ties → latest write wins).
+        """
+        if not self.config.record_key:
+            return df
+        order = []
+        if self.config.precombine:
+            order.append(F.desc(self.config.precombine))
+        order.append(F.desc(META_COMMIT))
+        w = Window.partitionBy(META_KEY).orderBy(*order)
+        return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+    def _merge_mor(self, df: DataFrame) -> DataFrame:
+        """MOR base+log resolution with delete epochs: a tombstone invalidates all
+        versions committed at-or-before it (delete-by-key wins regardless of
+        precombine — Hudi EmptyPayload semantics), while later commits resurrect the
+        key. Two window expressions over one key-shuffle.
+        """
+        if not self.config.record_key:
+            return df.filter(~F.col(META_DELETED))
+        w = Window.partitionBy(META_KEY)
+        df = df.withColumn(
+            "__last_del", F.max(F.when(F.col(META_DELETED), F.col(META_COMMIT))).over(w)
+        )
+        alive = df.filter(
+            (~F.col(META_DELETED))
+            & (F.col("__last_del").isNull() | (F.col(META_COMMIT) > F.col("__last_del")))
+        ).drop("__last_del")
+        return self._latest_wins(alive)
+
+    # ------------------------------------------------------------------ reads
+
+    def read(self, as_of: str | None = None, with_meta: bool = False) -> DataFrame:
+        """S1/M10: snapshot (optionally time-travel) read of the latest merged view."""
+        bound = normalize_as_of(as_of) if as_of else None
+        files, _latest = self.timeline.live_files(bound)
+        base_rels = [r for r, (_, a) in files.items() if a != "deltacommit"]
+        log_rels = [r for r, (_, a) in files.items() if a == "deltacommit"]
+        if self.config.table_type == "cow" or not log_rels:
+            df = self._read_files(base_rels, with_deleted=False)
+        else:
+            base = self._read_files(base_rels, with_deleted=True)
+            logs = self._read_files(log_rels, with_deleted=True)
+            df = self._merge_mor(base.unionByName(logs)).drop(META_DELETED)
+        return df if with_meta else df.drop(*META_COLS)
+
+    def read_optimized(self, with_meta: bool = False) -> DataFrame:
+        """MOR read-optimized view: base files only (pre-compaction state)."""
+        files, _ = self.timeline.live_files()
+        rels = [r for r, (_, a) in files.items() if a != "deltacommit"]
+        df = self._read_files(rels, with_deleted=False)
+        return df if with_meta else df.drop(*META_COLS)
+
+    def table_changes(
+        self, start: str = "earliest", end: str | None = None, mode: str = "latest_state"
+    ) -> DataFrame:
+        """M11: ``hudi_table_changes(tbl, 'latest_state', begin[, end])``.
+
+        Returns the latest state (as of ``end``) of records whose last change falls in
+        (start, end]; per-row ``_hoodie_commit_time`` is preserved across COW rewrites,
+        so this is a metadata-only filter on the snapshot — no extra file reads.
+        """
+        if mode != "latest_state":
+            raise ValueError("only latest_state incremental mode is supported")
+        lo = "" if start == "earliest" else normalize_as_of(start)
+        snap = self.read(as_of=end, with_meta=True)
+        out = snap.filter(F.col(META_COMMIT) > lo)
+        if end:
+            out = out.filter(F.col(META_COMMIT) <= normalize_as_of(end))
+        return out
+
+    def latest_instant(self) -> str | None:
+        insts = self.timeline.completed_data_instants()
+        return insts[-1].instant if insts else None
+
+    def count(self) -> int:
+        return self.read().count()
+
+    # ----------------------------------------------------------------- writes
+
+    def insert(self, df: DataFrame, dedup: bool = False) -> str:
+        """M2/S7: append/bulk-insert (no key lookup — Hudi 'insert'/'bulk_insert')."""
+        instant = new_instant()
+        out = self._with_meta(df.select(*self.data_cols), instant)
+        if dedup and self.config.record_key:
+            out = self._latest_wins(out)
+        rels = self._write_files(out, instant)
+        self.timeline.write(
+            Instant(instant, "commit", rels, [], {"operation": "insert"})
+        )
+        return instant
+
+    def insert_overwrite(self, df: DataFrame) -> str:
+        """M8: replace the whole table content in one commit."""
+        instant = new_instant()
+        out = self._with_meta(df.select(*self.data_cols), instant)
+        rels = self._write_files(out, instant)
+        old = list(self.timeline.live_files()[0].keys())
+        self.timeline.write(
+            Instant(instant, "replacecommit", rels, old, {"operation": "insert_overwrite"})
+        )
+        return instant
+
+    def upsert(self, df: DataFrame) -> str:
+        """M7: precombine-dedup + key-merge + touched-partition rewrite (COW) or
+        log append (MOR)."""
+        return self._write_changes(upserts=df.select(*self.data_cols), deletes=None, op="upsert")
+
+    def delete(self, keys_df: DataFrame) -> str:
+        """M9: delete-by-key batch (``hoodie.datasource.write.operation=delete``)."""
+        return self._write_changes(upserts=None, deletes=keys_df, op="delete")
+
+    def delete_where(self, condition: str) -> str:
+        """M4: DELETE FROM t WHERE ... — key set resolved by snapshot scan."""
+        keys = self.read().filter(condition)
+        return self._write_changes(upserts=None, deletes=keys, op="delete")
+
+    def update_where(self, condition: str, assignments: dict[str, object]) -> str:
+        """M3: UPDATE t SET col=expr WHERE ... — rewrite of matching rows."""
+        updated = self.read().filter(condition)
+        for col, expr in assignments.items():
+            updated = updated.withColumn(col, F.expr(expr) if isinstance(expr, str) else expr)
+        return self._write_changes(upserts=updated.select(*self.data_cols), deletes=None, op="update")
+
+    def merge(
+        self,
+        source: DataFrame,
+        on: dict[str, str] | None = None,
+        when_matched: str | dict[str, object] = "update_all",
+        when_not_matched: str | None = "insert_all",
+        matched_condition: str | None = None,
+    ) -> str:
+        """M5/J1-J3: MERGE INTO target USING source ON target.k = source.k.
+
+        ``on`` maps target key col -> source col (default: record key, same names).
+        ``when_matched``: "update_all" | "delete" | {col: sql_expr over source cols}.
+        ``when_not_matched``: "insert_all" | None.
+        """
+        on = on or {k: k for k in self.config.record_key}
+        tgt_keys = list(on.keys())
+        src = source
+        # normalize source key col names onto target key names
+        for tk, sk in on.items():
+            if sk != tk:
+                src = src.withColumnRenamed(sk, tk)
+        current = self.read()
+        matched = current.join(src.select(*tgt_keys).distinct(), tgt_keys, "left_semi")
+        if matched_condition:
+            matched = matched.filter(matched_condition)
+
+        deletes = None
+        upserts = None
+        if when_matched == "delete":
+            deletes = matched
+        elif when_matched == "update_all":
+            upserts = src.select(*[F.col(c) for c in self.data_cols])
+        else:  # partial update: start from current matched rows, apply assignments
+            src_pref = src.select(
+                *tgt_keys, *[F.col(c).alias(f"__src_{c}") for c in src.columns if c not in tgt_keys]
+            )
+            joined = matched.join(src_pref, tgt_keys, "inner")
+            for col, expr in when_matched.items():
+                col_expr = F.expr(expr) if isinstance(expr, str) else expr
+                joined = joined.withColumn(col, col_expr)
+            upserts = joined.select(*self.data_cols)
+
+        if when_not_matched == "insert_all":
+            new_rows = src.join(current.select(*tgt_keys).distinct(), tgt_keys, "left_anti")
+            inserts = new_rows.select(*[F.col(c) for c in self.data_cols])
+            upserts = inserts if upserts is None else upserts.unionByName(inserts)
+
+        return self._write_changes(upserts=upserts, deletes=deletes, op="merge")
+
+    def write_cdc(self, df: DataFrame, op_col: str = "_op") -> str:
+        """M13: CDC batch with row kinds — ``_op ∈ {I,U,D}`` interpreted by one sink
+        (parity: ``RowKind.DELETE`` through the same writer, ``HudiDataStreamWriter.java:170-182``)."""
+        ups = df.filter(F.col(op_col).isin("I", "U", "+I", "+U")).drop(op_col)
+        dels = df.filter(F.col(op_col).isin("D", "-D")).drop(op_col)
+        return self._write_changes(
+            upserts=ups.select(*self.data_cols),
+            deletes=dels,
+            op="cdc",
+        )
+
+    # ------------------------------------------------------- unified write path
+
+    def _write_changes(self, upserts: DataFrame | None, deletes: DataFrame | None, op: str) -> str:
+        if not self.config.record_key and upserts is not None and deletes is None:
+            # pk-less tables degrade upsert to append (reference's pkless matrix rows
+            # — ``spark_sql_testing.sh:87-93``); pk-less deletes fall through and are
+            # resolved by full-row anti join in _apply_cow.
+            return self.insert(upserts)
+        instant = new_instant()
+        if self.config.table_type == "mor":
+            return self._apply_mor(instant, upserts, deletes, op)
+        return self._apply_cow(instant, upserts, deletes, op)
+
+    def _touched_partition_filter(self, *dfs: DataFrame):
+        """Distinct partition paths of the incoming batches → predicate over live
+        files. The only collect in the write path (bounded by partition count).
+
+        Key-only batches (delete-by-key) don't carry partition columns; their
+        partitions are located by joining keys against a column-pruned scan of the
+        table's (key, partition) meta columns — the Spark-native analogue of Hudi's
+        global SIMPLE index lookup (``DeltaStreamerExample.scala:41``).
+        """
+        if not self.config.partition_by:
+            return None  # unpartitioned: all files touched
+        paths = None
+        for df in dfs:
+            if df is None:
+                continue
+            if all(c in df.columns for c in self.config.partition_by):
+                p = df.select(self._partition_expr().alias("p")).distinct()
+            elif self.config.record_key and all(c in df.columns for c in self.config.record_key):
+                files, _ = self.timeline.live_files()
+                existing = self._read_files(sorted(files), with_deleted=False).select(
+                    META_KEY, META_PARTITION
+                )
+                keys = df.select(self._key_expr().alias(META_KEY)).distinct()
+                p = existing.join(keys, META_KEY).select(F.col(META_PARTITION).alias("p")).distinct()
+            else:
+                return None  # cannot locate: treat all partitions as touched
+            paths = p if paths is None else paths.unionByName(p).distinct()
+        if paths is None:
+            return set()
+        return {r["p"] for r in paths.collect()}
+
+    def _apply_cow(
+        self, instant: str, upserts: DataFrame | None, deletes: DataFrame | None, op: str
+    ) -> str:
+        files, _ = self.timeline.live_files()
+        touched = self._touched_partition_filter(upserts, deletes)
+        if touched is None:
+            touched_rels = list(files.keys())
+        else:
+            touched_rels = [
+                r
+                for r in files
+                if "/".join(f"{k}={v}" for k, v in self._partition_of_relpath(r).items()) in touched
+            ]
+        existing = self._read_files(touched_rels, with_deleted=False)
+
+        survivors = existing
+        if deletes is not None:
+            if self.config.record_key:
+                del_keys = deletes.select(
+                    self._key_expr().alias(META_KEY) if META_KEY not in deletes.columns else F.col(META_KEY)
+                ).distinct()
+                survivors = survivors.join(del_keys, META_KEY, "left_anti")
+            else:
+                # pk-less table: delete by full-row match
+                survivors = survivors.join(
+                    deletes.select(*self.data_cols), self.data_cols, "left_anti"
+                )
+
+        if upserts is not None:
+            incoming = self._with_meta(upserts, instant)
+            merged = self._latest_wins(survivors.unionByName(incoming))
+        else:
+            merged = survivors
+
+        rels = self._write_files(merged, instant)
+        self.timeline.write(
+            Instant(instant, "commit", rels, touched_rels, {"operation": op})
+        )
+        return instant
+
+    def _apply_mor(
+        self, instant: str, upserts: DataFrame | None, deletes: DataFrame | None, op: str
+    ) -> str:
+        """MOR: write-cheap log files; merge deferred to read/compaction (M14 prep)."""
+        parts = []
+        if upserts is not None:
+            parts.append(self._with_meta(upserts, instant).withColumn(META_DELETED, F.lit(False)))
+        if deletes is not None:
+            tomb = deletes.select(*[c for c in self.data_cols if c in deletes.columns])
+            for c in self.data_cols:
+                if c not in tomb.columns:
+                    tomb = tomb.withColumn(c, F.lit(None).cast(self.schema[c].dataType))
+            parts.append(self._with_meta(tomb.select(*self.data_cols), instant).withColumn(META_DELETED, F.lit(True)))
+        if not parts:
+            return instant
+        out = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        rels = self._write_files(out, instant)
+        self.timeline.write(Instant(instant, "deltacommit", rels, [], {"operation": op}))
+        return instant
+
+    # ------------------------------------------------------------- services
+
+    def compact(self) -> str | None:
+        """M14: merge MOR log files into fresh base files (one replacecommit)."""
+        files, _ = self.timeline.live_files()
+        log_rels = [r for r, (_, a) in files.items() if a == "deltacommit"]
+        if not log_rels:
+            return None
+        instant = new_instant()
+        merged = self.read(with_meta=True)  # merged latest view, tombstones dropped
+        rels = self._write_files(merged, instant)
+        self.timeline.write(
+            Instant(instant, "replacecommit", rels, list(files.keys()), {"operation": "compaction"})
+        )
+        return instant
+
+    def should_compact(self, max_delta_commits: int = 5) -> bool:
+        """NUM_COMMITS trigger — ``DeltaStreamerExample.scala:52-55`` (5 delta commits)."""
+        n = 0
+        for inst in reversed(self.timeline.completed_data_instants()):
+            if inst.action == "deltacommit":
+                n += 1
+            else:
+                break
+        return n >= max_delta_commits
+
+    def cluster(self, n_buckets: int) -> str:
+        """M15: clustering/bucket-resize — rewrite file groups with a new bucket
+        count (consistent-hash split 1→8 of ``consistent_hashing.sql:44-49``)."""
+        instant = new_instant()
+        old_files = list(self.timeline.live_files()[0].keys())
+        self.config.n_buckets = n_buckets
+        self._save_props()
+        snapshot = self.read(with_meta=True)
+        rels = self._write_files(snapshot, instant)
+        self.timeline.write(
+            Instant(
+                instant,
+                "replacecommit",
+                rels,
+                old_files,
+                {"operation": "clustering", "numOutputFileGroups": n_buckets},
+            )
+        )
+        return instant
+
+    def clean(self, retain_commits: int = 10) -> list[str]:
+        """M16: physically delete files no longer referenced by the retained window."""
+        insts = self.timeline.completed_data_instants()
+        if len(insts) <= retain_commits:
+            return []
+        cutoff = insts[-retain_commits].instant
+        live_now, _ = self.timeline.live_files()
+        removed: list[str] = []
+        for inst in insts:
+            if inst.instant >= cutoff:
+                continue
+            for rel in inst.files_added:
+                if rel not in live_now:
+                    p = os.path.join(self.base, rel)
+                    if os.path.exists(p):
+                        os.remove(p)
+                        removed.append(rel)
+        if removed:
+            self.timeline.write(
+                Instant(new_instant(), "clean", [], [], {"removed": removed})
+            )
+        return removed
+
+    def rollback(self, instant: str | None = None) -> str | None:
+        """M17: undo the latest (or given) commit; its files become invisible and
+        are physically removed. Heals the fault-injection scenario of
+        ``compatibility_test.sh:155-186``."""
+        insts = self.timeline.completed_data_instants()
+        if not insts:
+            return None
+        target = insts[-1] if instant is None else next(
+            (i for i in insts if i.instant == instant), None
+        )
+        if target is None:
+            return None
+        rb = new_instant()
+        self.timeline.write(
+            Instant(rb, "rollback", [], target.files_added, {"target": target.instant})
+        )
+        for rel in target.files_added:
+            p = os.path.join(self.base, rel)
+            if os.path.exists(p):
+                os.remove(p)
+        return rb
+
+    def heal(self) -> list[str]:
+        """Remove orphan data files with no timeline entry (a write that died before
+        its atomic timeline publish) and stale staging dirs. Readers are already
+        immune (manifest-driven); this reclaims space."""
+        known: set[str] = set()
+        for inst in self.timeline.instants():
+            known.update(inst.files_added)
+        removed: list[str] = []
+        staging_root = os.path.join(self.base, ".staging")
+        if os.path.isdir(staging_root):
+            for d in os.listdir(staging_root):
+                shutil.rmtree(os.path.join(staging_root, d), ignore_errors=True)
+                removed.append(os.path.join(".staging", d))
+        for root, dirs, fns in os.walk(self.base):
+            dirs[:] = [d for d in dirs if d not in ("_timeline", ".staging")]
+            for fn in fns:
+                if not fn.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(os.path.join(root, fn), self.base)
+                if rel not in known:
+                    os.remove(os.path.join(root, fn))
+                    removed.append(rel)
+        return removed
+
+    # ------------------------------------------------------------- versioning
+
+    def upgrade(self, to_version: int) -> None:
+        """M18: table version migration (``DowngradeTable.scala:20-40`` validates
+        direction; our format is version-stable so this is metadata-only)."""
+        if to_version < self.config.table_version:
+            raise ValueError("use downgrade() to move to an older version")
+        self.config.table_version = to_version
+        self._save_props()
+
+    def downgrade(self, to_version: int) -> None:
+        if to_version > self.config.table_version:
+            raise ValueError("use upgrade() to move to a newer version")
+        self.config.table_version = to_version
+        self._save_props()
+
+    def _save_props(self) -> None:
+        with open(os.path.join(self.base, PROPS_FILE), "w") as f:
+            json.dump({"config": asdict(self.config), "schema": self.schema.jsonValue()}, f, indent=1)
+
+
+def _meta_struct() -> StructType:
+    from pyspark.sql.types import StringType, StructField
+
+    return StructType(
+        [
+            StructField(META_COMMIT, StringType()),
+            StructField(META_KEY, StringType()),
+            StructField(META_PARTITION, StringType()),
+        ]
+    )

@@ -1,0 +1,162 @@
+"""Commit timeline: ordered instants with file-manifest actions.
+
+Parity: the reference's ``.hoodie/`` timeline — instant ids like
+``20220307091628793`` (``spark/sql/quickstart.sql:74``), commit files inspected and
+deleted for rollback tests (``spark/scripts/compatibility_test.sh:155-162``).
+
+Each instant is one JSON file ``{base}/_timeline/{instant}.{action}.json`` written
+atomically (tmp + rename). A data file is *live* at time T iff some committed
+instant ≤ T added it and no committed instant ≤ T removed it. Uncommitted/partial
+data directories are invisible to readers by construction — that IS the rollback
+safety property the reference tests with fault injection.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+TIMELINE_DIR = "_timeline"
+
+#: Actions (superset of Hudi's): commit = COW write, deltacommit = MOR log write,
+#: replacecommit = compaction/clustering/overwrite, rollback, clean.
+ACTIONS = ("commit", "deltacommit", "replacecommit", "rollback", "clean")
+
+_seq_lock = threading.Lock()
+_last_instant = ""
+
+
+def new_instant() -> str:
+    """Monotonic instant id: UTC ``yyyyMMddHHmmssSSS`` + 3-digit sequence."""
+    global _last_instant
+    with _seq_lock:
+        now = datetime.now(timezone.utc).strftime("%Y%m%d%H%M%S%f")[:-3]
+        candidate = now + "000"
+        if candidate <= _last_instant:
+            candidate = str(int(_last_instant) + 1).zfill(len(_last_instant))
+        _last_instant = candidate
+        return candidate
+
+
+def normalize_as_of(ts: str) -> str:
+    """Normalize the three timestamp-as-of formats of ``quickstart.sql:74-77``
+    (full instant id, 'YYYY-MM-DD HH:MM:SS[.fff]', 'YYYY-MM-DD') to an instant
+    upper bound (inclusive, lexicographic)."""
+    s = ts.strip()
+    if s.isdigit():
+        return s.ljust(20, "9") if len(s) < 20 else s
+    for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            dt = datetime.strptime(s, fmt)
+            return dt.strftime("%Y%m%d%H%M%S%f")[:-3] + "999"
+        except ValueError:
+            continue
+    raise ValueError(f"unrecognized as-of timestamp: {ts!r}")
+
+
+@dataclass
+class Instant:
+    instant: str
+    action: str
+    files_added: list[str] = field(default_factory=list)
+    files_removed: list[str] = field(default_factory=list)
+    #: extra metadata (operation name, record counts, clustering plan, …)
+    meta: dict = field(default_factory=dict)
+
+    @property
+    def is_data_commit(self) -> bool:
+        return self.action in ("commit", "deltacommit", "replacecommit")
+
+
+class Timeline:
+    """Reads/writes the instant files under ``{base}/_timeline``."""
+
+    def __init__(self, base: str):
+        self.base = base
+        self.dir = os.path.join(base, TIMELINE_DIR)
+
+    def instants(self) -> list[Instant]:
+        if not os.path.isdir(self.dir):
+            return []
+        out = []
+        for fn in sorted(os.listdir(self.dir)):
+            if not fn.endswith(".json"):
+                continue
+            with open(os.path.join(self.dir, fn)) as f:
+                d = json.load(f)
+            out.append(
+                Instant(
+                    d["instant"],
+                    d["action"],
+                    d.get("files_added", []),
+                    d.get("files_removed", []),
+                    d.get("meta", {}),
+                )
+            )
+        return out
+
+    def write(self, inst: Instant) -> None:
+        os.makedirs(self.dir, exist_ok=True)
+        path = os.path.join(self.dir, f"{inst.instant}.{inst.action}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "instant": inst.instant,
+                    "action": inst.action,
+                    "files_added": inst.files_added,
+                    "files_removed": inst.files_removed,
+                    "meta": inst.meta,
+                    "committed_at": time.time(),
+                },
+                f,
+                indent=1,
+            )
+        os.replace(tmp, path)  # atomic publish = the commit point
+
+    def remove(self, instant: str) -> None:
+        for fn in os.listdir(self.dir):
+            if fn.startswith(instant + "."):
+                os.remove(os.path.join(self.dir, fn))
+
+    # -- snapshot computation -------------------------------------------------
+
+    def live_files(self, as_of: str | None = None):
+        """(files, latest_instant): manifest replay up to ``as_of`` (inclusive).
+
+        ``files`` maps relpath -> (adding_instant, action); ``action`` lets MOR
+        readers split base files (commit/replacecommit) from log files (deltacommit).
+        Rollback instants neutralize their target's additions via files_removed like
+        any other remover.
+        """
+        insts = self.instants()
+        # rollbacks apply retroactively (Hudi deletes the target's commit file):
+        # a rolled-back instant never contributes, even to earlier as_of views.
+        rolled = {i.meta.get("target") for i in insts if i.action == "rollback"}
+        files: dict[str, tuple[str, str]] = {}
+        latest = ""
+        for inst in insts:
+            if not inst.is_data_commit or inst.instant in rolled:
+                continue
+            if as_of is not None and inst.instant > as_of:
+                continue
+            for fp in inst.files_removed:
+                files.pop(fp, None)
+            for fp in inst.files_added:
+                files[fp] = (inst.instant, inst.action)
+            latest = max(latest, inst.instant)
+        return files, latest
+
+    def completed_data_instants(self) -> list[Instant]:
+        rolled_back = {
+            i.meta.get("target") for i in self.instants() if i.action == "rollback"
+        }
+        return [
+            i
+            for i in self.instants()
+            if i.is_data_commit and i.instant not in rolled_back
+        ]
