@@ -1,0 +1,225 @@
+"""Table-layer DML as differential queries (SURVEY §2.8 under the driver's oracle).
+
+Each query builds a real engine table under /tmp from the sf tables, runs a
+deterministic DML lifecycle (insert → upsert/merge/delete/...), and returns the final
+snapshot; the DuckDB oracle expresses the same final state in pure SQL. This puts
+upsert / merge / delete / time-travel / incremental / MOR-merge correctness under the
+hash-matching gate — the engine's own differential "golden mirror" testing
+(``TestAutomationUtils.scala:57-83``) with DuckDB as the mirror.
+
+Work tables are rebuilt from scratch on every call (fresh dir per (query, sf)) so
+results are deterministic and the returned DataFrame's files stay readable after the
+callable returns.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hudi_examples_spark.operators.spec import QuerySpec
+from hudi_examples_spark.sources.readers import load_sf_table as t
+from hudi_examples_spark.table import Table, TableConfig
+
+CUST_SCHEMA = "c_custkey BIGINT, c_name STRING, acctbal DOUBLE, seg STRING, v INT"
+
+
+def _workdir(name: str, sf_dir: str) -> str:
+    root = os.path.join(tempfile.gettempdir(), "hudi_examples_spark_dml")
+    p = os.path.join(root, f"{name}_{re.sub(r'[^A-Za-z0-9]', '_', sf_dir)}")
+    if os.path.exists(p):
+        shutil.rmtree(p)
+    os.makedirs(p)
+    return p
+
+
+def _cust_df(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(1).alias("v"),
+    )
+
+
+def _upsert_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic change batch: bump acctbal for keys %7==0; new keys for %13==0."""
+    c = _cust_df(spark, sf)
+    updates = c.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "acctbal", F.col("acctbal") + 100.0
+    )
+    inserts = c.filter(F.col("c_custkey") % 13 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + 1000000
+    )
+    return updates.unionByName(inserts).withColumn("v", F.lit(2))
+
+
+def _final_snapshot(tbl: Table) -> DataFrame:
+    return tbl.read().select(
+        "c_custkey", "c_name", F.round("acctbal", 2).alias("acctbal"), "seg", "v"
+    )
+
+
+#: Final state after insert + _upsert_batch, in DuckDB SQL.
+UPSERT_FINAL_ORACLE = """
+SELECT c_custkey, c_name,
+       round(c_acctbal + CASE WHEN c_custkey % 7 = 0 THEN 100.0 ELSE 0 END, 2) AS acctbal,
+       c_mktsegment AS seg,
+       CASE WHEN c_custkey % 7 = 0 THEN 2 ELSE 1 END AS v
+FROM customer
+UNION ALL
+SELECT c_custkey + 1000000, c_name, round(c_acctbal, 2), c_mktsegment, 2
+FROM customer WHERE c_custkey % 13 = 0
+"""
+
+
+def _lifecycle_table(spark: SparkSession, sf: str, name: str, table_type: str) -> Table:
+    base = os.path.join(_workdir(name, sf), "tbl")
+    tbl = Table.create(
+        spark,
+        base,
+        CUST_SCHEMA,
+        TableConfig(record_key=["c_custkey"], precombine="v", partition_by=["seg"], table_type=table_type),
+    )
+    tbl.insert(_cust_df(spark, sf))
+    return tbl
+
+
+def tbl_upsert_cow(spark: SparkSession, sf: str) -> DataFrame:
+    """M7: COW upsert final state (update + insert paths through the key merge)."""
+    tbl = _lifecycle_table(spark, sf, "tbl_upsert_cow", "cow")
+    tbl.upsert(_upsert_batch(spark, sf))
+    return _final_snapshot(tbl)
+
+
+def tbl_upsert_mor(spark: SparkSession, sf: str) -> DataFrame:
+    """M7+MOR: identical lifecycle, log-file write path + merge-on-read view.
+
+    Same oracle as the COW variant — asserting the two table types present an
+    identical logical view (the reference's cow/mor config-matrix invariant,
+    ``spark_sql_testing.sh:78-108``).
+    """
+    tbl = _lifecycle_table(spark, sf, "tbl_upsert_mor", "mor")
+    tbl.upsert(_upsert_batch(spark, sf))
+    return _final_snapshot(tbl)
+
+
+def tbl_upsert_mor_compacted(spark: SparkSession, sf: str) -> DataFrame:
+    """M14: compaction must preserve the merged view exactly (same oracle again)."""
+    tbl = _lifecycle_table(spark, sf, "tbl_upsert_mor_compacted", "mor")
+    tbl.upsert(_upsert_batch(spark, sf))
+    tbl.compact()
+    return _final_snapshot(tbl)
+
+
+def tbl_delete_where(spark: SparkSession, sf: str) -> DataFrame:
+    """M4: DELETE FROM t WHERE acctbal < 0 — final state."""
+    tbl = _lifecycle_table(spark, sf, "tbl_delete_where", "cow")
+    tbl.delete_where("acctbal < 0")
+    return _final_snapshot(tbl)
+
+
+TBL_DELETE_ORACLE = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal, c_mktsegment AS seg, 1 AS v
+FROM customer WHERE NOT (c_acctbal < 0)
+"""
+
+
+def tbl_merge_mixed(spark: SparkSession, sf: str) -> DataFrame:
+    """M5/J2/J3: MERGE with partial update (matched, %3==0 source keys) then a
+    matched-delete pass (%5==0) — Job.py:125-133 composed."""
+    tbl = _lifecycle_table(spark, sf, "tbl_merge_mixed", "cow")
+    src = (
+        _cust_df(spark, sf)
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", (F.col("acctbal") * 2).alias("new_bal"))
+    )
+    tbl.merge(
+        src,
+        on={"c_custkey": "c_custkey"},
+        when_matched={"acctbal": "__src_new_bal", "v": "2"},
+        when_not_matched=None,
+    )
+    del_src = _cust_df(spark, sf).filter(F.col("c_custkey") % 5 == 0).select("c_custkey")
+    tbl.merge(del_src, on={"c_custkey": "c_custkey"}, when_matched="delete", when_not_matched=None)
+    return _final_snapshot(tbl)
+
+
+TBL_MERGE_ORACLE = """
+SELECT c_custkey, c_name,
+       round(CASE WHEN c_custkey % 3 = 0 THEN c_acctbal * 2 ELSE c_acctbal END, 2) AS acctbal,
+       c_mktsegment AS seg,
+       CASE WHEN c_custkey % 3 = 0 THEN 2 ELSE 1 END AS v
+FROM customer
+WHERE c_custkey % 5 <> 0
+"""
+
+
+def tbl_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """M10: snapshot as of the first commit must equal the original insert."""
+    tbl = _lifecycle_table(spark, sf, "tbl_time_travel", "cow")
+    first = tbl.latest_instant()
+    tbl.upsert(_upsert_batch(spark, sf))
+    tbl.delete_where("acctbal < 0")
+    return tbl.read(as_of=first).select(
+        "c_custkey", "c_name", F.round("acctbal", 2).alias("acctbal"), "seg", "v"
+    )
+
+
+TBL_TT_ORACLE = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal, c_mktsegment AS seg, 1 AS v
+FROM customer
+"""
+
+
+def tbl_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """M11: table_changes since the first commit = latest state of the upsert batch."""
+    tbl = _lifecycle_table(spark, sf, "tbl_incremental", "cow")
+    first = tbl.latest_instant()
+    tbl.upsert(_upsert_batch(spark, sf))
+    return tbl.table_changes(start=first).select(
+        "c_custkey", "c_name", F.round("acctbal", 2).alias("acctbal"), "seg", "v"
+    )
+
+
+TBL_INC_ORACLE = """
+SELECT c_custkey, c_name, round(c_acctbal + 100.0, 2) AS acctbal, c_mktsegment AS seg, 2 AS v
+FROM customer WHERE c_custkey % 7 = 0
+UNION ALL
+SELECT c_custkey + 1000000, c_name, round(c_acctbal, 2), c_mktsegment, 2
+FROM customer WHERE c_custkey % 13 = 0
+"""
+
+
+def tbl_cdc_rollback(spark: SparkSession, sf: str) -> DataFrame:
+    """M13+M17: CDC batch (U/I/D) applied then rolled back — state returns to the
+    original insert (compatibility_test.sh:155-186 healing semantics)."""
+    tbl = _lifecycle_table(spark, sf, "tbl_cdc_rollback", "cow")
+    cdc = (
+        _upsert_batch(spark, sf)
+        .withColumn("_op", F.when(F.col("c_custkey") > 1000000, F.lit("I")).otherwise(F.lit("U")))
+        .unionByName(
+            _cust_df(spark, sf).filter(F.col("c_custkey") % 11 == 0).withColumn("_op", F.lit("D"))
+        )
+    )
+    tbl.write_cdc(cdc)
+    tbl.rollback()
+    return _final_snapshot(tbl)
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("tbl_upsert_cow", tbl_upsert_cow, UPSERT_FINAL_ORACLE, "M1,M2,M7"),
+    QuerySpec("tbl_upsert_mor", tbl_upsert_mor, UPSERT_FINAL_ORACLE, "M7,MOR"),
+    QuerySpec("tbl_upsert_mor_compacted", tbl_upsert_mor_compacted, UPSERT_FINAL_ORACLE, "M14"),
+    QuerySpec("tbl_delete_where", tbl_delete_where, TBL_DELETE_ORACLE, "M4,M9"),
+    QuerySpec("tbl_merge_mixed", tbl_merge_mixed, TBL_MERGE_ORACLE, "M5,J2,J3"),
+    QuerySpec("tbl_time_travel", tbl_time_travel, TBL_TT_ORACLE, "M10"),
+    QuerySpec("tbl_incremental", tbl_incremental, TBL_INC_ORACLE, "M11"),
+    QuerySpec("tbl_cdc_rollback", tbl_cdc_rollback, TBL_TT_ORACLE, "M13,M17"),
+]
