@@ -1,0 +1,87 @@
+"""Streaming upsert sink: micro-batch → one timeline instant.
+
+Parity: DeltaStreamer continuous mode (``DeltaStreamerExample.scala:12-65``) and the
+Flink streaming writer with checkpoint-based exactly-once
+(``HudiDataStreamWriter.java:63-82``). Spark-first shape: ``writeStream.foreachBatch``
+applying ``Table.upsert``/``write_cdc``; exactly-once comes from recording the
+(sink_name, batch_id) in the commit's timeline metadata and skipping replayed batches
+after checkpoint recovery — idempotent instants, the same trick Hudi plays with
+checkpoint metadata in deltacommits.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+from hudi_examples_spark.table import Table
+
+
+def _already_applied(table: Table, sink_name: str, batch_id: int) -> bool:
+    for inst in table.timeline.completed_data_instants():
+        m = inst.meta
+        if m.get("sink_name") == sink_name and m.get("stream_batch_id") == batch_id:
+            return True
+    return False
+
+
+def make_batch_handler(
+    table: Table,
+    sink_name: str = "stream",
+    op_col: str | None = None,
+    compact_every: int | None = 5,
+    pre_commit_validator: Callable[[DataFrame], None] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Build the foreachBatch handler (exposed separately so tests and non-streaming
+    micro-batch loops can drive it directly).
+
+    ``compact_every``: MOR inline-compaction cadence in delta commits — the
+    NUM_COMMITS trigger of ``DeltaStreamerExample.scala:52-55``.
+    ``pre_commit_validator``: M21 hook — raise to abort the batch before commit.
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if _already_applied(table, sink_name, batch_id):
+            return
+        if pre_commit_validator is not None:
+            pre_commit_validator(batch_df)
+        if op_col is not None and op_col in batch_df.columns:
+            instant = table.write_cdc(batch_df, op_col)
+        else:
+            instant = table.upsert(batch_df)
+        # stamp the instant with stream identity for idempotent replay
+        for inst in table.timeline.completed_data_instants():
+            if inst.instant == instant:
+                inst.meta.update({"sink_name": sink_name, "stream_batch_id": batch_id})
+                table.timeline.write(inst)
+                break
+        if (
+            compact_every
+            and table.config.table_type == "mor"
+            and table.should_compact(compact_every)
+        ):
+            table.compact()
+
+    return handle
+
+
+def stream_upsert_sink(
+    stream_df: DataFrame,
+    table: Table,
+    checkpoint_dir: str,
+    sink_name: str = "stream",
+    op_col: str | None = None,
+    trigger: dict | None = None,
+    compact_every: int | None = 5,
+):
+    """T2/T3: continuous ingestion — returns the started StreamingQuery."""
+    handler = make_batch_handler(table, sink_name, op_col, compact_every)
+    writer = (
+        stream_df.writeStream.foreachBatch(handler)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

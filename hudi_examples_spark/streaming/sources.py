@@ -1,0 +1,78 @@
+"""Streaming sources: incremental commit-range polling + rate datagen.
+
+Parity: streaming read from a table's commits (``HudiDataStreamReader.java:71-72``,
+``read.start-commit``/``READ_START_COMMIT`` — ``Hudi2HudiDataPipeline.java:40-41``)
+and the Flink datagen connector (``consistent_hashing.sql:18-21``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from hudi_examples_spark.table import Table
+
+
+def incremental_source(table: Table, start: str = "earliest") -> Callable[[], DataFrame | None]:
+    """M12/T4: micro-batch puller over new commits.
+
+    Returns ``poll()``: each call yields the latest state of records changed since
+    the previous poll (None when no new commits). Driving ``poll()`` in a loop into
+    a sink handler is the Hudi2Hudi pipeline (``Hudi2HudiDataPipeline.java``).
+    """
+    state = {"last": start}
+
+    def poll() -> DataFrame | None:
+        latest = table.latest_instant()
+        last = state["last"]
+        if latest is None or (last != "earliest" and latest <= last):
+            return None
+        df = table.table_changes(start=last)
+        state["last"] = latest
+        return df
+
+    return poll
+
+
+def pipe_table_to_table(
+    src: Table, dst: Table, handler: Callable[[DataFrame, int], None], n_polls: int = 1,
+    start: str = "earliest",
+) -> int:
+    """Hudi2Hudi pipeline driver loop: poll incremental changes, apply via sink
+    handler. Returns number of non-empty batches applied."""
+    poll = incremental_source(src, start)
+    applied = 0
+    for i in range(n_polls):
+        batch = poll()
+        if batch is None:
+            continue
+        handler(batch.drop("_hoodie_commit_time", "_hoodie_record_key", "_hoodie_partition_path"), i)
+        applied += 1
+    return applied
+
+
+def rate_datagen(
+    spark: SparkSession,
+    rows_per_second: int = 1000,
+    columns: dict[str, Column] | None = None,
+) -> DataFrame:
+    """S11: synthetic streaming source at a fixed rate; ``columns`` maps new column
+    names to expressions over ``value``/``timestamp`` (the rate source's outputs)."""
+    df = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    for name, expr in (columns or {}).items():
+        df = df.withColumn(name, expr)
+    return df
+
+
+def windowed_counts(events: DataFrame, ts_col: str, window: str, watermark: str) -> DataFrame:
+    """T6 passthrough: tumbling-window counts with late-data watermark. Absent in the
+    reference (correctness there comes from keyed upsert + precombine); exposed
+    because it is free and table-stakes for a Spark streaming engine."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
