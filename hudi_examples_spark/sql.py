@@ -1,0 +1,353 @@
+"""SQL front-door: the ``spark-sql -i quickstart.sql`` surface (lifecycle E1).
+
+Parity: the reference's entire SQL DML surface (``spark/sql/quickstart.sql``,
+``spark/scripts/spark_sql_testing.sh:72-108``) — CREATE TABLE (partitioned/pk-less/
+cow/mor via tblproperties), INSERT VALUES/SELECT, UPDATE, DELETE, MERGE INTO,
+CTAS, ``TIMESTAMP AS OF`` time travel, the ``hudi_table_changes`` TVF, and hivevar
+``${var}`` templating.
+
+Architecture: DML verbs are recognized by a small dispatcher and routed to the
+table-layer API (where Catalyst plans the underlying joins/rewrites); SELECTs run on
+``spark.sql`` over temp views of snapshot reads — we extend the *frontier*, not the
+parser internals (the reference does the same via HoodieSparkSessionExtension,
+``spark/scripts/utils.sh:4-8``).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hudi_examples_spark.table import Table, TableConfig
+
+
+class Engine:
+    """Session-scoped catalog of engine tables + SQL dispatcher."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.tables: dict[str, Table] = {}
+        self._view_seq = 0
+
+    # ------------------------------------------------------------------ catalog
+
+    def register(self, name: str, table: Table) -> None:
+        self.tables[name] = table
+
+    def table(self, name: str) -> Table:
+        if name not in self.tables:
+            base = os.path.join(self.warehouse, name)
+            if Table.exists(base):
+                self.tables[name] = Table(self.spark, base)
+            else:
+                raise KeyError(f"unknown table {name}")
+        return self.tables[name]
+
+    def _fresh_view(self, df: DataFrame, hint: str) -> str:
+        self._view_seq += 1
+        name = f"__engine_{hint}_{self._view_seq}"
+        df.createOrReplaceTempView(name)
+        return name
+
+    def _register_snapshots(self) -> None:
+        for name, tbl in self.tables.items():
+            tbl.read().createOrReplaceTempView(name)
+
+    # ---------------------------------------------------------------------- sql
+
+    def sql(self, text: str, params: dict[str, str] | None = None) -> DataFrame | None:
+        """Execute a script of ';'-separated statements; returns the last result DF.
+
+        ``params`` substitutes ``${var}`` placeholders — the hivevar templating of
+        ``spark_sql_testing.sh:72-75`` / ``quickstart.sql:16-20``.
+        """
+        for var, val in (params or {}).items():
+            text = text.replace("${" + var + "}", val)
+        result: DataFrame | None = None
+        for stmt in self._split(text):
+            result = self._execute(stmt)
+        return result
+
+    @staticmethod
+    def _split(text: str) -> list[str]:
+        # strip line comments, split on ';' outside quotes
+        lines = [ln for ln in text.splitlines() if not ln.strip().startswith("--")]
+        body = "\n".join(lines)
+        stmts, cur, in_q = [], [], None
+        for ch in body:
+            if in_q:
+                cur.append(ch)
+                if ch == in_q:
+                    in_q = None
+            elif ch in ("'", '"'):
+                in_q = ch
+                cur.append(ch)
+            elif ch == ";":
+                s = "".join(cur).strip()
+                if s:
+                    stmts.append(s)
+                cur = []
+            else:
+                cur.append(ch)
+        tail = "".join(cur).strip()
+        if tail:
+            stmts.append(tail)
+        return stmts
+
+    def _execute(self, stmt: str) -> DataFrame | None:
+        s = stmt.strip()
+        head = s.split(None, 3)
+        verb = head[0].upper() if head else ""
+        if verb == "CREATE":
+            return self._create(s)
+        if verb == "INSERT":
+            return self._insert(s)
+        if verb == "UPDATE":
+            return self._update(s)
+        if verb == "DELETE":
+            return self._delete(s)
+        if verb == "MERGE":
+            return self._merge(s)
+        if verb == "DROP":
+            m = re.match(r"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)", s, re.I)
+            if m and m.group(1) in self.tables:
+                self.tables.pop(m.group(1)).drop()
+                return None
+            return None
+        # SELECT / SHOW / narration — rewrite engine sugar then hand to spark.sql
+        return self._select(s)
+
+    # ------------------------------------------------------------------- CREATE
+
+    _CREATE_RE = re.compile(
+        r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
+        r"(?:\((?P<cols>.*?)\)\s*)?"
+        r"(?:USING\s+(?P<using>\w+)\s*)?"
+        r"(?P<rest>.*)",
+        re.I | re.S,
+    )
+
+    def _create(self, s: str) -> DataFrame | None:
+        m = self._CREATE_RE.match(s)
+        if not m:
+            raise ValueError(f"cannot parse CREATE: {s[:120]}")
+        name = m.group("name")
+        rest = m.group("rest") or ""
+        props: dict[str, str] = {}
+        pm = re.search(r"TBLPROPERTIES\s*\((?P<body>.*?)\)", rest, re.I | re.S)
+        if pm:
+            for k, v in re.findall(r"['\"]?([\w.]+)['\"]?\s*=\s*'([^']*)'", pm.group("body")):
+                props[k.lower()] = v
+        part = []
+        pb = re.search(r"PARTITIONED\s+BY\s*\(([^)]*)\)", rest, re.I)
+        if pb:
+            part = [c.strip() for c in pb.group(1).split(",") if c.strip()]
+        loc = re.search(r"LOCATION\s+'([^']+)'", rest, re.I)
+        base = loc.group(1) if loc else os.path.join(self.warehouse, name)
+        cfg = TableConfig(
+            record_key=[k.strip() for k in props.get("primarykey", "").split(",") if k.strip()],
+            precombine=props.get("precombinefield") or None,
+            partition_by=part,
+            table_type=props.get("type", "cow"),
+        )
+        ctas = re.search(r"\bAS\s+(SELECT\b.*)$", rest, re.I | re.S)
+        if ctas:
+            df = self._select(ctas.group(1))
+            tbl = Table.create_as(self.spark, base, df, cfg)
+        else:
+            cols = m.group("cols")
+            if not cols:
+                raise ValueError(f"CREATE TABLE {name} needs a column list or AS SELECT")
+            tbl = Table.create(self.spark, base, cols.strip(), cfg)
+        self.register(name, tbl)
+        return None
+
+    # ------------------------------------------------------------------- INSERT
+
+    def _insert(self, s: str) -> DataFrame | None:
+        m = re.match(
+            r"INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?(?P<name>\w+)\s+(?P<body>.*)$",
+            s,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"cannot parse INSERT: {s[:120]}")
+        tbl = self.table(m.group("name"))
+        body = m.group("body").strip()
+        if body.upper().startswith("VALUES"):
+            cols = ", ".join(tbl.data_cols)
+            df = self.spark.sql(f"SELECT * FROM ({body}) AS __v({cols})")
+        else:
+            df = self._select(body)
+            df = df.toDF(*tbl.data_cols)
+        for c, f in zip(tbl.data_cols, tbl.schema.fields):
+            df = df.withColumn(c, df[c].cast(f.dataType))
+        if m.group("mode").upper() == "OVERWRITE":
+            tbl.insert_overwrite(df)
+        else:
+            # SQL INSERT INTO on a keyed table upserts (Hudi spark-sql default)
+            tbl.upsert(df) if tbl.config.record_key else tbl.insert(df)
+        return None
+
+    # ------------------------------------------------------------------- UPDATE
+
+    def _update(self, s: str) -> None:
+        m = re.match(
+            r"UPDATE\s+(?P<name>\w+)\s+SET\s+(?P<sets>.*?)(?:\s+WHERE\s+(?P<where>.*))?$",
+            s,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"cannot parse UPDATE: {s[:120]}")
+        tbl = self.table(m.group("name"))
+        assignments = {}
+        for part in self._split_commas(m.group("sets")):
+            col, expr = part.split("=", 1)
+            assignments[col.strip()] = expr.strip()
+        tbl.update_where(m.group("where") or "true", assignments)
+
+    # ------------------------------------------------------------------- DELETE
+
+    def _delete(self, s: str) -> None:
+        m = re.match(
+            r"DELETE\s+FROM\s+(?P<name>\w+)(?:\s+WHERE\s+(?P<where>.*))?$", s, re.I | re.S
+        )
+        if not m:
+            raise ValueError(f"cannot parse DELETE: {s[:120]}")
+        self.table(m.group("name")).delete_where(m.group("where") or "true")
+
+    # -------------------------------------------------------------------- MERGE
+
+    _MERGE_RE = re.compile(
+        r"MERGE\s+INTO\s+(?P<target>\w+)(?:\s+AS\s+(?P<talias>\w+))?\s+"
+        r"USING\s+(?P<source>\(.*?\)|\w+)(?:\s+AS\s+(?P<salias>\w+))?\s+"
+        r"ON\s+(?P<on>.*?)\s+"
+        r"(?P<clauses>WHEN\s+.*)$",
+        re.I | re.S,
+    )
+
+    def _merge(self, s: str) -> None:
+        m = self._MERGE_RE.match(s)
+        if not m:
+            raise ValueError(f"cannot parse MERGE: {s[:120]}")
+        tbl = self.table(m.group("target"))
+        talias = m.group("talias") or m.group("target")
+        salias = m.group("salias") or "source"
+        src_spec = m.group("source")
+        if src_spec.startswith("("):
+            src_df = self._select(src_spec[1:-1])
+        elif src_spec in self.tables:
+            src_df = self.table(src_spec).read()
+        else:
+            self._register_snapshots()
+            src_df = self.spark.table(src_spec)
+
+        on: dict[str, str] = {}
+        for clause in re.split(r"\bAND\b", m.group("on"), flags=re.I):
+            cm = re.match(
+                rf"\s*(?:{talias}|{salias})\.(\w+)\s*=\s*(?:{talias}|{salias})\.(\w+)\s*",
+                clause,
+                re.I,
+            )
+            if not cm:
+                raise ValueError(f"unsupported MERGE ON clause: {clause!r}")
+            a, b = cm.group(1), cm.group(2)
+            tgt_col = a if re.match(rf"\s*{talias}\.", clause, re.I) else b
+            src_col = b if tgt_col == a else a
+            on[tgt_col] = src_col
+
+        clauses = m.group("clauses")
+        when_matched: str | dict = "update_all"
+        when_not_matched: str | None = None
+        wm = re.search(
+            r"WHEN\s+MATCHED\s+THEN\s+(?P<act>UPDATE\s+SET\s+\*|UPDATE\s+SET\s+.*?|DELETE)"
+            r"(?=\s+WHEN\s+|\s*$)",
+            clauses,
+            re.I | re.S,
+        )
+        if wm:
+            act = wm.group("act").strip()
+            if act.upper() == "DELETE":
+                when_matched = "delete"
+            elif re.match(r"UPDATE\s+SET\s+\*", act, re.I):
+                when_matched = "update_all"
+            else:
+                sets = re.sub(r"UPDATE\s+SET\s+", "", act, flags=re.I)
+                when_matched = {}
+                for part in self._split_commas(sets):
+                    col, expr = part.split("=", 1)
+                    col = re.sub(rf"\b{talias}\.", "", col.strip(), flags=re.I)
+                    when_matched[col] = self._rewrite_merge_expr(expr.strip(), talias, salias, on)
+        wnm = re.search(r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*", clauses, re.I)
+        if wnm:
+            when_not_matched = "insert_all"
+        tbl.merge(src_df, on=on, when_matched=when_matched, when_not_matched=when_not_matched)
+
+    def _rewrite_merge_expr(self, expr: str, talias: str, salias: str, on: dict[str, str]) -> str:
+        """Translate target./source. qualifiers to the merge API's namespace
+        (target cols bare, non-key source cols as __src_<col>)."""
+        key_srcs = set(on.values())
+
+        def src_repl(mm):
+            col = mm.group(1)
+            return col if col in key_srcs else f"__src_{col}"
+
+        expr = re.sub(rf"\b{salias}\.(\w+)", src_repl, expr, flags=re.I)
+        expr = re.sub(rf"\b{talias}\.(\w+)", r"\1", expr, flags=re.I)
+        return expr
+
+    @staticmethod
+    def _split_commas(s: str) -> list[str]:
+        """Split on commas not inside parens/quotes."""
+        out, cur, depth, in_q = [], [], 0, None
+        for ch in s:
+            if in_q:
+                cur.append(ch)
+                if ch == in_q:
+                    in_q = None
+            elif ch in ("'", '"'):
+                in_q = ch
+                cur.append(ch)
+            elif ch == "(":
+                depth += 1
+                cur.append(ch)
+            elif ch == ")":
+                depth -= 1
+                cur.append(ch)
+            elif ch == "," and depth == 0:
+                out.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            out.append("".join(cur).strip())
+        return [p for p in out if p]
+
+    # ------------------------------------------------------------------- SELECT
+
+    def _select(self, s: str) -> DataFrame:
+        # M10: FROM tbl TIMESTAMP AS OF '...'
+        def tt_repl(mm):
+            view = self._fresh_view(self.table(mm.group(1)).read(as_of=mm.group(2)), "asof")
+            return f"FROM {view}"
+
+        s = re.sub(r"FROM\s+(\w+)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'", tt_repl, s, flags=re.I)
+
+        # M11: hudi_table_changes('tbl', 'latest_state', 'begin'[, 'end'])
+        def tvf_repl(mm):
+            name, start, end = mm.group(1), mm.group(2), mm.group(3)
+            df = self.table(name).table_changes(start=start, end=end)
+            return self._fresh_view(df, "changes")
+
+        s = re.sub(
+            r"hudi_table_changes\(\s*'(\w+)'\s*,\s*'latest_state'\s*,\s*'([^']+)'"
+            r"(?:\s*,\s*'([^']+)')?\s*\)",
+            tvf_repl,
+            s,
+            flags=re.I,
+        )
+        self._register_snapshots()
+        return self.spark.sql(s)

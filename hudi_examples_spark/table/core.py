@@ -422,8 +422,10 @@ class Table:
             # resolved by full-row anti join in _apply_cow.
             return self.insert(upserts)
         instant = new_instant()
-        if self.config.table_type == "mor":
+        if self.config.table_type == "mor" and self.config.record_key:
             return self._apply_mor(instant, upserts, deletes, op)
+        # COW, and pk-less MOR deletes (no key ⇒ tombstones can't address rows;
+        # a full-row anti-join rewrite is the only correct form)
         return self._apply_cow(instant, upserts, deletes, op)
 
     def _touched_partition_filter(self, *dfs: DataFrame):

@@ -1,0 +1,168 @@
+"""SQL front-door: replay of the reference's quickstart.sql lifecycle + the
+spark_sql_testing.sh config matrix, with the scripts' own expected counts.
+
+Parity: ``spark/sql/quickstart.sql`` (DDL :9-21, inserts :26-35, filter :40-41,
+update :44, merge :58-63, counts :37/66/71, delete :69-71, time travel :74-77,
+incremental TVF :80-86, CTAS :89-93) and the {cow,mor}×{partitioned,non}×{pk,pkless}
+matrix of ``spark/scripts/spark_sql_testing.sh:78-108``.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hudi_examples_spark.sql import Engine
+
+
+@pytest.fixture
+def engine(spark, tmp_path):
+    return Engine(spark, str(tmp_path / "warehouse"))
+
+
+QUICKSTART_DDL = """
+CREATE TABLE hudi_table (
+  ts BIGINT, uuid STRING, rider STRING, driver STRING, fare DOUBLE, city STRING
+) USING hudi
+PARTITIONED BY (city)
+TBLPROPERTIES (primaryKey = 'uuid', preCombineField = 'ts', type = '${type}')
+"""
+
+QUICKSTART_INSERTS = """
+INSERT INTO hudi_table VALUES
+(1695159649087,'334e26e9','rider-A','driver-K',19.10,'san_francisco'),
+(1695091554788,'e96c4396','rider-C','driver-M',27.70,'san_francisco'),
+(1695046462179,'9909a8b1','rider-D','driver-L',33.90,'san_francisco'),
+(1695332066204,'1dced545','rider-E','driver-O',93.50,'san_francisco'),
+(1695516137016,'e3cf430c','rider-F','driver-P',34.15,'sao_paulo'),
+(1695376420876,'7a84095f','rider-G','driver-Q',43.40,'sao_paulo'),
+(1695173887231,'3eeb61f7','rider-I','driver-S',41.06,'chennai'),
+(1695115999911,'c8abbe79','rider-J','driver-T',17.85,'chennai')
+"""
+
+
+def test_quickstart_lifecycle(engine):
+    engine.sql(QUICKSTART_DDL, params={"type": "cow"})
+    engine.sql(QUICKSTART_INSERTS)
+    # quickstart.sql:37 — "Below Count should be 8"
+    assert engine.sql("SELECT COUNT(1) AS c FROM hudi_table").collect()[0]["c"] == 8
+    # quickstart.sql:40-41 — fare > 20.0 ⇒ 6 rows
+    assert engine.sql(
+        "SELECT ts, fare, rider, driver, city FROM hudi_table WHERE fare > 20.0"
+    ).count() == 6
+    # quickstart.sql:44 — UPDATE
+    engine.sql("UPDATE hudi_table SET fare = 25.0 WHERE rider = 'rider-D'")
+    assert engine.sql(
+        "SELECT fare FROM hudi_table WHERE rider = 'rider-D'"
+    ).collect()[0]["fare"] == 25.0
+    first_instant = engine.table("hudi_table").timeline.completed_data_instants()[0].instant
+
+    # quickstart.sql:48-63 — MERGE from fare_adjustment (2 updates + 2 inserts)
+    engine.sql(
+        """
+        MERGE INTO hudi_table AS target
+        USING (
+          SELECT 1695091554788 AS ts, 'e96c4396' AS uuid, 'rider-C' AS rider,
+                 'driver-M' AS driver, 38.74 AS fare, 'san_francisco' AS city
+          UNION ALL SELECT 1695530237068, 'aa93e0e9', 'rider-H', 'driver-R', 9.90, 'sao_paulo'
+          UNION ALL SELECT 1695241330902, 'bb99a00f', 'rider-X', 'driver-W', 60.00, 'chennai'
+          UNION ALL SELECT 1695115999911, 'c8abbe79', 'rider-J', 'driver-T', 20.01, 'chennai'
+        ) AS source
+        ON target.uuid = source.uuid
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    # quickstart.sql:66 — "Below count should be 10"
+    assert engine.sql("SELECT COUNT(1) AS c FROM hudi_table").collect()[0]["c"] == 10
+    assert engine.sql(
+        "SELECT fare FROM hudi_table WHERE uuid = 'e96c4396'"
+    ).collect()[0]["fare"] == 38.74
+
+    # quickstart.sql:69-71 — DELETE then count 0
+    engine.sql("DELETE FROM hudi_table WHERE uuid = '334e26e9'")
+    assert engine.sql(
+        "SELECT COUNT(1) AS c FROM hudi_table WHERE uuid = '334e26e9'"
+    ).collect()[0]["c"] == 0
+
+    # quickstart.sql:74-77 — time travel (instant id form)
+    tt = engine.sql(
+        f"SELECT fare FROM hudi_table TIMESTAMP AS OF '{first_instant}' WHERE rider = 'rider-D'"
+    )
+    assert tt.collect()[0]["fare"] == 33.90
+
+    # quickstart.sql:80-86 — incremental TVF since first commit
+    inc = engine.sql(
+        f"SELECT uuid, fare FROM hudi_table_changes('hudi_table', 'latest_state', '{first_instant}')"
+    )
+    changed = {r["uuid"] for r in inc.collect()}
+    assert changed == {"9909a8b1", "e96c4396", "aa93e0e9", "bb99a00f", "c8abbe79"}
+
+    # quickstart.sql:89-93 — CTAS
+    engine.sql(
+        "CREATE TABLE hudi_table_ctas USING hudi "
+        "TBLPROPERTIES (primaryKey = 'uuid', preCombineField = 'ts') "
+        "AS SELECT * FROM hudi_table WHERE fare > 20.0"
+    )
+    assert engine.table("hudi_table_ctas").count() == engine.sql(
+        "SELECT COUNT(1) AS c FROM hudi_table WHERE fare > 20.0"
+    ).collect()[0]["c"]
+
+
+@pytest.mark.parametrize("ttype", ["cow", "mor"])
+@pytest.mark.parametrize("partitioned", [True, False])
+@pytest.mark.parametrize("pk", [True, False])
+def test_config_matrix(engine, ttype, partitioned, pk):
+    """spark_sql_testing.sh:78-108 — one templated script across the config matrix."""
+    props = [f"type = '{ttype}'"]
+    if pk:
+        props.insert(0, "primaryKey = 'uuid', preCombineField = 'ts'")
+    ddl = (
+        "CREATE TABLE t (ts BIGINT, uuid STRING, fare DOUBLE, city STRING) USING hudi "
+        + ("PARTITIONED BY (city) " if partitioned else "")
+        + "TBLPROPERTIES (" + ", ".join(props) + ")"
+    )
+    engine.sql(ddl)
+    engine.sql("INSERT INTO t VALUES (1,'a',10.0,'sf'),(2,'b',20.0,'ny')")
+    engine.sql("INSERT INTO t VALUES (3,'a',30.0,'sf')")
+    n = engine.sql("SELECT COUNT(1) AS c FROM t").collect()[0]["c"]
+    if pk:
+        assert n == 2  # keyed: second insert upserts 'a'
+        assert engine.sql("SELECT fare FROM t WHERE uuid='a'").collect()[0]["fare"] == 30.0
+    else:
+        assert n == 3  # pk-less: appends
+    engine.sql("DELETE FROM t WHERE uuid = 'b'")
+    assert engine.sql("SELECT COUNT(1) AS c FROM t WHERE uuid='b'").collect()[0]["c"] == 0
+    engine.sql("DROP TABLE t")
+
+
+def test_partial_update_merge_sql(engine):
+    """Job.py:125-127: multi-col ON + partial UPDATE SET target.col = source.col."""
+    engine.sql(
+        "CREATE TABLE ss (d BIGINT, item BIGINT, tick BIGINT, price DOUBLE) USING hudi "
+        "TBLPROPERTIES (primaryKey = 'item,tick', preCombineField = 'd')"
+    )
+    engine.sql("INSERT INTO ss VALUES (1, 10, 100, 5.0), (1, 11, 101, 6.0)")
+    engine.sql(
+        """
+        MERGE INTO ss AS target
+        USING (SELECT 10 AS item, 100 AS tick, 9.99 AS price) AS source
+        ON source.item = target.item AND source.tick = target.tick
+        WHEN MATCHED THEN UPDATE SET target.price = source.price
+        """
+    )
+    rows = {(r["item"], r["tick"]): r["price"] for r in engine.sql("SELECT * FROM ss").collect()}
+    assert rows[(10, 100)] == 9.99 and rows[(11, 101)] == 6.0
+
+
+def test_merge_matched_delete_sql(engine):
+    """Job.py:131-133: WHEN MATCHED THEN DELETE."""
+    engine.sql(
+        "CREATE TABLE t2 (ts BIGINT, uuid STRING, fare DOUBLE) USING hudi "
+        "TBLPROPERTIES (primaryKey = 'uuid', preCombineField = 'ts')"
+    )
+    engine.sql("INSERT INTO t2 VALUES (1,'a',1.0),(2,'b',2.0),(3,'c',3.0)")
+    engine.sql(
+        "MERGE INTO t2 AS target USING (SELECT 'b' AS uuid) AS source "
+        "ON target.uuid = source.uuid WHEN MATCHED THEN DELETE"
+    )
+    assert {r["uuid"] for r in engine.sql("SELECT uuid FROM t2").collect()} == {"a", "c"}
