@@ -6,11 +6,12 @@ from hudi_examples_spark.operators.spec import QuerySpec
 
 
 def all_specs() -> list[QuerySpec]:
-    from hudi_examples_spark.operators import llm_pipeline, relational
+    from hudi_examples_spark.operators import llm_pipeline, multimodal, relational
 
     specs: list[QuerySpec] = []
     specs.extend(relational.SPECS)
     specs.extend(llm_pipeline.SPECS)
+    specs.extend(multimodal.SPECS)
     try:
         from hudi_examples_spark.operators import table_dml
 

@@ -1,0 +1,50 @@
+"""Multimodal plumbing: binary columns through Arrow-batched mapInPandas stages."""
+
+from __future__ import annotations
+
+from hudi_examples_spark.operators.multimodal import (
+    decode_media,
+    extract_features,
+    frame_sample,
+    mm_feature_pipeline,
+    synthetic_media,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_synthetic_media_schema(spark):
+    m = synthetic_media(spark, SF_SMALL)
+    assert [f.name for f in m.schema.fields] == ["media_id", "kind", "payload", "meta"]
+    assert m.schema["payload"].dataType.simpleString() == "binary"
+    assert m.count() == 500
+
+
+def test_decode_media_batches(spark):
+    decoded = decode_media(synthetic_media(spark, SF_SMALL))
+    rows = decoded.orderBy("media_id").limit(3).collect()
+    assert rows[0]["ok"] and rows[0]["n_bytes"] > 0
+    assert rows[0]["width"] == 1 and rows[0]["height"] == 1  # doc_id 0 meta
+    assert decoded.count() == 500
+
+
+def test_frame_sample_chunking(spark):
+    frames = frame_sample(synthetic_media(spark, SF_SMALL), frame_bytes=16, every_n=2)
+    sample = frames.filter("media_id = 2").orderBy("frame_no").collect()
+    assert sample, "video docs must produce frames"
+    assert all(len(bytes(r["frame"])) == 16 for r in sample)
+    assert [r["frame_no"] for r in sample] == list(range(0, 2 * len(sample), 2))
+
+
+def test_extract_features_deterministic(spark):
+    f1 = extract_features(synthetic_media(spark, SF_SMALL), dim=8).orderBy("media_id").limit(5).collect()
+    f2 = extract_features(synthetic_media(spark, SF_SMALL), dim=8).orderBy("media_id").limit(5).collect()
+    assert [r["features"] for r in f1] == [r["features"] for r in f2]
+    assert all(len(r["features"]) == 8 for r in f1)
+    assert all(0.0 <= v <= 1.0 for r in f1 for v in r["features"])
+
+
+def test_mm_pipeline_end_to_end(spark):
+    out = mm_feature_pipeline(spark, SF_SMALL)
+    assert out.count() == 500
+    cols = [f.name for f in out.schema.fields]
+    assert cols == ["media_id", "kind", "n_bytes", "width", "height", "f0"]

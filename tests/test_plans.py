@@ -1,0 +1,77 @@
+"""Plan-quality gates: pushdown/pruning/broadcast properties asserted, not eyeballed.
+
+These encode the 100 TB discipline: a scan that reads all columns for a 2-column
+projection, or a dim join that shuffles instead of broadcasting, fails here long
+before it fails on a cluster.
+"""
+
+from __future__ import annotations
+
+from hudi_examples_spark.operators.relational import (
+    p_filter_projection,
+    q1_pricing_summary,
+    q5_local_supplier_volume,
+    q6_revenue_forecast,
+)
+from hudi_examples_spark.plans.inspect import scan_profile
+from hudi_examples_spark.plans.io_report import commit_activity_df, io_profile
+from tests.conftest import SF_SMALL
+from tests.test_table_cow import make_table, trips_df
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    prof = scan_profile(q6_revenue_forecast(spark, SF_SMALL))
+    assert prof.pushed_filters, "q6 predicates must reach the parquet scan"
+    joined = " ".join(prof.pushed_filters)
+    assert "l_shipdate" in joined and "l_quantity" in joined and "l_discount" in joined
+
+
+def test_q6_reads_only_needed_columns(spark):
+    prof = scan_profile(q6_revenue_forecast(spark, SF_SMALL))
+    schema = prof.read_schemas[0]
+    assert "l_extendedprice" in schema and "l_discount" in schema
+    # 16-column lineitem must NOT be fully read for a 4-column query
+    assert "l_comment" not in schema and "l_orderkey" not in schema and "l_partkey" not in schema
+
+
+def test_q1_column_pruning(spark):
+    prof = scan_profile(q1_pricing_summary(spark, SF_SMALL))
+    schema = prof.read_schemas[0]
+    assert "l_partkey" not in schema and "l_suppkey" not in schema
+
+
+def test_q5_broadcasts_small_dims(spark):
+    prof = scan_profile(q5_local_supplier_volume(spark, SF_SMALL))
+    assert prof.n_broadcast_joins >= 3, (
+        f"supplier/nation/region must broadcast, got {prof.n_broadcast_joins} BHJ"
+    )
+
+
+def test_projection_filter_pushdown(spark):
+    prof = scan_profile(p_filter_projection(spark, SF_SMALL))
+    assert any("o_totalprice" in f for f in prof.pushed_filters)
+    assert "o_orderdate" not in prof.read_schemas[0]
+
+
+def test_table_read_partition_prunes(spark, tmp_path):
+    """Engine snapshot + partition filter ⇒ Spark prunes hive partitions."""
+    tbl = make_table(spark, tmp_path)
+    tbl.insert(trips_df(spark))
+    df = tbl.read().filter("city = 'chennai'")
+    assert df.count() == 2
+    prof = scan_profile(df)
+    assert any("city" in f for f in prof.partition_filters), (
+        f"expected hive partition pruning on city, got {prof.partition_filters}"
+    )
+
+
+def test_io_profile_manifest_vs_naive(spark, tmp_path):
+    """Metadata-table parity: planning cost is O(instants), not O(directories)."""
+    tbl = make_table(spark, tmp_path)
+    tbl.insert(trips_df(spark))
+    tbl.upsert(trips_df(spark, [(9999999999999, "334e26e9", "r", "d", 5.0, "san_francisco")]))
+    prof = io_profile(tbl)
+    assert prof["manifest_total_planning_calls"] == 2 + prof["timeline_instants"]
+    assert prof["live_files"] >= 3
+    rep = commit_activity_df(spark, tbl).collect()
+    assert len(rep) == 2 and rep[1]["files_removed"] >= 1
