@@ -24,12 +24,16 @@ def token_count(text: Column | str, pattern: str = "[A-Za-z0-9]+") -> Column:
     return F.regexp_count(c, F.lit(pattern))
 
 
-def quality_stopword_ratio(text: Column | str) -> Column:
-    """Fraction of tokens that are stopwords — cheap quality signal."""
-    ws = words(text)
+def quality_ratio_from(ws: Column) -> Column:
+    """Stopword fraction from a materialized word array (see ``shingles_from`` note)."""
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, F.lower(w))))
     return F.when(F.size(ws) == 0, F.lit(0.0)).otherwise(n_stop / F.size(ws))
+
+
+def quality_stopword_ratio(text: Column | str) -> Column:
+    """Fraction of tokens that are stopwords — cheap quality signal."""
+    return quality_ratio_from(words(text))
 
 
 def doc_fingerprint(text: Column | str) -> Column:
@@ -38,17 +42,22 @@ def doc_fingerprint(text: Column | str) -> Column:
     return F.md5(c)
 
 
-def word_shingles(text: Column | str, k: int = 3) -> Column:
-    """Array of k-word shingles (space-joined), order-preserving with duplicates.
+def shingles_from(ws: Column, k: int = 3) -> Column:
+    """k-word shingles from an already-materialized word array.
 
-    Implemented as sequence+transform over the word array — one JVM expression,
-    no explode until the caller wants one.
+    Callers should project the word array into a real column first (one split per
+    row); inlining ``words(text)`` here makes Catalyst re-evaluate the split for
+    every ``element_at`` inside the lambda — O(words²) per row, measured 10x slower.
     """
-    ws = words(text)
     idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (k - 1), F.lit(0)))
     return F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(k)])
     )
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Array of k-word shingles (space-joined), order-preserving with duplicates."""
+    return shingles_from(words(text), k)
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
@@ -59,13 +68,18 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     sentinel Long.MAX minima.
     """
     sentinel = F.lit(2**63 - 1).cast("bigint")
-    mins = [
-        F.coalesce(
-            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s))), sentinel
-        )
-        for i in range(num_hashes)
-    ]
-    return F.array(*mins)
+    init = F.array_repeat(sentinel, num_hashes)
+    # single pass over the shingle array: per shingle compute all N seeded hashes,
+    # fold with elementwise min — ~Nx fewer array traversals than N array_min calls
+    return F.aggregate(
+        shingles,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(F.lit(i), s) for i in range(num_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
+    )
 
 
 def minhash_bands(signature: Column, bands: int, rows_per_band: int) -> Column:

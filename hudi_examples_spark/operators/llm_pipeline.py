@@ -22,14 +22,31 @@ from hudi_examples_spark.functions.text import (
     minhash_bands,
     minhash_signature,
     quality_stopword_ratio,
+    shingles_from,
     simhash64,
     token_count,
-    word_shingles,
     words,
 )
 from hudi_examples_spark.functions.vectors import cosine_similarity, lsh_hyperplane_bits
 from hudi_examples_spark.operators.spec import QuerySpec
 from hudi_examples_spark.sources.readers import load_sf_table as t
+
+
+def _docs_shingled(spark: SparkSession, sf: str, k: int = 3) -> DataFrame:
+    """documents → (doc_id, shingles): the shared front of every near-dup operator.
+
+    The word array is projected into a real column before shingling (see
+    ``shingles_from``), and the scan is repartitioned across cores — a small
+    single-file input otherwise plans as ONE task, serializing the whole pipeline
+    (at cluster scale multi-split inputs make this a no-op cost-wise).
+    """
+    n = max(spark.sparkContext.defaultParallelism, 8)
+    return (
+        t(spark, sf, "documents")
+        .repartition(n)
+        .select("doc_id", words("text").alias("__ws"))
+        .select("doc_id", F.array_distinct(shingles_from(F.col("__ws"), k)).alias("shingles"))
+    )
 
 # ---------------------------------------------------------------------------
 # Deduplication
@@ -64,9 +81,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     the *exact* oracle-checkable form; at 100 TB the minhash/LSH variant below
     replaces the shingle self-join with a banded bucket join.
     """
-    d = t(spark, sf, "documents").select(
-        "doc_id", F.array_distinct(word_shingles("text", 3)).alias("shingles")
-    )
+    d = _docs_shingled(spark, sf, 3)
     d = d.withColumn("n_sh", F.size("shingles")).filter(F.col("n_sh") > 0)
     ex = d.select("doc_id", "n_sh", F.explode("shingles").alias("sh"))
     a = ex.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"), "sh")
@@ -114,9 +129,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     rows-only check; tests/test_llm_pipeline.py verifies recall against the exact
     Jaccard pairs. 16 hashes × 4 bands × 4 rows: candidates share ≥1 band bucket.
     """
-    d = t(spark, sf, "documents").select(
-        "doc_id", F.array_distinct(word_shingles("text", 3)).alias("shingles")
-    )
+    d = _docs_shingled(spark, sf, 3)
     sig = d.select("doc_id", minhash_signature(F.col("shingles"), 16).alias("sig"))
     banded = sig.select(
         "doc_id", F.posexplode(minhash_bands(F.col("sig"), bands=4, rows_per_band=4))
@@ -134,8 +147,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash 64-bit signatures per doc (rows-only check; hamming-pairing in tests)."""
-    d = t(spark, sf, "documents")
-    return d.select("doc_id", simhash64(words("text")).alias("simhash")).orderBy("doc_id")
+    n = max(spark.sparkContext.defaultParallelism, 8)
+    d = t(spark, sf, "documents").repartition(n).select("doc_id", words("text").alias("__ws"))
+    return d.select("doc_id", simhash64(F.col("__ws")).alias("simhash")).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -145,12 +159,17 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 def text_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Quality scoring: word/token counts + stopword ratio per doc."""
-    d = t(spark, sf, "documents")
+    from hudi_examples_spark.functions.text import quality_ratio_from
+
+    n = max(spark.sparkContext.defaultParallelism, 8)
+    d = t(spark, sf, "documents").repartition(n).select(
+        "doc_id", "text", words("text").alias("__ws")
+    )
     return d.select(
         "doc_id",
-        F.size(words("text")).alias("n_words"),
+        F.size("__ws").alias("n_words"),
         token_count("text").alias("n_tokens"),
-        F.round(quality_stopword_ratio("text"), 4).alias("stopword_ratio"),
+        F.round(quality_ratio_from(F.col("__ws")), 4).alias("stopword_ratio"),
         F.length(F.trim("text")).alias("n_chars_actual"),
     )
 

@@ -1,0 +1,71 @@
+"""Quality assertions for the approximate (non-oracle) dedup/similarity operators:
+minhash-LSH recall vs exact Jaccard pairs, hyperplane-LSH ANN vs brute force,
+simhash stability. Exact-dedup/text ops are covered by the DuckDB parity gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hudi_examples_spark.operators.llm_pipeline import (
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+    sim_ann_lsh,
+    sim_brute_topk,
+)
+from tests.conftest import SF_MED, SF_SMALL
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark):
+    """LSH candidates must include (almost all) truly-similar pairs. With 4 bands of
+    4 rows, P(candidate) = 1-(1-j^4)^4 ≈ 0.99 at j=0.8, ≈0.5 at j=0.5 — so assert
+    full recall only for high-similarity pairs."""
+    exact = {
+        (r["d1"], r["d2"])
+        for r in dedup_ngram_jaccard(spark, SF_MED).filter("jaccard >= 0.8").collect()
+    }
+    candidates = {(r["d1"], r["d2"]) for r in dedup_minhash_lsh(spark, SF_MED).collect()}
+    missed = exact - candidates
+    if exact:
+        recall = 1 - len(missed) / len(exact)
+        assert recall >= 0.9, f"LSH recall {recall:.2f} over {len(exact)} high-sim pairs"
+    # and LSH must not explode into a near-cross-join
+    n_docs = spark.read.parquet(f"{SF_MED}/documents.parquet").count()
+    assert len(candidates) < n_docs * 5
+
+
+def test_ann_lsh_results_are_true_neighbors(spark):
+    """Every ANN hit must appear in the brute-force ranking with the same score."""
+    brute = {r["vec_id"]: r["cos_sim"] for r in sim_brute_topk(spark, SF_SMALL).collect()}
+    # brute is top-10; extend: ANN returns bucket-mates sorted by true cosine, so any
+    # overlap with brute's ids must agree on score
+    ann = {r["vec_id"]: r["cos_sim"] for r in sim_ann_lsh(spark, SF_SMALL).collect()}
+    for vid, score in ann.items():
+        if vid in brute:
+            assert abs(score - brute[vid]) < 1e-9
+
+
+def test_simhash_similar_docs_close_hamming(spark):
+    """Docs with near-identical shingle sets should have low simhash hamming distance
+    relative to random pairs (statistical property, asserted on averages)."""
+    sims = {r["doc_id"]: r["simhash"] for r in dedup_simhash(spark, SF_MED).collect()}
+    close_pairs = [
+        (r["d1"], r["d2"])
+        for r in dedup_ngram_jaccard(spark, SF_MED).filter("jaccard >= 0.8").collect()
+    ]
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    if close_pairs:
+        close_avg = sum(ham(sims[a], sims[b]) for a, b in close_pairs) / len(close_pairs)
+        ids = sorted(sims)[:60]
+        rand_pairs = [(ids[i], ids[i + 30]) for i in range(30)]
+        rand_avg = sum(ham(sims[a], sims[b]) for a, b in rand_pairs) / len(rand_pairs)
+        assert close_avg < rand_avg, f"similar {close_avg:.1f} vs random {rand_avg:.1f}"
+
+
+def test_minhash_deterministic_across_runs(spark):
+    a = sorted(map(tuple, dedup_minhash_lsh(spark, SF_SMALL).collect()))
+    b = sorted(map(tuple, dedup_minhash_lsh(spark, SF_SMALL).collect()))
+    assert a == b
