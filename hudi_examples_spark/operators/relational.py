@@ -20,6 +20,19 @@ from pyspark.sql.window import Window
 from hudi_examples_spark.operators.spec import QuerySpec
 from hudi_examples_spark.sources.readers import load_sf_table as t
 
+
+def _dec(col) -> object:
+    """Money column as DECIMAL(18,2): float sums differ across engines in the last
+    ulp and can flip round(x, 2) at the .005 boundary; decimal accumulation is exact
+    in both Spark and DuckDB, so round+cast-back-to-double is bit-identical."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,2)")
+
+
+def _dsum(expr, alias: str, scale: int = 2):
+    return F.round(F.sum(expr), scale).cast("double").alias(alias)
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-style analytics (flagship queries; exercise scan/filter/agg/join/sort)
 # ---------------------------------------------------------------------------
@@ -33,16 +46,16 @@ def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     Scale note: partial aggregation (map-side combine) applies — one shuffle on the
     two low-cardinality grouping keys; no skew risk.
     """
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc_price = _dec("l_extendedprice") * (1 - _dec("l_discount"))
     return (
         t(spark, sf, "lineitem")
         .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            _dsum(_dec("l_extendedprice"), "sum_base_price"),
+            _dsum(disc_price, "sum_disc_price"),
+            _dsum(disc_price * (1 + _dec("l_tax")), "sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -55,9 +68,9 @@ def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
 Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)                                        AS sum_qty,
-       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge,
        round(avg(l_quantity), 4)                                        AS avg_qty,
        round(avg(l_extendedprice), 4)                                   AS avg_price,
        round(avg(l_discount), 4)                                        AS avg_disc,
@@ -88,7 +101,7 @@ def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
             "o_orderpriority",
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_dsum(_dec("l_extendedprice") * (1 - _dec("l_discount")), "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -97,7 +110,7 @@ def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
 
 Q3_ORACLE = """
 SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
        strftime(o_orderdate, '%Y-%m-%d')                 AS o_orderdate,
        o_orderpriority
 FROM customer JOIN orders ON c_custkey = o_custkey
@@ -129,13 +142,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_dsum(_dec("l_extendedprice") * (1 - _dec("l_discount")), "revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
 
 Q5_ORACLE = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
   AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
@@ -179,7 +192,7 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_dsum(_dec("l_extendedprice") * (1 - _dec("l_discount")), "revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "c_mktsegment")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -188,7 +201,7 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
 
 Q10_ORACLE = """
 SELECT c_custkey, c_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
        c_acctbal, c_mktsegment
 FROM customer JOIN orders ON o_custkey = c_custkey
      JOIN lineitem ON l_orderkey = o_orderkey
@@ -370,14 +383,14 @@ def a_interval_counts(spark: SparkSession, sf: str) -> DataFrame:
     e = t(spark, sf, "events")
     return (
         e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), _dsum(_dec("value"), "sum_value"))
         .orderBy("day")
     )
 
 
 A_INTERVAL_ORACLE = """
 SELECT strftime(ts, '%Y-%m-%d') AS day,
-       count(*) AS n_events, round(sum(value), 2) AS sum_value
+       count(*) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1 ORDER BY day
 """
 
@@ -429,7 +442,7 @@ def j_merge_full_outer(spark: SparkSession, sf: str) -> DataFrame:
         t(spark, sf, "events")
         .filter(F.col("event_type") == "purchase")
         .groupBy(F.col("user_id").alias("key"))
-        .agg(F.round(F.sum("value"), 2).alias("spend"))
+        .agg(_dsum(_dec("value"), "spend"))
     )
     joined = cust.join(src, cust.c_custkey == src.key, "full_outer")
     return joined.select(
@@ -443,7 +456,7 @@ def j_merge_full_outer(spark: SparkSession, sf: str) -> DataFrame:
 
 J_MERGE_ORACLE = """
 WITH src AS (
-  SELECT user_id AS key, round(sum(value), 2) AS spend
+  SELECT user_id AS key, CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS spend
   FROM events WHERE event_type = 'purchase' GROUP BY user_id
 )
 SELECT coalesce(c_custkey, key)                               AS c_custkey,

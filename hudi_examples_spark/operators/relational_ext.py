@@ -1,0 +1,276 @@
+"""Extended relational coverage: deeper TPC-H-style joins/aggs, window analytics,
+sessionization, and the CSV option-surface round-trip. All oracle-backed.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hudi_examples_spark.operators.relational import _dec, _dsum
+from hudi_examples_spark.operators.spec import QuerySpec
+from hudi_examples_spark.sources.readers import load_sf_table as t
+
+
+def q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join + priority counts."""
+    o = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    l = t(spark, sf, "lineitem").select("l_orderkey").distinct()
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q7_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape: supplier-nation x customer-nation shipping volume by year."""
+    l = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    s = t(spark, sf, "supplier")
+    n1 = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+        )
+        .agg(_dsum(_dec("l_extendedprice") * (1 - _dec("l_discount")), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_ORACLE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+     JOIN customer ON o_custkey = c_custkey
+     JOIN supplier ON l_suppkey = s_suppkey
+     JOIN nation n1 ON s_nationkey = n1.n_nationkey
+     JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name < n2.n_name
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio over a part join."""
+    l = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    p = t(spark, sf, "part")
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    zero = F.lit(0).cast("decimal(38,4)")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(zero))
+            .cast("double")
+            .alias("__promo"),
+            F.sum(rev).cast("double").alias("__total"),
+        )
+        .select(F.round(F.col("__promo") * 100.0 / F.col("__total"), 4).alias("promo_revenue_pct"))
+    )
+
+
+Q14_ORACLE = """
+SELECT round(CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                         ELSE 0 END) AS DOUBLE) * 100.0
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a grouped sum, re-joined to dimensions."""
+    l = t(spark, sf, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+  GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice, round(sum_qty, 2) AS sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+     JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+def q19_bracket_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-predicate join (brand x quantity brackets)."""
+    l = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("l_quantity").between(1, 20)) & (F.col("p_size") <= 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("l_quantity").between(10, 30)) & (F.col("p_size") <= 30))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("l_quantity").between(20, 40)))
+    )
+    return j.filter(cond).agg(
+        _dsum(_dec("l_extendedprice") * (1 - _dec("l_discount")), "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q19_ORACLE = """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 20 AND p_size <= 20)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 30 AND p_size <= 30)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+def w_running_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """Window analytics: running event-count + value cumsum per user (§2.5 depth)."""
+    e = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("seq"),
+        F.round(F.sum(_dec("value")).over(w), 2).cast("double").alias("running_value"),
+        F.lag("event_id", 1).over(w).alias("prev_event_id"),
+    )
+
+
+W_RUNNING_ORACLE = """
+SELECT user_id, event_id,
+       CAST(row_number() OVER w AS INT)   AS seq,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))) OVER w, 2) AS DOUBLE) AS running_value,
+       lag(event_id, 1) OVER w            AS prev_event_id
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+"""
+
+
+def w_sessionization(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running session ids —
+    the batch form of the streaming session-window operator."""
+    e = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = e.select(
+        "user_id", "event_id", "ts", "value", new_sess.alias("is_new")
+    ).withColumn("session_no", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(_dec("value"), "session_value"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+W_SESSION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM seq
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no, count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS session_value
+FROM sess GROUP BY user_id, session_no ORDER BY user_id, session_no
+"""
+
+
+def s_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """S5: CSV external-table option surface (sep='|', no header, explicit DDL —
+    ``Datagen.py:39-72``) proven by a write→read round-trip against the oracle."""
+    sub = t(spark, sf, "nation")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_examples_spark_csv",
+        re.sub(r"[^A-Za-z0-9]", "_", sf),
+    )
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    sub.coalesce(1).write.option("sep", "|").option("header", "false").csv(out)
+    from hudi_examples_spark.sources.readers import read_csv_ddl
+
+    return read_csv_ddl(
+        spark, out, "n_nationkey INT, n_name STRING, n_regionkey INT", sep="|"
+    ).orderBy("n_nationkey")
+
+
+S_CSV_ORACLE = "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("q4_order_priority", q4_order_priority, Q4_ORACLE, "J4,A3"),
+    QuerySpec("q7_nation_volume", q7_nation_volume, Q7_ORACLE, "J1-J5,A3"),
+    QuerySpec("q14_promo_revenue", q14_promo_revenue, Q14_ORACLE, "P10,A1"),
+    QuerySpec("q18_large_orders", q18_large_orders, Q18_ORACLE, "A5,O2"),
+    QuerySpec("q19_bracket_revenue", q19_bracket_revenue, Q19_ORACLE, "P6,P9,P10"),
+    QuerySpec("w_running_totals", w_running_totals, W_RUNNING_ORACLE, "§2.5"),
+    QuerySpec("w_sessionization", w_sessionization, W_SESSION_ORACLE, "§2.5,T6"),
+    QuerySpec("s_csv_roundtrip", s_csv_roundtrip, S_CSV_ORACLE, "S5"),
+]

@@ -6,10 +6,11 @@ from hudi_examples_spark.operators.spec import QuerySpec
 
 
 def all_specs() -> list[QuerySpec]:
-    from hudi_examples_spark.operators import llm_pipeline, multimodal, relational
+    from hudi_examples_spark.operators import llm_pipeline, multimodal, relational, relational_ext
 
     specs: list[QuerySpec] = []
     specs.extend(relational.SPECS)
+    specs.extend(relational_ext.SPECS)
     specs.extend(llm_pipeline.SPECS)
     specs.extend(multimodal.SPECS)
     try:
