@@ -49,6 +49,7 @@ META_DELETED = "_hoodie_is_deleted"
 META_COLS = (META_COMMIT, META_KEY, META_PARTITION)
 
 PROPS_FILE = "_props.json"
+BUCKET_COL = "__bucket"
 
 
 @dataclass
@@ -170,16 +171,21 @@ class Table:
             # read with one uniform schema (no mergeSchema dependence)
             df = df.withColumn(META_DELETED, F.lit(False))
         parts = self.config.partition_by
+        write_parts = list(parts)
         if self.config.n_buckets and self.config.record_key:
+            # bucket index (J5): the bucket id becomes a hive dir (__bucket=N) —
+            # exact file-group routing independent of shuffle planning/AQE, and a
+            # point lookup can prune to hash(key)%n's directory
             bucket = F.pmod(F.xxhash64(*self.config.record_key), F.lit(self.config.n_buckets))
-            cols = [F.col(c) for c in parts] + [bucket]
-            df = df.repartition(self.config.n_buckets, *cols)
+            df = df.withColumn(BUCKET_COL, bucket)
+            write_parts.append(BUCKET_COL)
+            df = df.repartition(*[F.col(c) for c in write_parts])
         elif parts:
             df = df.repartition(*[F.col(c) for c in parts])
         staging = os.path.join(self.base, ".staging", instant)
         writer = df.write.mode("overwrite")
-        if parts:
-            writer = writer.partitionBy(*parts)
+        if write_parts:
+            writer = writer.partitionBy(*write_parts)
         writer.parquet(staging)
         rels: list[str] = []
         n = 0
@@ -274,6 +280,41 @@ class Table:
             logs = self._read_files(log_rels, with_deleted=True)
             df = self._merge_mor(base.unionByName(logs)).drop(META_DELETED)
         return df if with_meta else df.drop(*META_COLS)
+
+    def read_point(self, **key_vals) -> DataFrame:
+        """Bucket-index point lookup: prune to the key's ``__bucket=N`` file group
+        before scanning (J5 — the whole point of ``hoodie.index.type=BUCKET``:
+        O(table/n_buckets) IO for a key fetch instead of a full scan)."""
+        if not self.config.record_key or not self.config.n_buckets:
+            df = self.read()
+        else:
+            row = (
+                self.spark.range(1)
+                .select(
+                    F.pmod(
+                        F.xxhash64(
+                            *[
+                                # xxhash64 is type-sensitive: match the column type
+                                F.lit(key_vals[k]).cast(self.schema[k].dataType)
+                                for k in self.config.record_key
+                            ]
+                        ),
+                        F.lit(self.config.n_buckets),
+                    ).alias("b")
+                )
+                .collect()
+            )
+            bucket = str(row[0]["b"])
+            files, _ = self.timeline.live_files()
+            rels = [
+                r
+                for r in files
+                if self._partition_of_relpath(r).get(BUCKET_COL, bucket) == bucket
+            ]
+            df = self._read_files(sorted(rels), with_deleted=False).drop(*META_COLS)
+        for k, v in key_vals.items():
+            df = df.filter(F.col(k) == v)
+        return df
 
     def read_optimized(self, with_meta: bool = False) -> DataFrame:
         """MOR read-optimized view: base files only (pre-compaction state)."""
@@ -470,7 +511,12 @@ class Table:
             touched_rels = [
                 r
                 for r in files
-                if "/".join(f"{k}={v}" for k, v in self._partition_of_relpath(r).items()) in touched
+                if "/".join(
+                    f"{k}={v}"
+                    for k, v in self._partition_of_relpath(r).items()
+                    if k in self.config.partition_by  # ignore __bucket dirs
+                )
+                in touched
             ]
         existing = self._read_files(touched_rels, with_deleted=False)
 
@@ -564,6 +610,38 @@ class Table:
             )
         )
         return instant
+
+    def maybe_split_buckets(
+        self,
+        split_threshold_bytes: int = 128 * 1024 * 1024,
+        max_buckets: int = 8,
+        min_buckets: int = 1,
+    ) -> str | None:
+        """M15/J5: consistent-hash auto-resize — when the average live-file (bucket)
+        size crosses the split threshold, double the bucket count and rewrite.
+
+        Parity: ``hoodie.bucket.index.num.buckets`` growing 1→8 under
+        ``bucket.index.max.num.buckets`` / ``split.threshold``
+        (``consistent_hashing.sql:44-49``, ``clusteringjob.properties:2-14``,
+        ``FindBucketNumber.java:47-53``). Returns the clustering instant when a
+        split ran, else None.
+        """
+        current = self.config.n_buckets or min_buckets
+        if current >= max_buckets:
+            return None
+        files, _ = self.timeline.live_files()
+        if not files:
+            return None
+        sizes = [
+            os.path.getsize(os.path.join(self.base, r))
+            for r in files
+            if os.path.exists(os.path.join(self.base, r))
+        ]
+        n_parts = max(len({tuple(self._partition_of_relpath(r).items()) for r in files}), 1)
+        avg_bucket_bytes = sum(sizes) / (current * n_parts)
+        if avg_bucket_bytes < split_threshold_bytes:
+            return None
+        return self.cluster(min(current * 2, max_buckets))
 
     def clean(self, retain_commits: int = 10) -> list[str]:
         """M16: physically delete files no longer referenced by the retained window."""

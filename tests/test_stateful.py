@@ -1,0 +1,93 @@
+"""applyInPandasWithState operators driven through a real file stream, including
+state recovery across separate availableNow runs sharing one checkpoint."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from hudi_examples_spark.streaming.stateful import running_counts, running_dedup
+from hudi_examples_spark.table import Table, TableConfig
+
+
+def _write_batch(d, name, rows):
+    with open(os.path.join(d, name), "w") as f:
+        for uid, eid, v in rows:
+            f.write(json.dumps({"user_id": uid, "event_id": eid, "value": v}) + "\n")
+
+
+def _run_available(stream_df, tmp_path, ckpt, mode="update"):
+    rows = []
+
+    def sink(df, _bid):
+        rows.extend(df.collect())
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return rows
+
+
+def _stream(spark, src):
+    return spark.readStream.schema("user_id BIGINT, event_id BIGINT, value DOUBLE").json(src)
+
+
+def test_running_dedup_suppresses_replays(spark, tmp_path):
+    src = str(tmp_path / "in1")
+    os.makedirs(src)
+    _write_batch(src, "b0.json", [(1, 100, 5.0), (1, 101, 6.0), (2, 200, 7.0), (1, 100, 5.0)])
+    out = _run_available(
+        running_dedup(_stream(spark, src), "user_id", "event_id"), tmp_path, "ck1", mode="append"
+    )
+    assert {(r["user_id"], r["event_id"]) for r in out} == {(1, 100), (1, 101), (2, 200)}
+    # second run, same checkpoint: replayed id suppressed by recovered state
+    _write_batch(src, "b1.json", [(1, 100, 5.0), (1, 102, 8.0)])
+    out2 = _run_available(
+        running_dedup(_stream(spark, src), "user_id", "event_id"), tmp_path, "ck1", mode="append"
+    )
+    assert {(r["user_id"], r["event_id"]) for r in out2} == {(1, 102)}
+
+
+def test_running_counts_accumulate_across_batches(spark, tmp_path):
+    src = str(tmp_path / "in2")
+    os.makedirs(src)
+    _write_batch(src, "b0.json", [(1, 1, 10.0), (1, 2, 20.0), (2, 3, 5.0)])
+    _run_available(running_counts(_stream(spark, src), "user_id", "value"), tmp_path, "ck2")
+    _write_batch(src, "b1.json", [(1, 4, 30.0)])
+    out = _run_available(running_counts(_stream(spark, src), "user_id", "value"), tmp_path, "ck2")
+    rows = {r["user_id"]: (r["n"], r["total"]) for r in out}
+    assert rows[1] == (3, 60.0)  # state recovered: 2 events + 1 new
+
+
+def test_bucket_auto_split(spark, tmp_path):
+    """consistent-hash split: bucket count doubles when avg bucket size crosses the
+    threshold, capped at max_buckets (FindBucketNumber.java:47-53 parity)."""
+    from pyspark.sql import functions as F
+
+    tbl = Table.create(
+        spark,
+        str(tmp_path / "bkt"),
+        "k BIGINT, payload STRING",
+        TableConfig(record_key=["k"], precombine=None, partition_by=[], n_buckets=1),
+    )
+    df = spark.range(5000).select(
+        F.col("id").alias("k"), F.concat(F.lit("x" * 200), F.col("id")).alias("payload")
+    )
+    tbl.insert(df)
+    assert tbl.maybe_split_buckets(split_threshold_bytes=10**12) is None  # under threshold
+    inst = tbl.maybe_split_buckets(split_threshold_bytes=1024, max_buckets=8)
+    assert inst is not None and tbl.config.n_buckets == 2
+    tbl.maybe_split_buckets(split_threshold_bytes=1024, max_buckets=8)
+    assert tbl.config.n_buckets == 4
+    assert tbl.count() == 5000
+    files, _ = tbl.timeline.live_files()
+    assert len(files) == 4  # one file per bucket after clustering
+    # point lookup prunes to one bucket's file group
+    hit = tbl.read_point(k=1234)
+    assert hit.count() == 1 and hit.collect()[0]["payload"].endswith("1234")
+    assert len(hit.inputFiles()) == 1
