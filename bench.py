@@ -34,6 +34,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_stats",
     "sim_knn_join",
+    "tbl_upsert_cow",  # table-layer write path (insert + upsert + snapshot read)
+    "tbl_upsert_mor",
 ]
 
 

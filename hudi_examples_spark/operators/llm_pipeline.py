@@ -328,6 +328,47 @@ def sim_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus to label centroids (the inverted
+    lists), probe only the closest nprobe lists for the query, brute-force within.
+
+    This is the standard 100 TB shape: centroid assignment is a broadcast join
+    against a tiny centroid table; the probe prunes the corpus |lists|/nprobe-fold
+    before any exact distance math. Approximate ⇒ rows-only driver check; recall vs
+    brute force asserted in tests/test_llm_pipeline.py.
+    """
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf, "embeddings")
+    # build centroids from per-label dimension means (deterministic, no iteration —
+    # a k-means refinement would slot in here unchanged)
+    ex = e.select("label", F.posexplode("embedding").alias("dim", "v"))
+    cent = (
+        ex.groupBy("label", "dim")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+        .select("label", F.transform("dm", lambda s: s["m"]).alias("centroid"))
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    # pick the 3 closest inverted lists for the query
+    probe = (
+        cent.crossJoin(F.broadcast(q))
+        .select("label", cosine_similarity("centroid", "q_emb").alias("c_sim"))
+        .orderBy(F.desc("c_sim"), "label")
+        .limit(3)
+        .select("label")
+    )
+    return (
+        e.join(F.broadcast(probe), "label")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cosine_similarity("embedding", "q_emb"), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
 def emb_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label centroid norms — aggregation over array columns via posexplode.
 
@@ -372,5 +413,6 @@ SPECS: list[QuerySpec] = [
     QuerySpec("sim_brute_topk", sim_brute_topk, SIM_BRUTE_ORACLE, "LLM:sim"),
     QuerySpec("sim_knn_join", sim_knn_join, SIM_KNN_ORACLE, "LLM:sim"),
     QuerySpec("sim_ann_lsh", sim_ann_lsh, None, "LLM:sim"),
+    QuerySpec("sim_ivf_topk", sim_ivf_topk, None, "LLM:sim"),
     QuerySpec("emb_label_centroids", emb_label_centroids, EMB_CENTROID_ORACLE, "LLM:sim"),
 ]

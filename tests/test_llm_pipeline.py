@@ -65,6 +65,21 @@ def test_simhash_similar_docs_close_hamming(spark):
         assert close_avg < rand_avg, f"similar {close_avg:.1f} vs random {rand_avg:.1f}"
 
 
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF with 3-of-10 probed lists must recover most of the true top-10."""
+    from hudi_examples_spark.operators.llm_pipeline import sim_ivf_topk
+
+    brute = [r["vec_id"] for r in sim_brute_topk(spark, SF_SMALL).collect()]
+    ivf = [r["vec_id"] for r in sim_ivf_topk(spark, SF_SMALL).collect()]
+    recall = len(set(brute) & set(ivf)) / len(brute)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} (labels are weak clusters; >=0.5 expected)"
+    # scores of overlapping ids must agree exactly with brute force
+    bs = {r["vec_id"]: r["cos_sim"] for r in sim_brute_topk(spark, SF_SMALL).collect()}
+    for r in sim_ivf_topk(spark, SF_SMALL).collect():
+        if r["vec_id"] in bs:
+            assert abs(r["cos_sim"] - bs[r["vec_id"]]) < 1e-9
+
+
 def test_minhash_deterministic_across_runs(spark):
     a = sorted(map(tuple, dedup_minhash_lsh(spark, SF_SMALL).collect()))
     b = sorted(map(tuple, dedup_minhash_lsh(spark, SF_SMALL).collect()))
