@@ -1,0 +1,147 @@
+"""Model-based property testing: random DML sequences vs an in-memory oracle.
+
+A table is semantically a dict key → (precombine, row) with latest-wins upsert,
+delete-by-key, overwrite, rollback-of-last-commit, and view-preserving compaction.
+Hypothesis drives random op sequences through BOTH the engine (COW and MOR variants
+of the same sequence) and the model; final snapshots must agree exactly. This is the
+reference's differential-testing idea (SURVEY §5.1) generalized from fixed scripts
+to the op-sequence space.
+
+Batches are made key-unique before applying: the engine's intra-batch tie-break for
+two rows with the same key AND same precombine is deliberately unspecified (any
+row_number winner is a valid upsert outcome), so the model only asserts on the
+specified semantics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hudi_examples_spark.table import Table, TableConfig
+
+KEYS = ["k0", "k1", "k2", "k3", "k4", "k5"]
+PARTS = ["pa", "pb"]
+SCHEMA = "ts BIGINT, uuid STRING, val DOUBLE, part STRING"
+
+
+@dataclass
+class Op:
+    kind: str
+    rows: list
+
+
+row_st = st.tuples(
+    st.integers(min_value=0, max_value=50),  # ts: small range to exercise precombine
+    st.sampled_from(KEYS),
+    st.integers(min_value=0, max_value=999).map(float),
+    st.sampled_from(PARTS),
+)
+
+op_st = st.one_of(
+    st.builds(Op, st.just("upsert"), st.lists(row_st, min_size=1, max_size=4)),
+    st.builds(Op, st.just("insert"), st.lists(row_st, min_size=1, max_size=3)),
+    st.builds(Op, st.just("delete"), st.lists(row_st, min_size=1, max_size=2)),
+    st.builds(Op, st.just("overwrite"), st.lists(row_st, min_size=1, max_size=3)),
+    st.builds(Op, st.just("rollback"), st.just([])),
+    st.builds(Op, st.just("compact"), st.just([])),
+)
+
+
+def _key_unique(rows):
+    """One row per key: max ts wins, later occurrence breaks ts ties."""
+    best = {}
+    for r in rows:
+        if r[1] not in best or r[0] >= best[r[1]][0]:
+            best[r[1]] = r
+    return list(best.values())
+
+
+class Model:
+    def __init__(self):
+        self.state: dict[str, tuple] = {}
+        self.history: list[dict[str, tuple]] = []
+
+    def _snapshot(self):
+        self.history.append(dict(self.state))
+
+    def apply_rows(self, rows):
+        """Latest-wins vs current state: incoming wins when ts >= current ts
+        (newer commit breaks the tie)."""
+        for ts, uuid, val, part in rows:
+            cur = self.state.get(uuid)
+            if cur is None or ts >= cur[0]:
+                self.state[uuid] = (ts, uuid, val, part)
+
+    def upsert(self, rows):
+        self._snapshot()
+        self.apply_rows(rows)
+
+    def delete(self, rows):
+        self._snapshot()
+        for _ts, uuid, _val, _part in rows:
+            self.state.pop(uuid, None)
+
+    def overwrite(self, rows):
+        self._snapshot()
+        self.state = {}
+        self.apply_rows(rows)
+
+    def rollback(self):
+        if self.history:
+            self.state = self.history.pop()
+
+    def rows(self):
+        return sorted(self.state.values())
+
+
+def apply_ops(spark, tbl: Table, model: Model, ops: list[Op]):
+    def df(rows):
+        return spark.createDataFrame(rows, SCHEMA)
+
+    for op in ops:
+        if op.kind == "upsert":
+            rows = _key_unique(op.rows)
+            tbl.upsert(df(rows))
+            model.upsert(rows)
+        elif op.kind == "insert":
+            rows = _key_unique(op.rows)
+            tbl.insert(df(rows))
+            model.upsert(rows)  # keyed read is latest-wins even over appends
+        elif op.kind == "delete":
+            tbl.delete(df(op.rows).select("uuid").distinct())
+            model.delete(op.rows)
+        elif op.kind == "overwrite":
+            rows = _key_unique(op.rows)
+            tbl.insert_overwrite(df(rows))
+            model.overwrite(rows)
+        elif op.kind == "rollback":
+            if tbl.latest_instant() is not None:
+                tbl.rollback()
+                model.rollback()
+        elif op.kind == "compact":
+            inst = tbl.compact()
+            if inst is not None:
+                model._snapshot()  # compaction commits a view-preserving snapshot
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops=st.lists(op_st, min_size=1, max_size=6))
+@pytest.mark.parametrize("table_type", ["cow", "mor"])
+def test_random_dml_sequences_match_model(spark, tmp_path_factory, ops, table_type):
+    tmp_path = tmp_path_factory.mktemp(f"prop_{table_type}")
+    tbl = Table.create(
+        spark,
+        str(tmp_path / "t"),
+        SCHEMA,
+        TableConfig(
+            record_key=["uuid"], precombine="ts", partition_by=["part"], table_type=table_type
+        ),
+    )
+    model = Model()
+    apply_ops(spark, tbl, model, ops)
+    got = sorted((r["ts"], r["uuid"], r["val"], r["part"]) for r in tbl.read().collect())
+    assert got == model.rows(), f"ops={ops}\nengine={got}\nmodel={model.rows()}"
