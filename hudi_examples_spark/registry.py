@@ -6,11 +6,18 @@ from hudi_examples_spark.operators.spec import QuerySpec
 
 
 def all_specs() -> list[QuerySpec]:
-    from hudi_examples_spark.operators import llm_pipeline, multimodal, relational, relational_ext
+    from hudi_examples_spark.operators import (
+        llm_pipeline,
+        multimodal,
+        relational,
+        relational_ext,
+        relational_tpch3,
+    )
 
     specs: list[QuerySpec] = []
     specs.extend(relational.SPECS)
     specs.extend(relational_ext.SPECS)
+    specs.extend(relational_tpch3.SPECS)
     specs.extend(llm_pipeline.SPECS)
     specs.extend(multimodal.SPECS)
     try:
