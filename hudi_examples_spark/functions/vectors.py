@@ -38,6 +38,23 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
+def lsh_multi_table_buckets(
+    a: Column | str, tables: list[list[list[float]]]
+) -> Column:
+    """Multi-table hyperplane LSH: one bucket id per hash table, as an
+    ``array<bigint>``. Near-dup candidates collide in ≥1 table — multiple
+    independent tables trade a constant-factor more shuffle rows (|tables|× on
+    explode) for exponentially better recall at a fixed per-table selectivity,
+    the standard ANN construction. Table index is baked into the bucket id so a
+    single (bucket) equi-join key suffices downstream."""
+    cols = []
+    for ti, planes in enumerate(tables):
+        bucket = lsh_hyperplane_bits(a, planes)
+        # disjoint bucket spaces per table: shift in the table index
+        cols.append(bucket + F.lit(ti << 56).cast("bigint"))
+    return F.array(*cols)
+
+
 def lsh_hyperplane_bits(a: Column | str, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH signature: one bit per plane (sign of dot product),
     packed into a BIGINT bucket id. ``planes`` must be driver-side constants

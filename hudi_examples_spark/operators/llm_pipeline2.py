@@ -1,0 +1,265 @@
+"""Second LLM-pipeline battery: embedding-cosine near-dup detection, winnowing
+(rolling-window min-hash) document fingerprints, and n-gram/stopword language ID.
+
+Completes the training-data-pipeline surface next to ``llm_pipeline.py``:
+- ``dedup_embed_cosine`` — exact ranked near-dup pairs (the oracle baseline);
+- ``dedup_embed_ann`` — multi-table LSH candidate generation + exact rescoring,
+  the shape that survives 100 TB (bucket equi-join instead of all-pairs);
+- ``fp_winnowing`` — MOSS-style winnowing: min gram-hash per sliding window,
+  the rolling-hash fingerprinting scheme (Schleimer et al., SIGMOD'03);
+- ``lang_detect_ngram`` — deterministic stopword/charset scoring heuristic,
+  reported as a (actual, predicted) confusion matrix.
+
+Scale notes are per-operator; none of these collect to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hudi_examples_spark.functions.text import words
+from hudi_examples_spark.functions.vectors import cosine_similarity, lsh_multi_table_buckets
+from hudi_examples_spark.operators.spec import QuerySpec
+from hudi_examples_spark.sources.readers import load_sf_table as t
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection
+# ---------------------------------------------------------------------------
+
+
+def dedup_embed_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact embedding near-dup ranking: top-20 most-similar vector pairs.
+
+    This is the correctness baseline (all-pairs, oracle-checked); production
+    dedup at 100 TB goes through ``dedup_embed_ann`` below. The pair join is a
+    broadcast nested-loop on the id inequality — fine at oracle scale, and the
+    top-k is a TakeOrdered, not a full sort.
+    """
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("emb1"))
+    b = e.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("emb2"))
+    return (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .select(
+            "d1", "d2", F.round(cosine_similarity("emb1", "emb2"), 6).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), "d1", "d2")
+        .limit(20)
+    )
+
+
+DEDUP_EMBED_ORACLE = """
+SELECT a.vec_id AS d1, b.vec_id AS d2,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+ORDER BY cos_sim DESC, d1, d2
+LIMIT 20
+"""
+
+
+def _lsh_tables(n_tables: int = 8, planes_per_table: int = 4, dim: int = 64, seed: int = 7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [rng.standard_normal((planes_per_table, dim)).tolist() for _ in range(n_tables)]
+
+
+_TABLES = _lsh_tables()
+
+
+def embed_near_dup_pairs(
+    e: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    tables: list | None = None,
+) -> DataFrame:
+    """Scale path for embedding near-dup: multi-table LSH candidates + exact rescore.
+
+    Each vector gets one bucket id per hash table (array, exploded → |tables|×
+    rows); candidates are pairs colliding in ≥1 table (bucket equi-join — a
+    shuffle on a bigint key, NOT an all-pairs product); survivors are rescored
+    with exact cosine and thresholded. Recall for genuinely-near pairs
+    (cos ≥ ~0.9) is ≥99% with 8 tables × 4 planes; verified on planted
+    duplicates in tests/test_llm_pipeline2.py.
+    """
+    tables = tables if tables is not None else _TABLES
+    banded = e.select(
+        F.col(id_col).alias("__id"),
+        F.col(emb_col).alias("__emb"),
+        F.explode(lsh_multi_table_buckets(emb_col, tables)).alias("bucket"),
+    )
+    a = banded.select(F.col("__id").alias("d1"), F.col("__emb").alias("emb1"), "bucket")
+    b = banded.select(F.col("__id").alias("d2"), F.col("__emb").alias("emb2"), "bucket")
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "emb1", "emb2")
+        .dropDuplicates(["d1", "d2"])
+    )
+    return (
+        cand.select(
+            "d1", "d2", F.round(cosine_similarity("emb1", "emb2"), 6).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .orderBy(F.desc("cos_sim"), "d1", "d2")
+    )
+
+
+def dedup_embed_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup at threshold 0.4 (rows-only driver check;
+    planted-duplicate recall asserted in tests — the sf corpus is random, so
+    genuinely-near pairs are scarce by construction)."""
+    e = t(spark, sf, "embeddings")
+    return embed_near_dup_pairs(e, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (rolling-hash) document fingerprints
+# ---------------------------------------------------------------------------
+
+
+def fp_winnowing(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprints: md5 over positional 3-word grams, minimum per
+    4-gram sliding window, deduplicated per document (Schleimer et al. MOSS).
+
+    Shape: posexplode grams (order-preserving) → window min keyed on doc_id —
+    ONE shuffle on doc_id; window frames are rows-based so the plan is a single
+    sort per partition. Docs with <3 words have no grams and are excluded on
+    both sides. md5 (not xxhash64) keeps the oracle cross-engine.
+    """
+    n = max(spark.sparkContext.defaultParallelism, 8)
+    d = (
+        t(spark, sf, "documents")
+        .repartition(n)
+        .select("doc_id", words("text").alias("__ws"))
+    )
+    idx = F.sequence(F.lit(1), F.greatest(F.size("__ws") - 2, F.lit(0)))
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                idx,
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at("__ws", i),
+                        F.element_at("__ws", i + 1),
+                        F.element_at("__ws", i + 2),
+                    )
+                ),
+            )
+        ).alias("pos", "gh"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    fp = grams.select("doc_id", F.min("gh").over(w).alias("fp"))
+    return (
+        fp.groupBy("doc_id")
+        .agg(
+            F.count_distinct("fp").alias("n_fingerprints"),
+            F.min("fp").alias("min_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+FP_WINNOWING_ORACLE = """
+WITH ws AS (
+  SELECT doc_id, list_filter(str_split(trim(text), ' '), w -> w <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, i AS pos,
+         md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS gh
+  FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM ws)
+), winnowed AS (
+  SELECT doc_id,
+         min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM grams
+)
+SELECT doc_id, count(DISTINCT fp) AS n_fingerprints, min(fp) AS min_fp
+FROM winnowed GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Language identification (n-gram / stopword heuristic)
+# ---------------------------------------------------------------------------
+
+#: Per-language marker-token profiles (public high-frequency function words).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "ist", "nicht"),
+    "en": ("the", "and", "of", "is", "it"),
+    "es": ("el", "la", "que", "los", "es"),
+    "fr": ("le", "les", "et", "est", "une"),
+}
+
+
+def lang_detect_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic language ID → (actual, predicted) confusion matrix.
+
+    Score = count of profile marker tokens present; CJK characters short-circuit
+    to 'zh'; ties resolve in alphabetical language order (deterministic, so the
+    DuckDB oracle reproduces it bit-for-bit). One projection + one small
+    groupBy — scales as a pure map-side pipeline with a tiny shuffle.
+    """
+    n = max(spark.sparkContext.defaultParallelism, 8)
+    d = (
+        t(spark, sf, "documents")
+        .repartition(n)
+        .select("doc_id", "lang", "text", words("text").alias("__ws"))
+    )
+    scores = {
+        lang: F.size(
+            F.filter(
+                F.col("__ws"),
+                lambda w: F.array_contains(F.array(*[F.lit(m) for m in marks]), F.lower(w)),
+            )
+        )
+        for lang, marks in LANG_PROFILES.items()
+    }
+    cjk = F.regexp_count("text", F.lit(r"[一-鿿]"))
+    best = F.greatest(*scores.values())
+    pred = F.when(cjk > 0, F.lit("zh"))
+    for lang in sorted(LANG_PROFILES):  # alphabetical tie-break
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return (
+        d.select(F.col("lang").alias("actual"), pred.alias("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("actual", "predicted")
+    )
+
+
+LANG_DETECT_ORACLE = """
+WITH scored AS (
+  SELECT lang AS actual,
+         len(list_filter(toks, w -> list_contains(['der','die','und','ist','nicht'], w))) AS s_de,
+         len(list_filter(toks, w -> list_contains(['the','and','of','is','it'], w)))      AS s_en,
+         len(list_filter(toks, w -> list_contains(['el','la','que','los','es'], w)))      AS s_es,
+         len(list_filter(toks, w -> list_contains(['le','les','et','est','une'], w)))     AS s_fr,
+         len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk
+  FROM (SELECT doc_id, lang, text,
+               list_transform(list_filter(str_split(trim(text), ' '), w -> w <> ''), w -> lower(w)) AS toks
+        FROM documents)
+)
+SELECT actual,
+       CASE WHEN cjk > 0 THEN 'zh'
+            WHEN s_de >= greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+            WHEN s_en >= greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+            WHEN s_es >= greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+            ELSE 'fr' END AS predicted,
+       count(*) AS n_docs
+FROM scored
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("dedup_embed_cosine", dedup_embed_cosine, DEDUP_EMBED_ORACLE, "LLM:dedup-embed"),
+    QuerySpec("dedup_embed_ann", dedup_embed_ann, None, "LLM:dedup-embed"),
+    QuerySpec("fp_winnowing", fp_winnowing, FP_WINNOWING_ORACLE, "LLM:fingerprint"),
+    QuerySpec("lang_detect_ngram", lang_detect_ngram, LANG_DETECT_ORACLE, "LLM:langid"),
+]

@@ -8,6 +8,7 @@ from hudi_examples_spark.operators.spec import QuerySpec
 def all_specs() -> list[QuerySpec]:
     from hudi_examples_spark.operators import (
         llm_pipeline,
+        llm_pipeline2,
         multimodal,
         relational,
         relational_ext,
@@ -19,6 +20,7 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(relational_ext.SPECS)
     specs.extend(relational_tpch3.SPECS)
     specs.extend(llm_pipeline.SPECS)
+    specs.extend(llm_pipeline2.SPECS)
     specs.extend(multimodal.SPECS)
     try:
         from hudi_examples_spark.operators import table_dml
