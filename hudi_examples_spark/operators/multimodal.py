@@ -109,6 +109,43 @@ def frame_sample(df: DataFrame, frame_bytes: int = 32, every_n: int = 4) -> Data
     return df.filter(F.col("kind") == "video").mapInPandas(sample, out_schema)
 
 
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage: payload → fixed ``width*height`` bytes + updated meta.
+
+    Deterministic fake resample (truncate / cyclic-pad the byte stream to the
+    target pixel count); with PIL present this is where ``Image.resize`` slots
+    in — schema, Arrow batching, and meta rewrite are the real contract.
+    """
+    out_schema = "media_id BIGINT, kind STRING, payload BINARY, meta STRING"
+    target = width * height
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        meta_str = json.dumps({"width": width, "height": height})
+        for pdf in batches:
+            if _HAVE_PIL and (pdf["kind"] == "image").any():
+                raise NotImplementedError("real image resize not exercised in this container")
+            out = []
+            for payload in pdf["payload"]:
+                buf = bytes(payload)
+                if not buf:
+                    out.append(b"\x00" * target)
+                elif len(buf) >= target:
+                    out.append(buf[:target])
+                else:
+                    reps = -(-target // len(buf))
+                    out.append((buf * reps)[:target])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": out,
+                    "meta": [meta_str] * len(pdf),
+                }
+            )
+
+    return df.mapInPandas(resize, out_schema)
+
+
 def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
     """Feature extraction: payload → fixed-dim float vector (block means over the
     byte stream, numpy-vectorized per Arrow batch). Deterministic, library-free,
@@ -156,8 +193,50 @@ def mm_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gated frame sampling: video payloads chunked into 32-byte frames,
+    every 4th kept, emitted as hex strings. The byte math is SQL-expressible, so
+    the mapInPandas plumbing itself (schema, batching, chunk loop) sits under
+    the DuckDB differential gate — a real decoder swaps in without changing the
+    verified plan shape."""
+    media = synthetic_media(spark, sf_dir)
+    frames = frame_sample(media, frame_bytes=32, every_n=4)
+    return frames.select(
+        "media_id", "frame_no", F.hex("frame").alias("frame_hex")
+    ).orderBy("media_id", "frame_no")
+
+
+MM_FRAME_ORACLE = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+         encode(text) AS payload
+  FROM documents
+), video AS (
+  -- DuckDB 1.0 has no BLOB substring: slice the hex encoding (2 chars/byte)
+  SELECT media_id, upper(hex(payload)) AS hx, octet_length(payload) // 32 AS n_frames
+  FROM media WHERE kind = 'video'
+)
+SELECT media_id, CAST(i AS INT) AS frame_no,
+       substring(hx, CAST(i * 64 + 1 AS INT), 64) AS frame_hex
+FROM (SELECT media_id, hx, unnest(generate_series(0, n_frames - 1, 4)) AS i
+      FROM video)
+ORDER BY media_id, frame_no
+"""
+
+
+def mm_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (rows-only): synth → resize(8x6) → decode — verifies the
+    resized payload round-trips through the decode stage with the new meta."""
+    media = synthetic_media(spark, sf_dir)
+    resized = resize_media(media, width=8, height=6)
+    return decode_media(resized).orderBy("media_id")
+
+
 SPECS: list[QuerySpec] = [
-    # approximate/binary pipeline — no SQL oracle; rows-only driver check, full
-    # verification in tests/test_multimodal.py
+    # binary pipelines — frame sampling carries a DuckDB oracle (byte math);
+    # the rest are rows-only checks with full verification in tests/test_multimodal.py
     QuerySpec("mm_feature_pipeline", mm_feature_pipeline, None, "LLM:multimodal"),
+    QuerySpec("mm_frame_sample", mm_frame_sample, MM_FRAME_ORACLE, "LLM:multimodal"),
+    QuerySpec("mm_resize_pipeline", mm_resize_pipeline, None, "LLM:multimodal"),
 ]

@@ -48,3 +48,16 @@ def test_mm_pipeline_end_to_end(spark):
     assert out.count() == 500
     cols = [f.name for f in out.schema.fields]
     assert cols == ["media_id", "kind", "n_bytes", "width", "height", "f0"]
+
+
+def test_resize_media_target_bytes(spark):
+    import json as _json
+
+    from hudi_examples_spark.operators.multimodal import resize_media
+
+    resized = resize_media(synthetic_media(spark, SF_SMALL), width=8, height=6)
+    rows = resized.orderBy("media_id").limit(10).collect()
+    assert rows
+    for r in rows:
+        assert len(bytes(r["payload"])) == 48  # every payload resampled to 8x6
+        assert _json.loads(r["meta"]) == {"width": 8, "height": 6}
