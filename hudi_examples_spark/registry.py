@@ -13,12 +13,14 @@ def all_specs() -> list[QuerySpec]:
         relational,
         relational_ext,
         relational_tpch3,
+        scale_ops,
     )
 
     specs: list[QuerySpec] = []
     specs.extend(relational.SPECS)
     specs.extend(relational_ext.SPECS)
     specs.extend(relational_tpch3.SPECS)
+    specs.extend(scale_ops.SPECS)
     specs.extend(llm_pipeline.SPECS)
     specs.extend(llm_pipeline2.SPECS)
     specs.extend(multimodal.SPECS)

@@ -351,7 +351,20 @@ class Table:
     # ----------------------------------------------------------------- writes
 
     def insert(self, df: DataFrame, dedup: bool = False) -> str:
-        """M2/S7: append/bulk-insert (no key lookup — Hudi 'insert'/'bulk_insert')."""
+        """M2/S7: INSERT INTO. Keyed tables with a precombine field resolve by
+        key — Hudi's Spark-SQL default routes INSERT INTO a
+        primaryKey+preCombineField table through the upsert merge
+        (``spark_sql_testing.sh:81`` tables), so duplicate keys never surface
+        in snapshots. Pk-less / no-precombine tables append. Use
+        ``bulk_insert`` for the raw no-key-lookup load (Hudi 'bulk_insert')."""
+        if self.config.record_key and self.config.precombine:
+            return self._write_changes(
+                upserts=df.select(*self.data_cols), deletes=None, op="insert"
+            )
+        return self.bulk_insert(df, dedup=dedup)
+
+    def bulk_insert(self, df: DataFrame, dedup: bool = False) -> str:
+        """S7 bulk load: blind append, no key lookup (Hudi 'bulk_insert')."""
         instant = new_instant()
         out = self._with_meta(df.select(*self.data_cols), instant)
         if dedup and self.config.record_key:
@@ -473,10 +486,16 @@ class Table:
         """Distinct partition paths of the incoming batches → predicate over live
         files. The only collect in the write path (bounded by partition count).
 
-        Key-only batches (delete-by-key) don't carry partition columns; their
-        partitions are located by joining keys against a column-pruned scan of the
-        table's (key, partition) meta columns — the Spark-native analogue of Hudi's
-        global SIMPLE index lookup (``DeltaStreamerExample.scala:41``).
+        Partition location is GLOBAL-index style (Hudi GLOBAL_SIMPLE with
+        ``update.partition.path``): a keyed batch touches BOTH its own partition
+        paths and the partitions its keys currently live in, found by joining
+        keys against a column-pruned (key, partition) meta scan — so an upsert
+        that changes a record's partition column moves the record instead of
+        duplicating it, and delete-by-key works without partition columns.
+        (MOR reads get the same guarantee from the key-window merge; this keeps
+        COW snapshots identical.) The meta scan reads 2 columns of the live
+        files — the per-write price of a global index; bucket-index tables
+        could skip it by hash-routing, accepted here for exact key semantics.
         """
         if not self.config.partition_by:
             return None  # unpartitioned: all files touched
@@ -484,18 +503,25 @@ class Table:
         for df in dfs:
             if df is None:
                 continue
+            ps = []
             if all(c in df.columns for c in self.config.partition_by):
-                p = df.select(self._partition_expr().alias("p")).distinct()
-            elif self.config.record_key and all(c in df.columns for c in self.config.record_key):
+                ps.append(df.select(self._partition_expr().alias("p")).distinct())
+            if self.config.record_key and all(c in df.columns for c in self.config.record_key):
                 files, _ = self.timeline.live_files()
-                existing = self._read_files(sorted(files), with_deleted=False).select(
-                    META_KEY, META_PARTITION
-                )
-                keys = df.select(self._key_expr().alias(META_KEY)).distinct()
-                p = existing.join(keys, META_KEY).select(F.col(META_PARTITION).alias("p")).distinct()
-            else:
+                if files:
+                    existing = self._read_files(sorted(files), with_deleted=False).select(
+                        META_KEY, META_PARTITION
+                    )
+                    keys = df.select(self._key_expr().alias(META_KEY)).distinct()
+                    ps.append(
+                        existing.join(keys, META_KEY)
+                        .select(F.col(META_PARTITION).alias("p"))
+                        .distinct()
+                    )
+            if not ps:
                 return None  # cannot locate: treat all partitions as touched
-            paths = p if paths is None else paths.unionByName(p).distinct()
+            for p in ps:
+                paths = p if paths is None else paths.unionByName(p).distinct()
         if paths is None:
             return set()
         return {r["p"] for r in paths.collect()}
@@ -548,7 +574,21 @@ class Table:
     def _apply_mor(
         self, instant: str, upserts: DataFrame | None, deletes: DataFrame | None, op: str
     ) -> str:
-        """MOR: write-cheap log files; merge deferred to read/compaction (M14 prep)."""
+        """MOR: write-cheap log files; merge deferred to read/compaction (M14 prep).
+
+        First write into an empty table is a base-file commit instead (Hudi
+        routes initial loads to base parquet; logs only carry updates/deletes):
+        the read-optimized view then shows the load, and because every later
+        write IS a log, snapshot reads always merge — no duplicate key can
+        surface even via repeated keyed inserts (intra-batch duplicates of the
+        initial load are resolved here, since no logs exist yet to merge them).
+        """
+        live, _ = self.timeline.live_files()
+        if not live and upserts is not None and deletes is None:
+            out = self._latest_wins(self._with_meta(upserts, instant))
+            rels = self._write_files(out, instant)
+            self.timeline.write(Instant(instant, "commit", rels, [], {"operation": op}))
+            return instant
         parts = []
         if upserts is not None:
             parts.append(self._with_meta(upserts, instant).withColumn(META_DELETED, F.lit(False)))

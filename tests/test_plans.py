@@ -75,3 +75,54 @@ def test_io_profile_manifest_vs_naive(spark, tmp_path):
     assert prof["live_files"] >= 3
     rep = commit_activity_df(spark, tbl).collect()
     assert len(rep) == 2 and rep[1]["files_removed"] >= 1
+
+
+def test_q2_broadcasts_dims_single_window_shuffle(spark):
+    """Q2's argmin window must not add shuffles beyond the partkey agg chain;
+    nation/region/part dims must broadcast."""
+    from hudi_examples_spark.operators.relational_tpch3 import q2_min_cost_supplier
+
+    prof = scan_profile(q2_min_cost_supplier(spark, SF_SMALL))
+    assert prof.n_broadcast_joins >= 3
+    assert prof.n_sortmerge_joins == 0, "no fact-fact shuffle join in q2"
+
+
+def test_asof_join_single_user_shuffle(spark):
+    """The as-of join is one union + one window: exactly one hashpartitioning
+    exchange on user_id (plus the final sort's range exchange)."""
+    from hudi_examples_spark.operators.relational_tpch3 import j_asof_join
+    from hudi_examples_spark.plans.inspect import explain_str
+
+    text = explain_str(j_asof_join(spark, SF_SMALL), "formatted")
+    import re
+
+    hash_ex = re.findall(r"hashpartitioning\(([^)]*)\)", text)
+    assert hash_ex, "expected a hashpartitioning exchange for the window"
+    assert len(hash_ex) <= 2, f"as-of join must stay a one-shuffle window plan, got {hash_ex}"
+    assert all("user_id" in h for h in hash_ex)
+
+
+def test_dedup_embed_ann_no_cartesian(spark):
+    """The LSH candidate join must be a hash/sort-merge equi-join on bucket —
+    a nested-loop product here would explode at scale."""
+    from hudi_examples_spark.operators.llm_pipeline2 import dedup_embed_ann
+    from hudi_examples_spark.plans.inspect import explain_str
+
+    text = explain_str(dedup_embed_ann(spark, SF_SMALL), "formatted")
+    assert "BroadcastNestedLoopJoin" not in text and "CartesianProduct" not in text
+
+
+def test_fp_winnowing_single_doc_shuffle(spark):
+    """Winnowing = posexplode + window on doc_id: one hashpartitioning exchange."""
+    from hudi_examples_spark.operators.llm_pipeline2 import fp_winnowing
+    from hudi_examples_spark.plans.inspect import explain_str
+
+    text = explain_str(fp_winnowing(spark, SF_SMALL), "formatted")
+    import re
+
+    hash_ex = [h for h in re.findall(r"hashpartitioning\(([^)]*)\)", text) if "doc_id" in h]
+    assert len(hash_ex) >= 1, "window must partition by doc_id"
+    # the window sort and the distinct-fp aggregation must reuse that one
+    # doc_id exchange — no second hashpartitioning on a different key
+    others = [h for h in re.findall(r"hashpartitioning\(([^)]*)\)", text) if "doc_id" not in h]
+    assert not others, f"unexpected extra shuffle keys: {others}"
