@@ -213,6 +213,43 @@ def tbl_cdc_rollback(spark: SparkSession, sf: str) -> DataFrame:
     return _final_snapshot(tbl)
 
 
+def tbl_cdc_query(spark: SparkSession, sf: str) -> DataFrame:
+    """M11/M13 extension: CDC-format incremental read — change type + flattened
+    before/after images across an upsert + delete commit range. Before-images
+    are the state at `start` (so an update-then-delete nets to D with the
+    original image; an insert-then-delete nets to nothing)."""
+    tbl = _lifecycle_table(spark, sf, "tbl_cdc_query", "cow")
+    first = tbl.latest_instant()
+    tbl.upsert(_upsert_batch(spark, sf))
+    tbl.delete_where("c_custkey % 11 = 0")
+    cdc = tbl.table_changes_cdc(start=first)
+    return cdc.select(
+        F.col("key").cast("bigint").alias("c_custkey"),
+        "op",
+        F.round(F.col("before.acctbal"), 2).alias("before_bal"),
+        F.round(F.col("after.acctbal"), 2).alias("after_bal"),
+        F.col("before.v").alias("before_v"),
+        F.col("after.v").alias("after_v"),
+    ).orderBy("op", "c_custkey")
+
+
+TBL_CDC_ORACLE = """
+SELECT c_custkey, 'U' AS op,
+       round(c_acctbal, 2) AS before_bal, round(c_acctbal + 100.0, 2) AS after_bal,
+       1 AS before_v, 2 AS after_v
+FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 11 <> 0
+UNION ALL
+SELECT c_custkey + 1000000, 'I',
+       CAST(NULL AS DOUBLE), round(c_acctbal, 2), CAST(NULL AS INT), 2
+FROM customer WHERE c_custkey % 13 = 0 AND (c_custkey + 1000000) % 11 <> 0
+UNION ALL
+SELECT c_custkey, 'D',
+       round(c_acctbal, 2), CAST(NULL AS DOUBLE), 1, CAST(NULL AS INT)
+FROM customer WHERE c_custkey % 11 = 0
+ORDER BY op, c_custkey
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("tbl_upsert_cow", tbl_upsert_cow, UPSERT_FINAL_ORACLE, "M1,M2,M7"),
     QuerySpec("tbl_upsert_mor", tbl_upsert_mor, UPSERT_FINAL_ORACLE, "M7,MOR"),
@@ -222,4 +259,5 @@ SPECS: list[QuerySpec] = [
     QuerySpec("tbl_time_travel", tbl_time_travel, TBL_TT_ORACLE, "M10"),
     QuerySpec("tbl_incremental", tbl_incremental, TBL_INC_ORACLE, "M11"),
     QuerySpec("tbl_cdc_rollback", tbl_cdc_rollback, TBL_TT_ORACLE, "M13,M17"),
+    QuerySpec("tbl_cdc_query", tbl_cdc_query, TBL_CDC_ORACLE, "M11,M13 CDC images"),
 ]
