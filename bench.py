@@ -36,6 +36,11 @@ HEADLINE = [
     "sim_knn_join",
     "tbl_upsert_cow",  # table-layer write path (insert + upsert + snapshot read)
     "tbl_upsert_mor",
+    "q2_min_cost_supplier",  # window argmin over broadcast dim chain
+    "j_asof_join",  # temporal as-of join (one-shuffle window form)
+    "fp_winnowing",  # rolling-window fingerprints over documents
+    "dedup_embed_cosine",  # exact all-pairs embedding near-dup ranking
+    "tbl_cdc_query",  # CDC images lifecycle (write + snapshot-diff read)
 ]
 
 

@@ -48,6 +48,8 @@ op_st = st.one_of(
     st.builds(Op, st.just("overwrite"), st.lists(row_st, min_size=1, max_size=3)),
     st.builds(Op, st.just("rollback"), st.just([])),
     st.builds(Op, st.just("compact"), st.just([])),
+    st.builds(Op, st.just("merge_partial"), st.lists(row_st, min_size=1, max_size=3)),
+    st.builds(Op, st.just("update_where"), st.just([])),
 )
 
 
@@ -94,38 +96,87 @@ class Model:
         if self.history:
             self.state = self.history.pop()
 
+    def merge_partial(self, rows):
+        """MERGE: matched → set (ts, val) from source keeping the current
+        partition, subject to precombine (an older source ts loses, exactly as
+        the engine's upsert merge resolves it); not-matched → insert."""
+        self._snapshot()
+        for ts, uuid, val, part in rows:
+            cur = self.state.get(uuid)
+            if cur is None:
+                self.state[uuid] = (ts, uuid, val, part)
+            elif ts >= cur[0]:
+                self.state[uuid] = (ts, uuid, val, cur[3])
+
+    def update_where(self, threshold: float, bump: float):
+        self._snapshot()
+        for uuid, (ts, _u, val, part) in list(self.state.items()):
+            if val >= threshold:
+                self.state[uuid] = (ts, uuid, val + bump, part)
+
     def rows(self):
         return sorted(self.state.values())
 
 
 def apply_ops(spark, tbl: Table, model: Model, ops: list[Op]):
+    """Drive both systems; returns (instant, state) checkpoints for the
+    time-travel invariant (engine ``read(as_of=instant)`` must reproduce the
+    model state right after that op; rollback discards its checkpoint)."""
+
     def df(rows):
         return spark.createDataFrame(rows, SCHEMA)
+
+    checkpoints: list[tuple[str, dict]] = []
+
+    def ckpt():
+        checkpoints.append((tbl.latest_instant(), dict(model.state)))
 
     for op in ops:
         if op.kind == "upsert":
             rows = _key_unique(op.rows)
             tbl.upsert(df(rows))
             model.upsert(rows)
+            ckpt()
         elif op.kind == "insert":
             rows = _key_unique(op.rows)
             tbl.insert(df(rows))
             model.upsert(rows)  # keyed read is latest-wins even over appends
+            ckpt()
         elif op.kind == "delete":
             tbl.delete(df(op.rows).select("uuid").distinct())
             model.delete(op.rows)
+            ckpt()
         elif op.kind == "overwrite":
             rows = _key_unique(op.rows)
             tbl.insert_overwrite(df(rows))
             model.overwrite(rows)
+            ckpt()
+        elif op.kind == "merge_partial":
+            rows = _key_unique(op.rows)
+            tbl.merge(
+                df(rows),
+                on={"uuid": "uuid"},
+                when_matched={"ts": "__src_ts", "val": "__src_val"},
+                when_not_matched="insert_all",
+            )
+            model.merge_partial(rows)
+            ckpt()
+        elif op.kind == "update_where":
+            tbl.update_where("val >= 500.0", {"val": "val + 1000.0"})
+            model.update_where(500.0, 1000.0)
+            ckpt()
         elif op.kind == "rollback":
             if tbl.latest_instant() is not None:
                 tbl.rollback()
                 model.rollback()
+                if checkpoints:
+                    checkpoints.pop()
         elif op.kind == "compact":
             inst = tbl.compact()
             if inst is not None:
                 model._snapshot()  # compaction commits a view-preserving snapshot
+                ckpt()
+    return checkpoints
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
@@ -142,6 +193,20 @@ def test_random_dml_sequences_match_model(spark, tmp_path_factory, ops, table_ty
         ),
     )
     model = Model()
-    apply_ops(spark, tbl, model, ops)
+    checkpoints = apply_ops(spark, tbl, model, ops)
     got = sorted((r["ts"], r["uuid"], r["val"], r["part"]) for r in tbl.read().collect())
     assert got == model.rows(), f"ops={ops}\nengine={got}\nmodel={model.rows()}"
+    # time-travel invariant: read(as_of=instant_i) reproduces the model state
+    # right after op i (sample first/middle/last to bound test cost)
+    sample = {0, len(checkpoints) // 2, len(checkpoints) - 1} if checkpoints else set()
+    for i in sorted(sample):
+        instant, state = checkpoints[i]
+        tt = sorted(
+            (r["ts"], r["uuid"], r["val"], r["part"])
+            for r in tbl.read(as_of=instant).collect()
+        )
+        expect = sorted(state.values())
+        assert tt == expect, (
+            f"time-travel divergence at ckpt {i} (instant {instant}):\n"
+            f"ops={ops}\nengine={tt}\nmodel={expect}"
+        )
