@@ -349,5 +349,20 @@ class Engine:
             s,
             flags=re.I,
         )
+
+        # M11/M13 CDC form: hudi_table_changes('tbl', 'cdc', 'begin'[, 'end'])
+        # — change type + before/after images (Hudi hoodie.table.cdc semantics)
+        def cdc_repl(mm):
+            name, start, end = mm.group(1), mm.group(2), mm.group(3)
+            df = self.table(name).table_changes_cdc(start=start, end=end)
+            return self._fresh_view(df, "cdc")
+
+        s = re.sub(
+            r"hudi_table_changes\(\s*'(\w+)'\s*,\s*'cdc'\s*,\s*'([^']+)'"
+            r"(?:\s*,\s*'([^']+)')?\s*\)",
+            cdc_repl,
+            s,
+            flags=re.I,
+        )
         self._register_snapshots()
         return self.spark.sql(s)

@@ -166,3 +166,27 @@ def test_merge_matched_delete_sql(engine):
         "ON target.uuid = source.uuid WHEN MATCHED THEN DELETE"
     )
     assert {r["uuid"] for r in engine.sql("SELECT uuid FROM t2").collect()} == {"a", "c"}
+
+
+def test_cdc_tvf_sql(engine):
+    """hudi_table_changes('t', 'cdc', begin): I/U/D rows with before/after
+    images through the SQL surface."""
+    engine.sql(QUICKSTART_DDL, params={"type": "cow"})
+    engine.sql(QUICKSTART_INSERTS)
+    first = engine.table("hudi_table").latest_instant()
+    engine.sql("UPDATE hudi_table SET fare = 99.0 WHERE rider = 'rider-A'")
+    engine.sql("DELETE FROM hudi_table WHERE uuid = 'c8abbe79'")
+    engine.sql(
+        "INSERT INTO hudi_table VALUES "
+        "(1695500000000,'newrow01','rider-Z','driver-Z',11.0,'chennai')"
+    )
+    rows = engine.sql(
+        f"SELECT op, key, before.fare AS before_fare, after.fare AS after_fare "
+        f"FROM hudi_table_changes('hudi_table', 'cdc', '{first}') ORDER BY op, key"
+    ).collect()
+    by_key = {r["key"]: r for r in rows}
+    assert len(rows) == 3
+    assert by_key["334e26e9"]["op"] == "U" and by_key["334e26e9"]["after_fare"] == 99.0
+    assert by_key["334e26e9"]["before_fare"] == 19.10
+    assert by_key["c8abbe79"]["op"] == "D" and by_key["c8abbe79"]["after_fare"] is None
+    assert by_key["newrow01"]["op"] == "I" and by_key["newrow01"]["before_fare"] is None
