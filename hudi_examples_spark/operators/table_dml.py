@@ -250,6 +250,38 @@ ORDER BY op, c_custkey
 """
 
 
+def tbl_scan_pruned(spark: SparkSession, sf: str) -> DataFrame:
+    """Col-stats data skipping under the oracle gate: sort-clustered table,
+    range scan must prune files AND return exactly the SQL-filter rows."""
+    base = os.path.join(_workdir("tbl_scan_pruned", sf), "tbl")
+    tbl = Table.create(
+        spark,
+        base,
+        "l_orderkey BIGINT, l_quantity DOUBLE, l_extendedprice DOUBLE",
+        TableConfig(stats_cols=["l_orderkey"]),
+    )
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
+    tbl.insert(li.repartition(16))
+    tbl.cluster_sort(["l_orderkey"], n_files=16)
+    return (
+        tbl.scan([("l_orderkey", ">=", 100), ("l_orderkey", "<=", 500)])
+        .select(
+            "l_orderkey",
+            F.round("l_quantity", 2).alias("l_quantity"),
+            F.round("l_extendedprice", 2).alias("l_extendedprice"),
+        )
+        .orderBy("l_orderkey", "l_quantity", "l_extendedprice")
+    )
+
+
+TBL_SCAN_ORACLE = """
+SELECT l_orderkey, round(l_quantity, 2) AS l_quantity,
+       round(l_extendedprice, 2) AS l_extendedprice
+FROM lineitem WHERE l_orderkey >= 100 AND l_orderkey <= 500
+ORDER BY l_orderkey, l_quantity, l_extendedprice
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("tbl_upsert_cow", tbl_upsert_cow, UPSERT_FINAL_ORACLE, "M1,M2,M7"),
     QuerySpec("tbl_upsert_mor", tbl_upsert_mor, UPSERT_FINAL_ORACLE, "M7,MOR"),
@@ -260,4 +292,5 @@ SPECS: list[QuerySpec] = [
     QuerySpec("tbl_incremental", tbl_incremental, TBL_INC_ORACLE, "M11"),
     QuerySpec("tbl_cdc_rollback", tbl_cdc_rollback, TBL_TT_ORACLE, "M13,M17"),
     QuerySpec("tbl_cdc_query", tbl_cdc_query, TBL_CDC_ORACLE, "M11,M13 CDC images"),
+    QuerySpec("tbl_scan_pruned", tbl_scan_pruned, TBL_SCAN_ORACLE, "col-stats data skipping"),
 ]

@@ -60,6 +60,10 @@ class TableConfig:
     table_type: str = "cow"  # "cow" | "mor"
     n_buckets: int | None = None  # bucket-index file-group routing
     table_version: int = 6
+    #: columns to record per-file min/max for at write time (col-stats index —
+    #: the data-skipping analogue of Hudi's metadata col_stats partition);
+    #: Table.scan() prunes files with these before Spark ever opens them
+    stats_cols: list[str] = field(default_factory=list)
 
     def __post_init__(self):
         if self.table_type not in ("cow", "mor"):
@@ -156,7 +160,7 @@ class Table:
             df = df.withColumn(META_DELETED, F.lit(False))
         return df
 
-    def _write_files(self, df: DataFrame, instant: str) -> list[str]:
+    def _write_files(self, df: DataFrame, instant: str, preserve_layout: bool = False) -> list[str]:
         """Write one commit's files into hive-style partition dirs:
         ``{base}/{col=val}/{instant}_{n}.parquet`` (Hudi's own layout shape).
 
@@ -172,7 +176,10 @@ class Table:
             df = df.withColumn(META_DELETED, F.lit(False))
         parts = self.config.partition_by
         write_parts = list(parts)
-        if self.config.n_buckets and self.config.record_key:
+        if preserve_layout:
+            # caller (sort clustering) planned the partitioning itself — keep it
+            pass
+        elif self.config.n_buckets and self.config.record_key:
             # bucket index (J5): the bucket id becomes a hive dir (__bucket=N) —
             # exact file-group routing independent of shuffle planning/AQE, and a
             # point lookup can prune to hash(key)%n's directory
@@ -201,7 +208,113 @@ class Table:
                 rels.append(os.path.relpath(dest, self.base))
                 n += 1
         shutil.rmtree(staging, ignore_errors=True)
-        return sorted(rels)
+        rels = sorted(rels)
+        if self.config.stats_cols:
+            self._write_file_stats(instant, rels)
+        return rels
+
+    # -------------------------------------------------------- col-stats index
+
+    STATS_DIR = "_stats"
+
+    def _write_file_stats(self, instant: str, rels: list[str]) -> None:
+        """Record per-file min/max of ``stats_cols`` from the parquet footers
+        just written (no data re-read — footer metadata only). Stored as one
+        JSON sidecar per instant, so planning stays O(instants): a scan loads
+        the sidecars of live instants and never opens pruned files."""
+        import pyarrow.parquet as pq
+
+        stats: dict[str, dict[str, list]] = {}
+        for rel in rels:
+            md = pq.ParquetFile(os.path.join(self.base, rel)).metadata
+            col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            per_col: dict[str, list] = {}
+            for col in self.config.stats_cols:
+                if col not in col_idx:
+                    continue
+                lo, hi = None, None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(col_idx[col]).statistics
+                    if st is None or not st.has_min_max:
+                        lo = hi = None
+                        break
+                    mn, mx = st.min, st.max
+                    lo = mn if lo is None or mn < lo else lo
+                    hi = mx if hi is None or mx > hi else hi
+                if lo is not None:
+                    per_col[col] = [_stats_json(lo), _stats_json(hi)]
+            if per_col:
+                stats[rel] = per_col
+        d = os.path.join(self.base, self.STATS_DIR)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".{instant}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(stats, f)
+        os.replace(tmp, os.path.join(d, f"{instant}.json"))
+
+    def _load_file_stats(self) -> dict[str, dict[str, list]]:
+        d = os.path.join(self.base, self.STATS_DIR)
+        if not os.path.isdir(d):
+            return {}
+        out: dict[str, dict[str, list]] = {}
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".json"):
+                with open(os.path.join(d, fn)) as f:
+                    out.update(json.load(f))
+        return out
+
+    def scan(self, filters: list[tuple] | None = None, as_of: str | None = None) -> DataFrame:
+        """Data-skipping snapshot scan: prune files whose recorded [min, max]
+        cannot satisfy ``filters`` (list of ``(col, op, value)`` with op in
+        =, <, <=, >, >=), then apply the same predicates to the surviving rows.
+
+        Safe exactly when the live set holds one version per key — COW always,
+        MOR only with no pending logs (a log row could supersede a pruned base
+        row); with logs present this degrades to read().filter(). Pruned file
+        count is observable at ``last_scan`` for IO accounting/tests.
+        """
+        conds = None
+        for col, op, val in filters or []:
+            c = F.col(col)
+            cond = {"=": c == val, "<": c < val, "<=": c <= val, ">": c > val, ">=": c >= val}[op]
+            conds = cond if conds is None else (conds & cond)
+        files, _ = self.timeline.live_files(normalize_as_of(as_of) if as_of else None)
+        log_rels = [r for r, (_, a) in files.items() if a == "deltacommit"]
+        if log_rels or not filters or not self.config.stats_cols:
+            self.last_scan = {"total": len(files), "scanned": len(files), "pruned": 0}
+            df = self.read(as_of=as_of)
+            return df.filter(conds) if conds is not None else df
+        stats = self._load_file_stats()
+        keep = [
+            r for r in files if _file_may_match(stats.get(r), filters)
+        ]
+        self.last_scan = {"total": len(files), "scanned": len(keep), "pruned": len(files) - len(keep)}
+        df = self._read_files(sorted(keep), with_deleted=False).drop(*META_COLS)
+        return df.filter(conds) if conds is not None else df
+
+    def cluster_sort(self, cols: list[str], n_files: int | None = None) -> str:
+        """Sort-based clustering (Hudi clustering sort strategy): rewrite live
+        files range-partitioned + sorted on ``cols`` so their min/max ranges
+        become disjoint and ``scan`` pruning turns selective predicates into
+        O(files_touched) IO. View-preserving replacecommit, like ``cluster``."""
+        if self.config.n_buckets:
+            raise ValueError("cluster_sort conflicts with bucket-index routing")
+        instant = new_instant()
+        current = self.read(with_meta=True)
+        n = n_files or max(self.spark.sparkContext.defaultParallelism, 8)
+        out = current.repartitionByRange(n, *[F.col(c) for c in cols]).sortWithinPartitions(*cols)
+        rels = self._write_files(out, instant, preserve_layout=True)
+        old = list(self.timeline.live_files()[0].keys())
+        self.timeline.write(
+            Instant(
+                instant,
+                "replacecommit",
+                rels,
+                old,
+                {"operation": "cluster_sort", "sort_cols": cols, "numOutputFileGroups": len(rels)},
+            )
+        )
+        return instant
 
     @staticmethod
     def _partition_of_relpath(rel: str) -> dict[str, str]:
@@ -812,6 +925,57 @@ class Table:
     def _save_props(self) -> None:
         with open(os.path.join(self.base, PROPS_FILE), "w") as f:
             json.dump({"config": asdict(self.config), "schema": self.schema.jsonValue()}, f, indent=1)
+
+
+def _stats_json(v):
+    """Parquet-footer stat value → JSON-safe scalar with order-preserving string
+    forms for temporal types (ISO strings compare lexicographically)."""
+    import datetime
+    import decimal
+
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return v.hex()
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return v
+
+
+def _file_may_match(per_col: dict | None, filters: list[tuple]) -> bool:
+    """Conservative file-level predicate test against recorded [min, max]:
+    False only when NO row can satisfy every filter; unknown columns/types keep
+    the file (pruning must never be lossy)."""
+    if not per_col:
+        return True
+    import datetime
+
+    for col, op, val in filters:
+        if col not in per_col:
+            continue
+        lo, hi = per_col[col]
+        if isinstance(val, datetime.datetime):
+            val = val.isoformat(sep=" ")
+        elif isinstance(val, datetime.date):
+            val = val.isoformat()
+        try:
+            ok = {
+                "=": lo <= val <= hi,
+                "<": lo < val,
+                "<=": lo <= val,
+                ">": hi > val,
+                ">=": hi >= val,
+            }[op]
+        except TypeError:
+            ok = True  # incomparable stat/value: never prune on uncertainty
+        if not ok:
+            return False
+    return True
 
 
 def _meta_struct() -> StructType:

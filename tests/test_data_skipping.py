@@ -1,0 +1,87 @@
+"""Col-stats data skipping: per-file min/max recorded at write time must let
+selective scans skip files entirely — and never change results.
+
+The 100 TB story: a needle query on a sort-clustered table should touch
+O(matching files), not O(table). We assert (a) scan == read().filter() always,
+(b) after cluster_sort the file-level pruning is actually effective (most
+files skipped), (c) MOR with pending logs degrades safely to the merged read.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_examples_spark.sources.readers import load_sf_table
+from hudi_examples_spark.table import Table, TableConfig
+from tests.conftest import SF_SMALL
+
+SCHEMA = "l_orderkey BIGINT, l_quantity DOUBLE, l_extendedprice DOUBLE, l_shipdate TIMESTAMP"
+
+
+@pytest.fixture(scope="module")
+def line_table(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("skip") / "t")
+    tbl = Table.create(
+        spark,
+        base,
+        SCHEMA,
+        TableConfig(stats_cols=["l_orderkey", "l_shipdate"]),
+    )
+    df = load_sf_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+    tbl.insert(df.repartition(16))  # many unsorted files: ranges overlap
+    return tbl
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_scan_equals_filter_before_clustering(line_table):
+    filters = [("l_orderkey", ">=", 100), ("l_orderkey", "<=", 200)]
+    got = line_table.scan(filters)
+    want = line_table.read().filter("l_orderkey >= 100 AND l_orderkey <= 200")
+    assert _rows(got) == _rows(want)
+    # unsorted layout: every file's range spans the space — pruning finds ~0
+    assert line_table.last_scan["scanned"] >= 1
+
+
+def test_cluster_sort_makes_pruning_effective(line_table):
+    line_table.cluster_sort(["l_orderkey"], n_files=16)
+    filters = [("l_orderkey", ">=", 100), ("l_orderkey", "<=", 200)]
+    got = line_table.scan(filters)
+    want = line_table.read().filter("l_orderkey >= 100 AND l_orderkey <= 200")
+    assert _rows(got) == _rows(want)
+    ls = line_table.last_scan
+    assert ls["pruned"] >= ls["total"] // 2, (
+        f"sort-clustered narrow range must prune most files: {ls}"
+    )
+    # point lookup prunes to at most a couple of files
+    line_table.scan([("l_orderkey", "=", 150)])
+    assert line_table.last_scan["scanned"] <= 2, line_table.last_scan
+
+
+def test_scan_timestamp_pruning(line_table):
+    got = line_table.scan([("l_shipdate", "<", "1996-01-01 00:00:00")])
+    want = line_table.read().filter(F.col("l_shipdate") < "1996-01-01 00:00:00")
+    assert got.count() == want.count()
+
+
+def test_mor_logs_degrade_to_merged_read(spark, tmp_path):
+    tbl = Table.create(
+        spark,
+        str(tmp_path / "m"),
+        "k BIGINT, v DOUBLE",
+        TableConfig(record_key=["k"], precombine="v", table_type="mor", stats_cols=["k"]),
+    )
+    tbl.insert(spark.createDataFrame([(i, float(i)) for i in range(100)], "k BIGINT, v DOUBLE"))
+    tbl.upsert(spark.createDataFrame([(5, 999.0)], "k BIGINT, v DOUBLE"))  # pending log
+    got = tbl.scan([("k", "=", 5)])
+    assert [(r["k"], r["v"]) for r in got.collect()] == [(5, 999.0)]
+    assert tbl.last_scan["pruned"] == 0  # logs pending: pruning must disable
+
+
+def test_scan_with_no_filters_is_snapshot(line_table):
+    assert line_table.scan().count() == line_table.read().count()
