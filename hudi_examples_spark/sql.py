@@ -111,6 +111,14 @@ class Engine:
             return self._delete(s)
         if verb == "MERGE":
             return self._merge(s)
+        if verb == "ALTER":
+            m = re.match(
+                r"ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS?\s*\((.*)\)\s*$", s, re.I | re.S
+            )
+            if not m:
+                raise ValueError(f"only ALTER TABLE t ADD COLUMNS (...) is supported: {s[:120]}")
+            self.table(m.group(1)).add_columns(m.group(2))
+            return None
         if verb == "DROP":
             m = re.match(r"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)", s, re.I)
             if m and m.group(1) in self.tables:

@@ -13,6 +13,6 @@ partitioned parquet + a JSON timeline — no Hudi jar, no custom file format:
 API: :class:`hudi_examples_spark.table.core.Table`.
 """
 
-from hudi_examples_spark.table.core import Table, TableConfig
+from hudi_examples_spark.table.core import ConcurrentWriteConflict, Table, TableConfig
 
-__all__ = ["Table", "TableConfig"]
+__all__ = ["ConcurrentWriteConflict", "Table", "TableConfig"]

@@ -40,7 +40,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, StructType
 from pyspark.sql.window import Window
 
-from hudi_examples_spark.table.timeline import Instant, Timeline, new_instant, normalize_as_of
+from hudi_examples_spark.table.timeline import (
+    TIMELINE_DIR,
+    Instant,
+    Timeline,
+    new_instant,
+    normalize_as_of,
+)
 
 META_COMMIT = "_hoodie_commit_time"
 META_KEY = "_hoodie_record_key"
@@ -50,6 +56,15 @@ META_COLS = (META_COMMIT, META_KEY, META_PARTITION)
 
 PROPS_FILE = "_props.json"
 BUCKET_COL = "__bucket"
+
+
+class ConcurrentWriteConflict(RuntimeError):
+    """Raised at publish time when OCC detects a conflicting concurrent commit.
+
+    The losing writer's data files stay unreferenced (readers are manifest-
+    driven and never see them; ``heal``/orphan cleanup reclaims the space) —
+    retry the operation from a fresh snapshot.
+    """
 
 
 @dataclass
@@ -329,21 +344,70 @@ class Table:
         if not rels:
             return self._empty(with_deleted)
         paths = [os.path.join(self.base, r) for r in rels]
-        df = self.spark.read.option("basePath", self.base).parquet(*paths)
+        # mergeSchema: files written before a schema evolution lack the newer
+        # columns; the merged read surfaces every declared column and the
+        # null-fill below types the ones no live file carries yet
+        df = (
+            self.spark.read.option("basePath", self.base)
+            .option("mergeSchema", "true")
+            .parquet(*paths)
+        )
         if with_deleted and META_DELETED not in df.columns:
             df = df.withColumn(META_DELETED, F.lit(False))
         if with_deleted:
             cols = [META_DELETED, *META_COLS, *self.data_cols]
         else:
             cols = [*META_COLS, *self.data_cols]
-        # tolerate mixed file schemas (logs carry the tombstone flag, bases don't)
+        # tolerate mixed file schemas (logs carry the tombstone flag, bases don't;
+        # pre-evolution files miss later columns) — null-fill with declared types
         have = set(df.columns)
-        df = df.withColumns(
-            {c: F.lit(None) for c in cols if c not in have}
-        ) if not have.issuperset(cols) else df
+        if not have.issuperset(cols):
+            fills = {}
+            for c in cols:
+                if c in have:
+                    continue
+                if c in self.schema.names:
+                    fills[c] = F.lit(None).cast(self.schema[c].dataType)
+                elif c == META_DELETED:
+                    fills[c] = F.lit(False)
+                else:
+                    fills[c] = F.lit(None).cast("string")
+            df = df.withColumns(fills)
         if META_DELETED in cols:
             df = df.withColumn(META_DELETED, F.coalesce(F.col(META_DELETED).cast(BooleanType()), F.lit(False)))
         return df.select(*cols)
+
+    def _conform(self, df: DataFrame) -> DataFrame:
+        """Align an incoming batch with the declared schema (schema-on-write
+        evolution, Hudi semantics): batch columns the table doesn't know are
+        ADDED to the table schema as nullable (auto-evolution); declared
+        columns the batch misses are null-filled. Returns data_cols order."""
+        extra = [c for c in df.columns if c not in self.schema.names]
+        if extra:
+            for c in extra:
+                self.schema = self.schema.add(c, df.schema[c].dataType, True)
+            self._save_props()
+        missing = {
+            c: F.lit(None).cast(self.schema[c].dataType)
+            for c in self.schema.names
+            if c not in df.columns
+        }
+        if missing:
+            df = df.withColumns(missing)
+        return df.select(*self.data_cols)
+
+    def add_columns(self, ddl: str) -> None:
+        """Schema evolution: ALTER TABLE ADD COLUMNS. New columns are nullable;
+        files written before the evolution read as null for them (merged-schema
+        scan), newer writes carry them. Snapshots always present the CURRENT
+        schema, including time-travel reads (Hudi's behavior)."""
+        new = StructType.fromDDL(ddl)
+        for f_ in new.fields:
+            if f_.name in self.schema.names:
+                raise ValueError(f"column {f_.name} already exists")
+        for f_ in new.fields:
+            self.schema = self.schema.add(f_.name, f_.dataType, True)
+        self._save_props()
 
     def _latest_wins(self, df: DataFrame) -> DataFrame:
         """Resolve multiple versions of a key: max precombine, then newest commit.
@@ -513,14 +577,14 @@ class Table:
         ``bulk_insert`` for the raw no-key-lookup load (Hudi 'bulk_insert')."""
         if self.config.record_key and self.config.precombine:
             return self._write_changes(
-                upserts=df.select(*self.data_cols), deletes=None, op="insert"
+                upserts=self._conform(df), deletes=None, op="insert"
             )
         return self.bulk_insert(df, dedup=dedup)
 
     def bulk_insert(self, df: DataFrame, dedup: bool = False) -> str:
         """S7 bulk load: blind append, no key lookup (Hudi 'bulk_insert')."""
         instant = new_instant()
-        out = self._with_meta(df.select(*self.data_cols), instant)
+        out = self._with_meta(self._conform(df), instant)
         if dedup and self.config.record_key:
             out = self._latest_wins(out)
         rels = self._write_files(out, instant)
@@ -532,18 +596,20 @@ class Table:
     def insert_overwrite(self, df: DataFrame) -> str:
         """M8: replace the whole table content in one commit."""
         instant = new_instant()
-        out = self._with_meta(df.select(*self.data_cols), instant)
+        out = self._with_meta(self._conform(df), instant)
+        files, latest = self.timeline.live_files()
         rels = self._write_files(out, instant)
-        old = list(self.timeline.live_files()[0].keys())
-        self.timeline.write(
-            Instant(instant, "replacecommit", rels, old, {"operation": "insert_overwrite"})
+        self._publish_occ(
+            Instant(instant, "replacecommit", rels, list(files.keys()), {"operation": "insert_overwrite"}),
+            since=latest,
+            partitions=None,  # full-table replace conflicts with any concurrent commit
         )
         return instant
 
     def upsert(self, df: DataFrame) -> str:
         """M7: precombine-dedup + key-merge + touched-partition rewrite (COW) or
         log append (MOR)."""
-        return self._write_changes(upserts=df.select(*self.data_cols), deletes=None, op="upsert")
+        return self._write_changes(upserts=self._conform(df), deletes=None, op="upsert")
 
     def delete(self, keys_df: DataFrame) -> str:
         """M9: delete-by-key batch (``hoodie.datasource.write.operation=delete``)."""
@@ -616,7 +682,7 @@ class Table:
         ups = df.filter(F.col(op_col).isin("I", "U", "+I", "+U")).drop(op_col)
         dels = df.filter(F.col(op_col).isin("D", "-D")).drop(op_col)
         return self._write_changes(
-            upserts=ups.select(*self.data_cols),
+            upserts=self._conform(ups),
             deletes=dels,
             op="cdc",
         )
@@ -683,7 +749,7 @@ class Table:
     def _apply_cow(
         self, instant: str, upserts: DataFrame | None, deletes: DataFrame | None, op: str
     ) -> str:
-        files, _ = self.timeline.live_files()
+        files, _latest = self.timeline.live_files()
         touched = self._touched_partition_filter(upserts, deletes)
         if touched is None:
             touched_rels = list(files.keys())
@@ -720,8 +786,10 @@ class Table:
             merged = survivors
 
         rels = self._write_files(merged, instant)
-        self.timeline.write(
-            Instant(instant, "commit", rels, touched_rels, {"operation": op})
+        self._publish_occ(
+            Instant(instant, "commit", rels, touched_rels, {"operation": op}),
+            since=_latest,
+            partitions=touched,
         )
         return instant
 
@@ -758,6 +826,61 @@ class Table:
         rels = self._write_files(out, instant)
         self.timeline.write(Instant(instant, "deltacommit", rels, [], {"operation": op}))
         return instant
+
+    # ----------------------------------------------------- concurrency control
+
+    def _partition_of(self, rel: str) -> str:
+        return "/".join(
+            f"{k}={v}"
+            for k, v in self._partition_of_relpath(rel).items()
+            if k in self.config.partition_by
+        )
+
+    def _publish_occ(self, inst: Instant, since: str, partitions: set | None) -> None:
+        """Optimistic concurrency control (Hudi OCC + lock-provider shape):
+        under a filesystem lock, reject the publish if any instant committed
+        after our snapshot rewrote files or partitions this commit also
+        touches, then atomically publish. MOR log appends and bulk inserts
+        skip this — append-only commits can't lose concurrent writes (their
+        key versions merge at read). Callers catch ConcurrentWriteConflict
+        and retry the whole operation from a fresh snapshot.
+        """
+        lock = os.path.join(self.base, TIMELINE_DIR, "_lock")
+        os.makedirs(os.path.dirname(lock), exist_ok=True)
+        import time as _time
+
+        fd = None
+        deadline = _time.time() + 30.0
+        while fd is None:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                if _time.time() > deadline:
+                    raise TimeoutError(f"timeline lock held too long: {lock}")
+                _time.sleep(0.05)
+        try:
+            ours_removed = set(inst.files_removed)
+            for other in self.timeline.completed_data_instants():
+                if other.instant <= (since or "") or other.instant == inst.instant:
+                    continue
+                their_files = set(other.files_removed) | set(other.files_added)
+                if ours_removed & set(other.files_removed):
+                    raise ConcurrentWriteConflict(
+                        f"instant {other.instant} already rewrote files this commit removes"
+                    )
+                if partitions is None:
+                    raise ConcurrentWriteConflict(
+                        f"full-table rewrite conflicts with concurrent instant {other.instant}"
+                    )
+                their_parts = {self._partition_of(r) for r in their_files}
+                if partitions & their_parts:
+                    raise ConcurrentWriteConflict(
+                        f"instant {other.instant} touched partitions {partitions & their_parts}"
+                    )
+            self.timeline.write(inst)
+        finally:
+            os.close(fd)
+            os.unlink(lock)
 
     # ------------------------------------------------------------- services
 

@@ -1,0 +1,89 @@
+"""Schema evolution: ALTER TABLE ADD COLUMNS + schema-on-write auto-evolution.
+
+Hudi semantics: new columns are nullable; files written before the evolution
+read as null for them (merged-schema scan); snapshots and time-travel reads
+always present the CURRENT schema; a batch carrying unknown columns widens
+the table schema automatically.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hudi_examples_spark.sql import Engine
+from hudi_examples_spark.table import Table, TableConfig
+
+
+@pytest.fixture
+def tbl(spark, tmp_path):
+    t = Table.create(
+        spark,
+        str(tmp_path / "t"),
+        "ts BIGINT, uuid STRING, fare DOUBLE",
+        TableConfig(record_key=["uuid"], precombine="ts"),
+    )
+    t.insert(spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)], "ts BIGINT, uuid STRING, fare DOUBLE"))
+    return t
+
+
+def test_add_columns_nulls_old_rows(spark, tbl):
+    tbl.add_columns("tip DOUBLE, city STRING")
+    rows = {r["uuid"]: r for r in tbl.read().collect()}
+    assert rows["a"]["tip"] is None and rows["a"]["city"] is None
+    tbl.upsert(
+        spark.createDataFrame(
+            [(3, "c", 30.0, 3.5, "sf")], "ts BIGINT, uuid STRING, fare DOUBLE, tip DOUBLE, city STRING"
+        )
+    )
+    rows = {r["uuid"]: r for r in tbl.read().collect()}
+    assert rows["c"]["tip"] == 3.5 and rows["c"]["city"] == "sf"
+    assert rows["a"]["tip"] is None  # pre-evolution file null-filled
+
+
+def test_update_of_old_row_after_evolution(spark, tbl):
+    """COW rewrite of a pre-evolution row must carry the widened schema."""
+    tbl.add_columns("tip DOUBLE")
+    tbl.upsert(spark.createDataFrame([(5, "a", 11.0, 1.5)], "ts BIGINT, uuid STRING, fare DOUBLE, tip DOUBLE"))
+    rows = {r["uuid"]: r for r in tbl.read().collect()}
+    assert rows["a"]["fare"] == 11.0 and rows["a"]["tip"] == 1.5
+    assert rows["b"]["tip"] is None
+
+
+def test_auto_evolution_on_upsert(spark, tbl):
+    """A batch with an unknown column widens the schema (schema-on-write)."""
+    tbl.upsert(
+        spark.createDataFrame([(4, "d", 40.0, "promo")], "ts BIGINT, uuid STRING, fare DOUBLE, src STRING")
+    )
+    assert "src" in tbl.schema.names
+    rows = {r["uuid"]: r for r in tbl.read().collect()}
+    assert rows["d"]["src"] == "promo" and rows["a"]["src"] is None
+    # reopened handle sees the persisted evolved schema
+    again = Table(spark, tbl.base)
+    assert "src" in again.schema.names
+
+
+def test_time_travel_presents_current_schema(spark, tbl):
+    first = tbl.latest_instant()
+    tbl.add_columns("tip DOUBLE")
+    tbl.upsert(spark.createDataFrame([(9, "z", 1.0, 0.5)], "ts BIGINT, uuid STRING, fare DOUBLE, tip DOUBLE"))
+    tt = tbl.read(as_of=first)
+    assert "tip" in tt.columns  # current schema, like Hudi
+    assert {r["uuid"] for r in tt.collect()} == {"a", "b"}
+
+
+def test_add_existing_column_rejected(tbl):
+    with pytest.raises(ValueError):
+        tbl.add_columns("fare DOUBLE")
+
+
+def test_alter_table_sql(spark, tmp_path):
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql(
+        "CREATE TABLE t1 (ts BIGINT, uuid STRING, fare DOUBLE) USING hudi "
+        "TBLPROPERTIES (primaryKey = 'uuid', preCombineField = 'ts')"
+    )
+    eng.sql("INSERT INTO t1 VALUES (1, 'a', 10.0)")
+    eng.sql("ALTER TABLE t1 ADD COLUMNS (tip DOUBLE)")
+    eng.sql("INSERT INTO t1 VALUES (2, 'b', 20.0, 2.5)")
+    rows = {r["uuid"]: r for r in eng.sql("SELECT * FROM t1").collect()}
+    assert rows["a"]["tip"] is None and rows["b"]["tip"] == 2.5
