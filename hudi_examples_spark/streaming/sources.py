@@ -35,6 +35,25 @@ def incremental_source(table: Table, start: str = "earliest") -> Callable[[], Da
     return poll
 
 
+def cdc_source(table: Table, start: str = "earliest") -> Callable[[], DataFrame | None]:
+    """Streaming CDC puller: like ``incremental_source`` but each poll yields
+    full change events — (key, op I/U/D, before, after, commit_time) — via the
+    snapshot-diff CDC read. Downstream consumers can replicate deletes, which
+    the latest-state incremental feed cannot express."""
+    state = {"last": "0" if start == "earliest" else start}
+
+    def poll() -> DataFrame | None:
+        latest = table.latest_instant()
+        last = state["last"]
+        if latest is None or latest <= last:
+            return None
+        df = table.table_changes_cdc(start=last)
+        state["last"] = latest
+        return df
+
+    return poll
+
+
 def pipe_table_to_table(
     src: Table, dst: Table, handler: Callable[[DataFrame, int], None], n_polls: int = 1,
     start: str = "earliest",

@@ -960,19 +960,61 @@ class Table:
             return None
         return self.cluster(min(current * 2, max_buckets))
 
+    def savepoint(self, instant: str | None = None) -> str:
+        """Hudi savepoint: pin an instant's snapshot — ``clean`` keeps every
+        file live AS OF a savepoint, and ``restore_to_savepoint`` rewinds the
+        table to it (rolling back every later commit). Metadata-only marker."""
+        insts = self.timeline.completed_data_instants()
+        if not insts:
+            raise ValueError("nothing to savepoint")
+        target = instant or insts[-1].instant
+        if not any(i.instant == target for i in insts):
+            raise ValueError(f"unknown instant {target}")
+        self.timeline.write(Instant(new_instant(), "savepoint", [], [], {"target": target}))
+        return target
+
+    def savepoints(self) -> list[str]:
+        return [
+            i.meta["target"]
+            for i in self.timeline.instants()
+            if i.action == "savepoint" and not i.meta.get("released")
+        ]
+
+    def release_savepoint(self, instant: str) -> None:
+        for i in self.timeline.instants():
+            if i.action == "savepoint" and i.meta.get("target") == instant:
+                i.meta["released"] = True
+                self.timeline.write(i)
+
+    def restore_to_savepoint(self, instant: str) -> list[str]:
+        """Rewind to a savepointed snapshot: roll back every data commit after
+        it, newest first (each rollback is itself a timeline event)."""
+        if instant not in self.savepoints():
+            raise ValueError(f"{instant} is not an active savepoint")
+        rolled = []
+        for inst in reversed(self.timeline.completed_data_instants()):
+            if inst.instant > instant:
+                self.rollback(inst.instant)
+                rolled.append(inst.instant)
+        return rolled
+
     def clean(self, retain_commits: int = 10) -> list[str]:
-        """M16: physically delete files no longer referenced by the retained window."""
+        """M16: physically delete files no longer referenced by the retained
+        window — except files live as of any active savepoint (pinned)."""
         insts = self.timeline.completed_data_instants()
         if len(insts) <= retain_commits:
             return []
         cutoff = insts[-retain_commits].instant
         live_now, _ = self.timeline.live_files()
+        pinned: set[str] = set()
+        for sp in self.savepoints():
+            pinned.update(self.timeline.live_files(sp)[0].keys())
         removed: list[str] = []
         for inst in insts:
             if inst.instant >= cutoff:
                 continue
             for rel in inst.files_added:
-                if rel not in live_now:
+                if rel not in live_now and rel not in pinned:
                     p = os.path.join(self.base, rel)
                     if os.path.exists(p):
                         os.remove(p)

@@ -159,3 +159,22 @@ def test_rate_datagen_and_windowed_counts(spark, tmp_path):
         assert total and total > 0
     finally:
         q.stop()
+
+
+def test_cdc_source_emits_ops(spark, tmp_path):
+    """Streaming CDC feed: polls yield I/U/D events with before/after images."""
+    from hudi_examples_spark.streaming.sources import cdc_source
+
+    tbl = make_table(spark, tmp_path)
+    tbl.insert(trips_df(spark))
+    poll = cdc_source(tbl)
+    first = poll()
+    assert first is not None and {r["op"] for r in first.collect()} == {"I"}
+    assert poll() is None  # offset advanced, no new commits
+    tbl.upsert(trips_df(spark, [(9999999999999, "334e26e9", "r", "d", 88.0, "san_francisco")]))
+    tbl.delete(spark.createDataFrame([("c8abbe79",)], "uuid STRING"))
+    batch = poll().collect()
+    ops = {r["key"]: r["op"] for r in batch}
+    assert ops["334e26e9"] == "U" and ops["c8abbe79"] == "D"
+    after = {r["key"]: r["after"] for r in batch}
+    assert after["334e26e9"]["fare"] == 88.0 and after["c8abbe79"] is None

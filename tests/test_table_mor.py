@@ -122,3 +122,24 @@ def test_mor_time_travel(spark, tmp_path):
     tbl.upsert(trips_df(spark, [(9999999999999, "334e26e9", "r", "d", 70.0, "san_francisco")]))
     assert tbl.read(as_of=first).filter("uuid='334e26e9'").collect()[0]["fare"] == 19.10
     assert tbl.read().filter("uuid='334e26e9'").collect()[0]["fare"] == 70.0
+
+
+def test_savepoint_pins_clean_and_restores(spark, tmp_path):
+    """Hudi savepoint: pinned snapshot survives clean; restore rewinds to it."""
+    tbl = make_table(spark, tmp_path)
+    tbl.insert(trips_df(spark))
+    sp = tbl.savepoint()
+    for i in range(4):
+        tbl.upsert(
+            trips_df(spark, [(9999999999000 + i, "334e26e9", "r", "d", float(i), "san_francisco")])
+        )
+    removed = tbl.clean(retain_commits=2)
+    # files live as of the savepoint must survive the clean
+    pinned = set(tbl.timeline.live_files(sp)[0].keys())
+    assert not (pinned & set(removed)), "clean deleted savepointed files"
+    assert tbl.read(as_of=sp).filter("uuid='334e26e9'").collect()[0]["fare"] == 19.10
+    rolled = tbl.restore_to_savepoint(sp)
+    assert len(rolled) == 4
+    assert tbl.read().filter("uuid='334e26e9'").collect()[0]["fare"] == 19.10
+    tbl.release_savepoint(sp)
+    assert sp not in tbl.savepoints()
