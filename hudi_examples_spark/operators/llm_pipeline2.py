@@ -306,9 +306,74 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# End-to-end training-data pipeline (composition of the pieces above)
+# ---------------------------------------------------------------------------
+
+
+def pipe_training_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed cleaning pipeline a pretraining corpus goes through:
+    quality filter (token count + stopword ratio) → exact dedup (min doc_id
+    survives) → per-language corpus report. One declarative plan: Catalyst
+    fuses the filters into the scan; the dedup is the only shuffle before the
+    tiny report aggregation."""
+    from hudi_examples_spark.functions.text import quality_ratio_from, token_count, words
+
+    n = max(spark.sparkContext.defaultParallelism, 8)
+    d = (
+        t(spark, sf, "documents")
+        .repartition(n)
+        .select("doc_id", "lang", "text", words("text").alias("__ws"))
+        .withColumn("n_tokens", token_count("text"))
+        .withColumn("stop_ratio", quality_ratio_from(F.col("__ws")))
+        .filter((F.col("n_tokens") >= 10) & (F.col("stop_ratio") <= 0.5))
+    )
+    kept = (
+        d.groupBy(F.md5("text").alias("__fp"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("lang").alias("lang"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+PIPE_CORPUS_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+         CASE WHEN len(list_filter(str_split(trim(text), ' '), w -> w <> '')) = 0 THEN 0
+              ELSE len(list_filter(str_split(trim(text), ' '),
+                       w -> list_contains(['the','a','an','of','and','or','to','in','is','it'], lower(w)))) * 1.0
+                   / len(list_filter(str_split(trim(text), ' '), w -> w <> ''))
+         END AS stop_ratio
+  FROM documents
+), kept AS (
+  SELECT min(doc_id) AS doc_id, min(lang) AS lang, min(n_tokens) AS n_tokens
+  FROM scored
+  WHERE n_tokens >= 10 AND stop_ratio <= 0.5
+  GROUP BY md5(text)
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(n_tokens), 4) AS avg_tokens
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("dedup_embed_cosine", dedup_embed_cosine, DEDUP_EMBED_ORACLE, "LLM:dedup-embed"),
     QuerySpec("dedup_embed_ann", dedup_embed_ann, None, "LLM:dedup-embed"),
     QuerySpec("fp_winnowing", fp_winnowing, FP_WINNOWING_ORACLE, "LLM:fingerprint"),
     QuerySpec("lang_detect_ngram", lang_detect_ngram, LANG_DETECT_ORACLE, "LLM:langid"),
+    QuerySpec("pipe_training_corpus", pipe_training_corpus, PIPE_CORPUS_ORACLE, "LLM:pipeline-e2e"),
 ]

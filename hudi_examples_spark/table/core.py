@@ -312,12 +312,49 @@ class Table:
         files range-partitioned + sorted on ``cols`` so their min/max ranges
         become disjoint and ``scan`` pruning turns selective predicates into
         O(files_touched) IO. View-preserving replacecommit, like ``cluster``."""
+        return self._cluster_rewrite(
+            [F.col(c) for c in cols], n_files, {"operation": "cluster_sort", "sort_cols": cols}
+        )
+
+    def cluster_zorder(self, cols: list[str], n_files: int | None = None, bits: int = 8) -> str:
+        """Z-order clustering: interleave the bit representations of uniformly
+        quantized columns into one morton key, then range-layout on it — files
+        get locality in EVERY listed dimension, so ``scan`` prunes on any of
+        them (the multi-column answer where ``cluster_sort`` only helps its
+        leading column). Quantization bounds come from one tiny min/max agg;
+        the interleave is pure JVM bit arithmetic."""
+        bounds = self.read().agg(
+            *[F.min(c).cast("double").alias(f"lo_{c}") for c in cols],
+            *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
+        ).collect()[0]
+        n_buckets = 1 << bits
+        z = F.lit(0).cast("bigint")
+        for ci, c in enumerate(cols):
+            lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+            span = (hi - lo) or 1.0
+            b = F.least(
+                F.lit(n_buckets - 1),
+                F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * n_buckets),
+            ).cast("bigint")
+            for bit in range(bits):
+                z = z + F.shiftleft(
+                    F.shiftright(b, bit).bitwiseAND(F.lit(1)), bit * len(cols) + ci
+                ).cast("bigint")
+        return self._cluster_rewrite(
+            [z], n_files, {"operation": "cluster_zorder", "zorder_cols": cols}
+        )
+
+    def _cluster_rewrite(self, sort_exprs: list, n_files: int | None, meta: dict) -> str:
         if self.config.n_buckets:
-            raise ValueError("cluster_sort conflicts with bucket-index routing")
+            raise ValueError("sort/zorder clustering conflicts with bucket-index routing")
         instant = new_instant()
         current = self.read(with_meta=True)
         n = n_files or max(self.spark.sparkContext.defaultParallelism, 8)
-        out = current.repartitionByRange(n, *[F.col(c) for c in cols]).sortWithinPartitions(*cols)
+        out = (
+            current.repartitionByRange(n, *sort_exprs)
+            .sortWithinPartitions(*sort_exprs)
+            .select(*current.columns)  # drop any helper sort expression
+        )
         rels = self._write_files(out, instant, preserve_layout=True)
         old = list(self.timeline.live_files()[0].keys())
         self.timeline.write(
@@ -326,7 +363,7 @@ class Table:
                 "replacecommit",
                 rels,
                 old,
-                {"operation": "cluster_sort", "sort_cols": cols, "numOutputFileGroups": len(rels)},
+                {**meta, "numOutputFileGroups": len(rels)},
             )
         )
         return instant

@@ -85,3 +85,33 @@ def test_mor_logs_degrade_to_merged_read(spark, tmp_path):
 
 def test_scan_with_no_filters_is_snapshot(line_table):
     assert line_table.scan().count() == line_table.read().count()
+
+
+def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
+    """Z-order layout must make scans on EITHER column prune files; a plain
+    sort only helps its leading column."""
+    tbl = Table.create(
+        spark,
+        str(tmp_path / "z"),
+        "l_orderkey BIGINT, l_suppkey BIGINT, l_quantity DOUBLE",
+        TableConfig(stats_cols=["l_orderkey", "l_suppkey"]),
+    )
+    df = load_sf_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    tbl.insert(df.repartition(16))
+    tbl.cluster_zorder(["l_orderkey", "l_suppkey"], n_files=16)
+
+    want = tbl.read().filter("l_orderkey >= 100 AND l_orderkey <= 200")
+    got = tbl.scan([("l_orderkey", ">=", 100), ("l_orderkey", "<=", 200)])
+    assert _rows(got) == _rows(want)
+    ok_pruned = tbl.last_scan["pruned"]
+
+    lo, hi = 1, 3  # narrow suppkey slice
+    want2 = tbl.read().filter(f"l_suppkey >= {lo} AND l_suppkey <= {hi}")
+    got2 = tbl.scan([("l_suppkey", ">=", lo), ("l_suppkey", "<=", hi)])
+    assert _rows(got2) == _rows(want2)
+    sk_pruned = tbl.last_scan["pruned"]
+
+    assert ok_pruned > 0, "z-order must prune on the first dimension"
+    assert sk_pruned > 0, "z-order must prune on the second dimension too"
