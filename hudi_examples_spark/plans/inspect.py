@@ -49,6 +49,8 @@ def scan_profile(df: DataFrame) -> ScanProfile:
     prof.n_scans = len(re.findall(r"Scan parquet", text))
     prof.n_broadcast_joins = len(re.findall(r"BroadcastHashJoin", text))
     prof.n_sortmerge_joins = len(re.findall(r"SortMergeJoin", text))
-    prof.n_shuffles = len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", text))
-    prof.codegen_spans = len(set(re.findall(r"WholeStageCodegen \((\d+)\)", text)))
+    # formatted mode: each operator appears once as "(N) Exchange" in the
+    # details section; codegen membership shows as "[codegen id : N]"
+    prof.n_shuffles = len(re.findall(r"\(\d+\) Exchange\b", text))
+    prof.codegen_spans = len(set(re.findall(r"codegen id : (\d+)", text)))
     return prof

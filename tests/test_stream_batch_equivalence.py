@@ -113,3 +113,50 @@ def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
     # arrived after finalization and must not re-open or re-emit the window
     assert out.get("2024-01-01 10:00:00") == 2, f"got {out}"
     assert len([w for w in out if w == "2024-01-01 10:00:00"]) == 1
+
+
+def test_stream_session_window_equals_batch(spark, tmp_path):
+    """Session windows (5-min gap) over a chunked stream == batch session
+    aggregation — covers the session_window operator under streaming."""
+    events = load_sf_table(spark, SF_SMALL, "events").select("user_id", "ts").filter(
+        F.col("user_id") < 50
+    )
+    src = str(tmp_path / "sess_chunks")
+    events.withColumn("chunk", (F.col("user_id") % 3).cast("int")).write.partitionBy(
+        "chunk"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id BIGINT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/chunk=*")
+    )
+    # watermark wider than the data's time span: unlike the tumbling-window
+    # complete-mode operator, the session-merge operator DOES drop rows below
+    # the watermark, and the chunks deliver time out of order — the subject
+    # here is cross-batch session merging, not lateness (covered above)
+    agg = (
+        stream.withWatermark("ts", "400 days")
+        .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.select("user_id", F.col("w.start").alias("ws"), "n")
+        .writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    streamed = {(r["user_id"], r["ws"], r["n"]) for r in spark.table("sess_counts").collect()}
+    batch = {
+        (r["user_id"], r["ws"], r["n"])
+        for r in events.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("ws"), "n")
+        .collect()
+    }
+    assert streamed == batch
