@@ -282,6 +282,44 @@ ORDER BY l_orderkey, l_quantity, l_extendedprice
 """
 
 
+def tbl_rollup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental rollup maintenance under the oracle gate: per-segment
+    sum/count kept exact across insert + upsert batches purely from the CDC
+    feed (retraction-based deltas), never recomputed from the source."""
+    from hudi_examples_spark.streaming.rollup import IncrementalRollup
+
+    wd = _workdir("tbl_rollup_incremental", sf)
+    base = os.path.join(wd, "tbl")
+    tbl = Table.create(
+        spark,
+        base,
+        CUST_SCHEMA,
+        TableConfig(record_key=["c_custkey"], precombine="v", partition_by=["seg"]),
+    )
+    roll = IncrementalRollup(tbl, os.path.join(wd, "agg"), ["seg"], ["acctbal"])
+    tbl.insert(_cust_df(spark, sf))
+    roll.refresh()
+    tbl.upsert(_upsert_batch(spark, sf))
+    roll.refresh()
+    return roll.dst.read().select(
+        "seg", F.round("sum_acctbal", 2).alias("sum_acctbal"), "n_rows"
+    ).orderBy("seg")
+
+
+TBL_ROLLUP_ORACLE = """
+WITH final AS (
+  SELECT c_custkey, c_mktsegment AS seg,
+         c_acctbal + CASE WHEN c_custkey % 7 = 0 THEN 100.0 ELSE 0 END AS acctbal
+  FROM customer
+  UNION ALL
+  SELECT c_custkey + 1000000, c_mktsegment, c_acctbal
+  FROM customer WHERE c_custkey % 13 = 0
+)
+SELECT seg, round(sum(acctbal), 2) AS sum_acctbal, count(*) AS n_rows
+FROM final GROUP BY seg ORDER BY seg
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("tbl_upsert_cow", tbl_upsert_cow, UPSERT_FINAL_ORACLE, "M1,M2,M7"),
     QuerySpec("tbl_upsert_mor", tbl_upsert_mor, UPSERT_FINAL_ORACLE, "M7,MOR"),
@@ -293,4 +331,5 @@ SPECS: list[QuerySpec] = [
     QuerySpec("tbl_cdc_rollback", tbl_cdc_rollback, TBL_TT_ORACLE, "M13,M17"),
     QuerySpec("tbl_cdc_query", tbl_cdc_query, TBL_CDC_ORACLE, "M11,M13 CDC images"),
     QuerySpec("tbl_scan_pruned", tbl_scan_pruned, TBL_SCAN_ORACLE, "col-stats data skipping"),
+    QuerySpec("tbl_rollup_incremental", tbl_rollup_incremental, TBL_ROLLUP_ORACLE, "incremental rollup (CDC IVM)"),
 ]

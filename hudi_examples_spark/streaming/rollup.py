@@ -1,0 +1,106 @@
+"""Incremental rollup maintenance: a downstream aggregate table kept exact by
+consuming the CDC feed — the hypertable-continuous-aggregate shape on top of
+the keyed table layer.
+
+Why CDC and not latest-state incremental: maintaining SUM/COUNT deltas needs
+retractions — an update contributes (after - before), a delete contributes
+(-before). The latest-state feed can't express either; ``table_changes_cdc``
+gives both images, so each poll folds into the rollup with one groupBy and one
+keyed write (write_cdc: updates + zero-count deletions in a single commit).
+
+Scale: the delta aggregation shuffles only the CHANGED rows of the poll window
+(not the source table); the rollup upsert touches only the affected group
+keys' partitions. A 100 TB source with a 1 GB/hour change rate costs 1 GB of
+work per refresh, which is the entire point of incremental view maintenance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hudi_examples_spark.streaming.sources import cdc_source
+from hudi_examples_spark.table import Table, TableConfig
+
+
+class IncrementalRollup:
+    """Maintains ``dst`` = SELECT group_cols, sum(c) AS sum_c ... count(*) AS
+    n_rows FROM src GROUP BY group_cols, refreshed incrementally from src's
+    CDC feed. ``dst`` is itself a keyed table (record key = group cols), so
+    consumers get snapshots, time travel, and its own CDC feed for free."""
+
+    def __init__(self, src: Table, dst_base: str, group_cols: list[str], sum_cols: list[str]):
+        self.src = src
+        self.group_cols = list(group_cols)
+        self.sum_cols = list(sum_cols)
+        schema = ", ".join(
+            [f"{c} {src.schema[c].dataType.simpleString()}" for c in group_cols]
+            + [f"sum_{c} DOUBLE" for c in sum_cols]
+            + ["n_rows BIGINT"]
+        )
+        if Table.exists(dst_base):
+            self.dst = Table(src.spark, dst_base)
+        else:
+            self.dst = Table.create(
+                src.spark, dst_base, schema, TableConfig(record_key=list(group_cols))
+            )
+        self._poll = cdc_source(src)
+
+    def _deltas(self, cdc: DataFrame) -> DataFrame:
+        """Fold I/U/D events into per-group (d_sum_*, d_rows) deltas."""
+        after = cdc.filter(F.col("op") != "D").select(
+            *[F.col(f"after.{c}").alias(c) for c in self.group_cols],
+            *[F.col(f"after.{c}").cast("double").alias(f"v_{c}") for c in self.sum_cols],
+            F.lit(1).alias("rows"),
+        )
+        before = cdc.filter(F.col("op") != "I").select(
+            *[F.col(f"before.{c}").alias(c) for c in self.group_cols],
+            *[(-F.col(f"before.{c}").cast("double")).alias(f"v_{c}") for c in self.sum_cols],
+            F.lit(-1).alias("rows"),
+        )
+        return (
+            after.unionByName(before)
+            .groupBy(*self.group_cols)
+            .agg(
+                *[F.sum(f"v_{c}").alias(f"d_sum_{c}") for c in self.sum_cols],
+                F.sum("rows").cast("bigint").alias("d_rows"),
+            )
+        )
+
+    def refresh(self) -> bool:
+        """Poll the CDC feed once and fold it in. Returns False when no new
+        commits. One commit on ``dst`` per refresh (updates + deletes via the
+        CDC sink), so a crashed refresh re-polls from the same offset and the
+        rollup never half-applies."""
+        cdc = self._poll()
+        if cdc is None:
+            return False
+        delta = self._deltas(cdc)
+        cur = self.dst.read().select(
+            *self.group_cols,
+            *[F.col(f"sum_{c}").alias(f"cur_sum_{c}") for c in self.sum_cols],
+            F.col("n_rows").alias("cur_n"),
+        )
+        merged = delta.join(cur, self.group_cols, "left_outer").select(
+            *self.group_cols,
+            *[
+                (F.coalesce(f"cur_sum_{c}", F.lit(0.0)) + F.col(f"d_sum_{c}")).alias(f"sum_{c}")
+                for c in self.sum_cols
+            ],
+            (F.coalesce("cur_n", F.lit(0)) + F.col("d_rows")).alias("n_rows"),
+        )
+        out = merged.withColumn(
+            "_op", F.when(F.col("n_rows") <= 0, F.lit("D")).otherwise(F.lit("U"))
+        )
+        self.dst.write_cdc(out)
+        return True
+
+
+def rollup_matches_source(rollup: IncrementalRollup) -> DataFrame:
+    """Differential check helper: batch-recomputed aggregate over the CURRENT
+    source snapshot, shaped exactly like the rollup table."""
+    src = rollup.src.read()
+    return src.groupBy(*rollup.group_cols).agg(
+        *[F.sum(F.col(c).cast("double")).alias(f"sum_{c}") for c in rollup.sum_cols],
+        F.count(F.lit(1)).alias("n_rows"),
+    )

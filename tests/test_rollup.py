@@ -1,0 +1,72 @@
+"""Incremental rollup maintenance: after every refresh the rollup table must
+equal the batch aggregate of the current source snapshot — through inserts,
+updates (retraction + re-add), deletes, and group disappearance."""
+
+from __future__ import annotations
+
+from hudi_examples_spark.streaming.rollup import IncrementalRollup, rollup_matches_source
+from hudi_examples_spark.table import Table, TableConfig
+
+SCHEMA = "ts BIGINT, uuid STRING, fare DOUBLE, city STRING"
+
+
+def make_src(spark, tmp_path):
+    return Table.create(
+        spark,
+        str(tmp_path / "src"),
+        SCHEMA,
+        TableConfig(record_key=["uuid"], precombine="ts", partition_by=["city"]),
+    )
+
+
+def df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def assert_consistent(rollup):
+    got = sorted(map(tuple, rollup.dst.read().collect()))
+    want = sorted(map(tuple, rollup_matches_source(rollup).collect()))
+    assert got == want, f"rollup={got}\nbatch={want}"
+
+
+def test_rollup_tracks_source_through_dml(spark, tmp_path):
+    src = make_src(spark, tmp_path)
+    roll = IncrementalRollup(src, str(tmp_path / "agg"), ["city"], ["fare"])
+
+    src.insert(df(spark, [(1, "a", 10.0, "sf"), (1, "b", 20.0, "sf"), (1, "c", 5.0, "la")]))
+    assert roll.refresh() is True
+    assert_consistent(roll)
+
+    # update moves value AND partition (retraction from sf, add to la)
+    src.upsert(df(spark, [(2, "a", 50.0, "la"), (2, "d", 7.0, "ny")]))
+    assert roll.refresh() is True
+    assert_consistent(roll)
+
+    # delete the only ny row: its group must vanish from the rollup
+    src.delete(spark.createDataFrame([("d",)], "uuid STRING"))
+    assert roll.refresh() is True
+    assert_consistent(roll)
+    assert roll.dst.read().filter("city = 'ny'").count() == 0
+
+    # idempotent when nothing changed
+    assert roll.refresh() is False
+    assert_consistent(roll)
+
+
+def test_rollup_multi_sum_cols(spark, tmp_path):
+    src = Table.create(
+        spark,
+        str(tmp_path / "s2"),
+        "ts BIGINT, uuid STRING, fare DOUBLE, tip DOUBLE, city STRING",
+        TableConfig(record_key=["uuid"], precombine="ts"),
+    )
+    src.insert(
+        spark.createDataFrame(
+            [(1, "a", 10.0, 1.0, "sf"), (1, "b", 20.0, 2.0, "sf")],
+            "ts BIGINT, uuid STRING, fare DOUBLE, tip DOUBLE, city STRING",
+        )
+    )
+    roll = IncrementalRollup(src, str(tmp_path / "agg2"), ["city"], ["fare", "tip"])
+    roll.refresh()
+    row = roll.dst.read().collect()[0]
+    assert (row["sum_fare"], row["sum_tip"], row["n_rows"]) == (30.0, 3.0, 2)
