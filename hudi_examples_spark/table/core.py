@@ -935,15 +935,29 @@ class Table:
         )
         return instant
 
-    def should_compact(self, max_delta_commits: int = 5) -> bool:
-        """NUM_COMMITS trigger — ``DeltaStreamerExample.scala:52-55`` (5 delta commits)."""
-        n = 0
+    def should_compact(
+        self, max_delta_commits: int = 5, max_delta_seconds: float | None = None
+    ) -> bool:
+        """NUM_OR_TIME trigger — ``DeltaStreamerExample.scala:52-55`` (5 delta
+        commits OR 600 s since the oldest uncompacted delta). The age check
+        parses the oldest pending deltacommit's instant id (UTC timestamp)."""
+        pending = []
         for inst in reversed(self.timeline.completed_data_instants()):
             if inst.action == "deltacommit":
-                n += 1
+                pending.append(inst.instant)
             else:
                 break
-        return n >= max_delta_commits
+        if len(pending) >= max_delta_commits:
+            return True
+        if max_delta_seconds is not None and pending:
+            from datetime import datetime, timezone
+
+            oldest = min(pending)
+            t0 = datetime.strptime(oldest[:17], "%Y%m%d%H%M%S%f").replace(tzinfo=timezone.utc)
+            age = (datetime.now(timezone.utc) - t0).total_seconds()
+            if age >= max_delta_seconds:
+                return True
+        return False
 
     def cluster(self, n_buckets: int) -> str:
         """M15: clustering/bucket-resize — rewrite file groups with a new bucket

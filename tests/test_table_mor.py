@@ -143,3 +143,14 @@ def test_savepoint_pins_clean_and_restores(spark, tmp_path):
     assert tbl.read().filter("uuid='334e26e9'").collect()[0]["fare"] == 19.10
     tbl.release_savepoint(sp)
     assert sp not in tbl.savepoints()
+
+
+def test_should_compact_time_trigger(spark, tmp_path):
+    """NUM_OR_TIME: a single old deltacommit triggers on age even below the
+    commit-count threshold."""
+    tbl = make_table(spark, tmp_path, table_type="mor")
+    tbl.insert(trips_df(spark))
+    tbl.upsert(trips_df(spark, [(9999999999999, "334e26e9", "r", "d", 1.0, "san_francisco")]))
+    assert not tbl.should_compact(max_delta_commits=5)
+    assert not tbl.should_compact(max_delta_commits=5, max_delta_seconds=3600)
+    assert tbl.should_compact(max_delta_commits=5, max_delta_seconds=0.0)
