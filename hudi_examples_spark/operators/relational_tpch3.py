@@ -833,3 +833,78 @@ SPECS: list[QuerySpec] = [
     QuerySpec("j_asof_join", j_asof_join, J_ASOF_ORACLE, "custom asof"),
     QuerySpec("j_range_join", j_range_join, J_RANGE_ORACLE, "custom range"),
 ]
+
+
+# ---------------------------------------------------------------------------
+# Collection-function battery: arrays, maps, explode/unnest
+# ---------------------------------------------------------------------------
+
+
+def fn_array_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """Array function surface over collected-per-group data: collect → sort →
+    slice / element access / size / contains / flatten via explode round-trip.
+    One shuffle (the groupBy); everything else is JVM array expressions."""
+    n = t(spark, sf, "nation")
+    per_region = n.groupBy("n_regionkey").agg(
+        F.array_sort(F.collect_list("n_name")).alias("names")
+    )
+    return per_region.select(
+        "n_regionkey",
+        F.size("names").alias("n_nations"),
+        F.element_at("names", 1).alias("first_nation"),
+        F.element_at("names", -1).alias("last_nation"),
+        F.slice("names", 1, 2).alias("first_two"),
+        F.array_contains("names", "NATION_7").alias("has_n7"),
+        F.array_join(F.reverse("names"), "|").alias("reversed_joined"),
+    ).orderBy("n_regionkey")
+
+
+FN_ARRAY_ORACLE = """
+WITH per_region AS (
+  SELECT n_regionkey, list_sort(list(n_name)) AS names
+  FROM nation GROUP BY n_regionkey
+)
+SELECT n_regionkey,
+       len(names) AS n_nations,
+       names[1] AS first_nation,
+       names[-1] AS last_nation,
+       names[1:2] AS first_two,
+       list_contains(names, 'NATION_7') AS has_n7,
+       array_to_string(list_reverse(names), '|') AS reversed_joined
+FROM per_region ORDER BY n_regionkey
+"""
+
+
+def fn_explode_unnest(spark: SparkSession, sf: str) -> DataFrame:
+    """Explode round-trip: split text into words, explode, count word lengths —
+    the lateral-view/unnest shape (one row per element, parent cols carried)."""
+    d = t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    words_df = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    return (
+        words_df.groupBy(F.length("w").alias("word_len"))
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("word_len")
+    )
+
+
+FN_EXPLODE_ORACLE = """
+SELECT length(w) AS word_len, count(*) AS n_words, count(DISTINCT doc_id) AS n_docs
+FROM (
+  SELECT doc_id, unnest(list_filter(str_split(trim(text), ' '), x -> x <> '')) AS w
+  FROM documents WHERE doc_id < 100
+)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+SPECS.extend(
+    [
+        QuerySpec("fn_array_battery", fn_array_battery, FN_ARRAY_ORACLE, "§2.9 arrays"),
+        QuerySpec("fn_explode_unnest", fn_explode_unnest, FN_EXPLODE_ORACLE, "§2.9 explode"),
+    ]
+)
