@@ -125,8 +125,51 @@ class Engine:
                 self.tables.pop(m.group(1)).drop()
                 return None
             return None
+        if verb == "CALL":
+            return self._call(s)
         # SELECT / SHOW / narration — rewrite engine sugar then hand to spark.sql
         return self._select(s)
+
+    # --------------------------------------------------------------- CALL procs
+
+    def _call(self, s: str) -> DataFrame | None:
+        """Hudi Spark-SQL procedures (the SQL face of the table services):
+        CALL run_compaction('t') | run_clustering('t'[, buckets]) |
+        run_clean('t'[, retain]) | rollback_to_instant('t'[, instant]) |
+        create_savepoint('t') | show_commits('t') | show_savepoints('t')."""
+        m = re.match(r"CALL\s+(\w+)\s*\(\s*'(\w+)'\s*(?:,\s*([^)]+))?\)\s*$", s, re.I)
+        if not m:
+            raise ValueError(f"cannot parse CALL: {s[:120]}")
+        proc, name, arg = m.group(1).lower(), m.group(2), m.group(3)
+        tbl = self.table(name)
+        if proc == "run_compaction":
+            tbl.compact()
+            return None
+        if proc == "run_clustering":
+            tbl.cluster(int(arg)) if arg else tbl.cluster(tbl.config.n_buckets or 4)
+            return None
+        if proc == "run_clean":
+            tbl.clean(retain_commits=int(arg) if arg else 10)
+            return None
+        if proc == "rollback_to_instant":
+            tbl.rollback(arg.strip().strip("'") if arg else None)
+            return None
+        if proc == "create_savepoint":
+            tbl.savepoint(arg.strip().strip("'") if arg else None)
+            return None
+        if proc == "show_commits":
+            rows = [
+                (i.instant, i.action, i.meta.get("operation", ""), len(i.files_added), len(i.files_removed))
+                for i in tbl.timeline.completed_data_instants()
+            ]
+            return self.spark.createDataFrame(
+                rows, "instant STRING, action STRING, operation STRING, n_added INT, n_removed INT"
+            )
+        if proc == "show_savepoints":
+            return self.spark.createDataFrame(
+                [(sp,) for sp in tbl.savepoints()], "instant STRING"
+            )
+        raise ValueError(f"unknown procedure {proc}")
 
     # ------------------------------------------------------------------- CREATE
 

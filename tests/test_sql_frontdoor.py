@@ -190,3 +190,19 @@ def test_cdc_tvf_sql(engine):
     assert by_key["334e26e9"]["before_fare"] == 19.10
     assert by_key["c8abbe79"]["op"] == "D" and by_key["c8abbe79"]["after_fare"] is None
     assert by_key["newrow01"]["op"] == "I" and by_key["newrow01"]["before_fare"] is None
+
+
+def test_call_procedures(engine):
+    """Hudi-style CALL procedures: services + timeline introspection via SQL."""
+    engine.sql(QUICKSTART_DDL, params={"type": "mor"})
+    engine.sql(QUICKSTART_INSERTS)
+    engine.sql("UPDATE hudi_table SET fare = 1.0 WHERE rider = 'rider-A'")
+    commits = engine.sql("CALL show_commits('hudi_table')").collect()
+    assert len(commits) == 2 and {c["action"] for c in commits} == {"commit", "deltacommit"}
+    engine.sql("CALL run_compaction('hudi_table')")
+    commits = engine.sql("CALL show_commits('hudi_table')").collect()
+    assert any(c["action"] == "replacecommit" for c in commits)
+    engine.sql("CALL create_savepoint('hudi_table')")
+    assert engine.sql("CALL show_savepoints('hudi_table')").count() == 1
+    engine.sql("CALL rollback_to_instant('hudi_table')")  # undo the compaction
+    assert engine.sql("SELECT count(1) AS c FROM hudi_table").collect()[0]["c"] == 8
