@@ -50,6 +50,7 @@ op_st = st.one_of(
     st.builds(Op, st.just("compact"), st.just([])),
     st.builds(Op, st.just("merge_partial"), st.lists(row_st, min_size=1, max_size=3)),
     st.builds(Op, st.just("update_where"), st.just([])),
+    st.builds(Op, st.just("cluster_sort"), st.just([])),
 )
 
 
@@ -175,6 +176,11 @@ def apply_ops(spark, tbl: Table, model: Model, ops: list[Op]):
             inst = tbl.compact()
             if inst is not None:
                 model._snapshot()  # compaction commits a view-preserving snapshot
+                ckpt()
+        elif op.kind == "cluster_sort":
+            if tbl.latest_instant() is not None:
+                tbl.cluster_sort(["ts", "uuid"], n_files=4)
+                model._snapshot()  # view-preserving rewrite, like compaction
                 ckpt()
     return checkpoints
 
