@@ -1,0 +1,124 @@
+"""SURVEY §1 type-surface fidelity: every type the reference exercises
+(BIGINT, STRING, DOUBLE, DECIMAL(10,4), INT, BOOLEAN, DATE, TIMESTAMP) must
+round-trip the keyed table layer — create, insert, upsert, snapshot,
+time travel — with exact values and an unchanged schema.
+
+Parity: quickstart.sql:9-21 (DECIMAL(10,4)), consistent_hashing.sql:12-16
+(INT/BOOLEAN/DATE), Datagen.py:43 (DATE), HudiDataStreamWriter.java:109
+(TIMESTAMP(3)).
+"""
+
+from __future__ import annotations
+
+import datetime
+from decimal import Decimal
+
+from pyspark.sql.types import (
+    BooleanType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from hudi_examples_spark.table import Table, TableConfig
+
+SCHEMA = StructType(
+    [
+        StructField("ts", LongType()),
+        StructField("uuid", StringType()),
+        StructField("fare", DoubleType()),
+        StructField("tip", DecimalType(10, 4)),
+        StructField("seats", IntegerType()),
+        StructField("pool", BooleanType()),
+        StructField("ride_date", DateType()),
+        StructField("picked_at", TimestampType()),
+    ]
+)
+
+ROW1 = (
+    1,
+    "a",
+    19.1,
+    Decimal("12.3456"),
+    3,
+    True,
+    datetime.date(2024, 3, 7),
+    datetime.datetime(2024, 3, 7, 9, 16, 28, 123000),
+)
+ROW2 = (
+    1,
+    "b",
+    27.7,
+    Decimal("0.0001"),
+    1,
+    False,
+    datetime.date(2022, 12, 31),
+    datetime.datetime(2022, 12, 31, 23, 59, 59, 999000),
+)
+
+
+def test_all_reference_types_roundtrip(spark, tmp_path):
+    tbl = Table.create(
+        spark,
+        str(tmp_path / "t"),
+        SCHEMA,
+        TableConfig(record_key=["uuid"], precombine="ts"),
+    )
+    tbl.insert(spark.createDataFrame([ROW1, ROW2], SCHEMA))
+    got = tbl.read()
+    assert got.schema["tip"].dataType == DecimalType(10, 4)
+    assert [f.dataType for f in got.schema.fields] == [f.dataType for f in SCHEMA.fields]
+    rows = {r["uuid"]: r for r in got.collect()}
+    assert rows["a"]["tip"] == Decimal("12.3456")
+    assert rows["a"]["pool"] is True and rows["b"]["pool"] is False
+    assert rows["a"]["ride_date"] == datetime.date(2024, 3, 7)
+    assert rows["b"]["picked_at"] == datetime.datetime(2022, 12, 31, 23, 59, 59, 999000)
+
+    first = tbl.latest_instant()
+    upd = (2, "a", 25.0, Decimal("9999.9999"), 4, False, ROW1[6], ROW1[7])
+    tbl.upsert(spark.createDataFrame([upd], SCHEMA))
+    rows = {r["uuid"]: r for r in tbl.read().collect()}
+    assert rows["a"]["tip"] == Decimal("9999.9999") and rows["a"]["seats"] == 4
+    # time travel preserves the original typed values
+    old = {r["uuid"]: r for r in tbl.read(as_of=first).collect()}
+    assert old["a"]["tip"] == Decimal("12.3456") and old["a"]["pool"] is True
+
+
+def test_decimal_precision_in_aggregation(spark, tmp_path):
+    """DECIMAL sums stay exact (no float drift) through the table layer."""
+    tbl = Table.create(
+        spark,
+        str(tmp_path / "d"),
+        SCHEMA,
+        TableConfig(record_key=["uuid"], precombine="ts"),
+    )
+    rows = [
+        (1, f"k{i}", 0.0, Decimal("0.1000"), 1, True, ROW1[6], ROW1[7]) for i in range(100)
+    ]
+    tbl.insert(spark.createDataFrame(rows, SCHEMA))
+    from pyspark.sql import functions as F
+
+    total = tbl.read().agg(F.sum("tip").alias("s")).collect()[0]["s"]
+    assert total == Decimal("10.0000")  # 100 × 0.1 exact, which doubles cannot do
+
+
+def test_date_partitioning(spark, tmp_path):
+    """DATE as the hive partition column (Datagen.py partition shape)."""
+    tbl = Table.create(
+        spark,
+        str(tmp_path / "p"),
+        SCHEMA,
+        TableConfig(record_key=["uuid"], precombine="ts", partition_by=["ride_date"]),
+    )
+    tbl.insert(spark.createDataFrame([ROW1, ROW2], SCHEMA))
+    import os
+
+    dirs = [d for d in os.listdir(tbl.base) if d.startswith("ride_date=")]
+    assert sorted(dirs) == ["ride_date=2022-12-31", "ride_date=2024-03-07"]
+    assert tbl.read().filter("ride_date = DATE'2024-03-07'").count() == 1
