@@ -79,10 +79,19 @@ class TableConfig:
     #: the data-skipping analogue of Hudi's metadata col_stats partition);
     #: Table.scan() prunes files with these before Spark ever opens them
     stats_cols: list[str] = field(default_factory=list)
+    #: key-index scope (Hudi ``hoodie.index.type`` GLOBAL_SIMPLE vs SIMPLE):
+    #: "global" locates incoming keys across ALL partitions (an upsert that
+    #: changes a partition column MOVES the record); "partition" trusts the
+    #: batch's own partition values and skips the location scan entirely —
+    #: O(batch) planning, but a partition-changing upsert leaves the old row
+    #: in place (exactly Hudi's non-global index contract).
+    index_type: str = "global"
 
     def __post_init__(self):
         if self.table_type not in ("cow", "mor"):
             raise ValueError(f"table_type must be cow|mor, got {self.table_type}")
+        if self.index_type not in ("global", "partition"):
+            raise ValueError(f"index_type must be global|partition, got {self.index_type}")
 
 
 class Table:
@@ -224,7 +233,7 @@ class Table:
                 n += 1
         shutil.rmtree(staging, ignore_errors=True)
         rels = sorted(rels)
-        if self.config.stats_cols:
+        if self._stat_cols():
             self._write_file_stats(instant, rels)
         return rels
 
@@ -232,8 +241,19 @@ class Table:
 
     STATS_DIR = "_stats"
 
+    def _stat_cols(self) -> list[str]:
+        """Columns recorded in the per-file stats sidecars: the user-declared
+        ``stats_cols`` plus, for keyed tables, the record key itself — the
+        key-range index that lets keyed writes and CDC reads prune their
+        location scans to O(touched files) (Hudi's bloom-index range-pruning
+        phase, built from parquet footers instead of a bloom sidecar)."""
+        cols = list(self.config.stats_cols)
+        if self.config.record_key and META_KEY not in cols:
+            cols.append(META_KEY)
+        return cols
+
     def _write_file_stats(self, instant: str, rels: list[str]) -> None:
-        """Record per-file min/max of ``stats_cols`` from the parquet footers
+        """Record per-file min/max of ``_stat_cols()`` from the parquet footers
         just written (no data re-read — footer metadata only). Stored as one
         JSON sidecar per instant, so planning stays O(instants): a scan loads
         the sidecars of live instants and never opens pruned files."""
@@ -244,7 +264,7 @@ class Table:
             md = pq.ParquetFile(os.path.join(self.base, rel)).metadata
             col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
             per_col: dict[str, list] = {}
-            for col in self.config.stats_cols:
+            for col in self._stat_cols():
                 if col not in col_idx:
                     continue
                 lo, hi = None, None
@@ -277,6 +297,46 @@ class Table:
                 with open(os.path.join(d, fn)) as f:
                     out.update(json.load(f))
         return out
+
+    def _prune_files_by_keys(self, rels: list[str], keys_df: DataFrame) -> list[str]:
+        """Drop files whose recorded record-key [min, max] range cannot contain
+        any key in ``keys_df`` (a DataFrame with a ``_hoodie_record_key``
+        column). This is the range-pruning phase of Hudi's bloom index: the
+        per-file key ranges (bounded metadata, broadcast) are range-joined
+        against the incoming keys JVM-side, and only matching file names come
+        back to the driver. Files with no recorded range are always kept —
+        pruning is never lossy. With keys clustered per file (sequential ids,
+        sorted bulk loads) this makes keyed-write planning O(touched files);
+        with uniformly random keys it degrades to the full list, exactly like
+        Hudi's range pruning."""
+        if not rels:
+            self.last_key_prune = {"total": 0, "candidates": 0}
+            return []
+        stats = self._load_file_stats()
+        ranged, unknown = [], []
+        for r in rels:
+            kr = (stats.get(r) or {}).get(META_KEY)
+            if kr is not None:
+                ranged.append((r, str(kr[0]), str(kr[1])))
+            else:
+                unknown.append(r)
+        if not ranged:
+            self.last_key_prune = {"total": len(rels), "candidates": len(rels)}
+            return list(rels)
+        rng = self.spark.createDataFrame(ranged, "rel STRING, lo STRING, hi STRING")
+        keys = keys_df.select(F.col(META_KEY).cast("string").alias("__k")).distinct()
+        hit = (
+            keys.join(
+                F.broadcast(rng),
+                (F.col("__k") >= F.col("lo")) & (F.col("__k") <= F.col("hi")),
+            )
+            .select("rel")
+            .distinct()
+            .collect()
+        )
+        kept = sorted({r["rel"] for r in hit} | set(unknown))
+        self.last_key_prune = {"total": len(rels), "candidates": len(kept)}
+        return kept
 
     def scan(self, filters: list[tuple] | None = None, as_of: str | None = None) -> DataFrame:
         """Data-skipping snapshot scan: prune files whose recorded [min, max]
@@ -345,9 +405,14 @@ class Table:
         )
 
     def _cluster_rewrite(self, sort_exprs: list, n_files: int | None, meta: dict) -> str:
+        """Full-table layout rewrite, published under OCC (table services take
+        the same lock as writers — Hudi requires this for clustering): any
+        commit landing after our snapshot aborts the publish instead of being
+        silently clobbered by the replacecommit."""
         if self.config.n_buckets:
             raise ValueError("sort/zorder clustering conflicts with bucket-index routing")
         instant = new_instant()
+        old_files, latest = self.timeline.live_files()
         current = self.read(with_meta=True)
         n = n_files or max(self.spark.sparkContext.defaultParallelism, 8)
         out = (
@@ -356,15 +421,16 @@ class Table:
             .select(*current.columns)  # drop any helper sort expression
         )
         rels = self._write_files(out, instant, preserve_layout=True)
-        old = list(self.timeline.live_files()[0].keys())
-        self.timeline.write(
+        self._publish_occ(
             Instant(
                 instant,
                 "replacecommit",
                 rels,
-                old,
+                sorted(old_files),
                 {**meta, "numOutputFileGroups": len(rels)},
-            )
+            ),
+            since=latest,
+            partitions=None,  # full-table rewrite conflicts with any concurrent commit
         )
         return instant
 
@@ -479,6 +545,39 @@ class Table:
         ).drop("__last_del")
         return self._latest_wins(alive)
 
+    #: above this many live log bytes the distinct log-key set stops being
+    #: safely broadcastable and the MOR merge falls back to one global
+    #: key-shuffle window over base ∪ logs
+    MOR_BROADCAST_LOG_BYTES = 256 * 1024 * 1024
+
+    def _merge_mor_pruned(self, base_rels: list[str], log_rels: list[str]) -> DataFrame:
+        """MOR snapshot merge whose shuffle is sized to the LOGS, not the table:
+        base rows whose key no log touches stream through with NO exchange
+        (broadcast anti-join against the distinct log keys); only rows of
+        log-touched keys (their base versions ∪ all logs) go through the
+        key-window resolution — a shuffle of O(changes). This is the Spark
+        re-expression of Hudi's per-file-group merge (logs are tiny relative
+        to base, so the merge work should be too); log size is known
+        driver-side from the manifest, so the plan choice costs no job.
+        Falls back to the single global key-window merge for pk-less tables or
+        when live log bytes exceed MOR_BROADCAST_LOG_BYTES. Base files never
+        carry live tombstones (initial loads and compaction outputs are merged
+        views), so untouched base rows are final as-is."""
+        base = self._read_files(base_rels, with_deleted=True)
+        logs = self._read_files(log_rels, with_deleted=True)
+        log_bytes = sum(
+            os.path.getsize(p)
+            for r in log_rels
+            if os.path.exists(p := os.path.join(self.base, r))
+        )
+        if not self.config.record_key or log_bytes > self.MOR_BROADCAST_LOG_BYTES:
+            return self._merge_mor(base.unionByName(logs)).drop(META_DELETED)
+        keys = F.broadcast(logs.select(META_KEY).distinct())
+        untouched = base.join(keys, META_KEY, "left_anti").filter(~F.col(META_DELETED))
+        touched = base.join(keys, META_KEY, "left_semi")
+        resolved = self._merge_mor(touched.unionByName(logs))
+        return untouched.drop(META_DELETED).unionByName(resolved.drop(META_DELETED))
+
     # ------------------------------------------------------------------ reads
 
     def read(self, as_of: str | None = None, with_meta: bool = False) -> DataFrame:
@@ -490,10 +589,23 @@ class Table:
         if self.config.table_type == "cow" or not log_rels:
             df = self._read_files(base_rels, with_deleted=False)
         else:
-            base = self._read_files(base_rels, with_deleted=True)
-            logs = self._read_files(log_rels, with_deleted=True)
-            df = self._merge_mor(base.unionByName(logs)).drop(META_DELETED)
+            df = self._merge_mor_pruned(base_rels, log_rels)
         return df if with_meta else df.drop(*META_COLS)
+
+    def _snapshot_of(self, files: dict, rels: list[str]) -> DataFrame:
+        """Merged snapshot view over a SUBSET of a snapshot's live files (the
+        pruned-read primitive behind the CDC query). Callers must pass a
+        subset that is closed over record keys of interest — i.e. every live
+        file that might hold a wanted key (``_prune_files_by_keys`` guarantees
+        this) — or the key-window merge could resolve against missing
+        versions."""
+        base_rels = sorted(r for r in rels if files[r][1] != "deltacommit")
+        log_rels = sorted(r for r in rels if files[r][1] == "deltacommit")
+        if self.config.table_type == "cow" or not log_rels:
+            return self._read_files(base_rels, with_deleted=False)
+        base = self._read_files(base_rels, with_deleted=True)
+        logs = self._read_files(log_rels, with_deleted=True)
+        return self._merge_mor(base.unionByName(logs)).drop(META_DELETED)
 
     def read_point(self, **key_vals) -> DataFrame:
         """Bucket-index point lookup: prune to the key's ``__bucket=N`` file group
@@ -563,16 +675,37 @@ class Table:
         op = 'I' (absent at start, present at end), 'U' (present at both),
         'D' (present at start, gone by end). Intra-range churn nets out
         (insert+delete inside the range emits nothing) — snapshot-diff
-        semantics. Cost: two manifest-pruned snapshot reads + one key join;
-        both reads prune files by commit range through the timeline, no log
-        replay needed.
+        semantics, but priced at O(changes), not O(2×table): the touched-key
+        set comes from the files the window's instants added/removed (the
+        manifest knows both), and the before/after snapshot reads are pruned
+        to the files whose record-key range can hold a touched key. A key
+        untouched by the window never has its file opened. (A compaction
+        inside the window inflates the touched set to its output — rows keep
+        their original commit times, so the result is still exact.)
         """
         if not self.config.record_key:
             raise ValueError("CDC query requires a record key")
         lo = normalize_as_of(start)
-        after_snap = self.read(as_of=end, with_meta=True)
-        before_snap = self.read(as_of=lo, with_meta=True)
+        hi = normalize_as_of(end) if end else None
+        files_end, _ = self.timeline.live_files(hi)
+        files_lo, _ = self.timeline.live_files(lo)
+        window_live = [r for r, (i, _a) in files_end.items() if i > lo]
+        removed_in_window = [r for r in files_lo if r not in files_end]
+        touched_rels = sorted(set(window_live) | set(removed_in_window))
         row = F.struct(*self.data_cols)
+        if not touched_rels:
+            return self._empty().select(
+                F.col(META_KEY).alias("key"),
+                F.lit("I").alias("op"),
+                row.alias("before"),
+                row.alias("after"),
+                F.col(META_COMMIT).alias("commit_time"),
+            ).limit(0)
+        touched = self._read_files(touched_rels, with_deleted=True).select(META_KEY).distinct()
+        before_rels = self._prune_files_by_keys(sorted(files_lo), touched)
+        after_rels = self._prune_files_by_keys(sorted(files_end), touched)
+        before_snap = self._snapshot_of(files_lo, before_rels).join(touched, META_KEY, "left_semi")
+        after_snap = self._snapshot_of(files_end, after_rels).join(touched, META_KEY, "left_semi")
         b = before_snap.select(F.col(META_KEY).alias("key"), row.alias("before"))
         changed = after_snap.filter(F.col(META_COMMIT) > lo).select(
             F.col(META_KEY).alias("key"),
@@ -743,19 +876,22 @@ class Table:
         """Distinct partition paths of the incoming batches → predicate over live
         files. The only collect in the write path (bounded by partition count).
 
-        Partition location is GLOBAL-index style (Hudi GLOBAL_SIMPLE with
-        ``update.partition.path``): a keyed batch touches BOTH its own partition
-        paths and the partitions its keys currently live in, found by joining
-        keys against a column-pruned (key, partition) meta scan — so an upsert
-        that changes a record's partition column moves the record instead of
-        duplicating it, and delete-by-key works without partition columns.
+        Partition location is GLOBAL-index style by default (Hudi GLOBAL_SIMPLE
+        with ``update.partition.path``): a keyed batch touches BOTH its own
+        partition paths and the partitions its keys currently live in, found by
+        joining keys against a column-pruned (key, partition) meta scan — so an
+        upsert that changes a record's partition column moves the record instead
+        of duplicating it, and delete-by-key works without partition columns.
         (MOR reads get the same guarantee from the key-window merge; this keeps
-        COW snapshots identical.) The meta scan reads 2 columns of the live
-        files — the per-write price of a global index; bucket-index tables
-        could skip it by hash-routing, accepted here for exact key semantics.
+        COW snapshots identical.) The location scan is pruned by the per-file
+        record-key ranges (``_prune_files_by_keys``) before any file opens, so
+        its cost is O(files whose key range overlaps the batch), not O(table).
+        ``index_type="partition"`` skips the location scan entirely and trusts
+        the batch's own partition values (Hudi SIMPLE, non-global).
         """
         if not self.config.partition_by:
             return None  # unpartitioned: all files touched
+        global_index = self.config.index_type == "global"
         paths = None
         for df in dfs:
             if df is None:
@@ -763,18 +899,34 @@ class Table:
             ps = []
             if all(c in df.columns for c in self.config.partition_by):
                 ps.append(df.select(self._partition_expr().alias("p")).distinct())
-            if self.config.record_key and all(c in df.columns for c in self.config.record_key):
+            elif not global_index:
+                # partition-scoped index + a batch without partition columns
+                # (delete-by-key): no way to locate — treat all as touched
+                return None
+            if (
+                global_index
+                and self.config.record_key
+                and all(c in df.columns for c in self.config.record_key)
+            ):
                 files, _ = self.timeline.live_files()
                 if files:
-                    existing = self._read_files(sorted(files), with_deleted=False).select(
-                        META_KEY, META_PARTITION
-                    )
                     keys = df.select(self._key_expr().alias(META_KEY)).distinct()
-                    ps.append(
-                        existing.join(keys, META_KEY)
-                        .select(F.col(META_PARTITION).alias("p"))
-                        .distinct()
-                    )
+                    rels = self._prune_files_by_keys(sorted(files), keys)
+                    if rels:
+                        existing = self._read_files(rels, with_deleted=False).select(
+                            META_KEY, META_PARTITION
+                        )
+                        ps.append(
+                            existing.join(keys, META_KEY)
+                            .select(F.col(META_PARTITION).alias("p"))
+                            .distinct()
+                        )
+                    else:
+                        # key ranges prove no live file holds any incoming key:
+                        # the location result is known-empty without a scan
+                        ps.append(
+                            self.spark.createDataFrame([], "p STRING")
+                        )
             if not ps:
                 return None  # cannot locate: treat all partitions as touched
             for p in ps:
@@ -873,6 +1025,10 @@ class Table:
             if k in self.config.partition_by
         )
 
+    #: stale-lock expiry — a publish holds the lock for milliseconds (conflict
+    #: scan + one rename), so anything older than this is a dead holder
+    LOCK_TTL_SECONDS = 60.0
+
     def _publish_occ(self, inst: Instant, since: str, partitions: set | None) -> None:
         """Optimistic concurrency control (Hudi OCC + lock-provider shape):
         under a filesystem lock, reject the publish if any instant committed
@@ -891,14 +1047,30 @@ class Table:
         while fd is None:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, json.dumps({"pid": os.getpid(), "ts": _time.time()}).encode())
             except FileExistsError:
+                # crash recovery (Hudi FileSystemBasedLockProvider expiry): a
+                # holder that died between acquire and release would otherwise
+                # block every publish forever — break locks past their TTL
+                try:
+                    if _time.time() - os.path.getmtime(lock) > self.LOCK_TTL_SECONDS:
+                        os.unlink(lock)
+                        continue
+                except OSError:
+                    continue  # holder released/broke it concurrently — retry
                 if _time.time() > deadline:
                     raise TimeoutError(f"timeline lock held too long: {lock}")
                 _time.sleep(0.05)
         try:
             ours_removed = set(inst.files_removed)
             for other in self.timeline.completed_data_instants():
-                if other.instant <= (since or "") or other.instant == inst.instant:
+                if other.instant == inst.instant:
+                    # a same-millisecond instant from another process: publishing
+                    # would os.replace its commit file — reject, caller re-mints
+                    raise ConcurrentWriteConflict(
+                        f"instant id {inst.instant} already published by a concurrent writer"
+                    )
+                if other.instant <= (since or ""):
                     continue
                 their_files = set(other.files_removed) | set(other.files_added)
                 if ours_removed & set(other.files_removed):
@@ -922,16 +1094,49 @@ class Table:
     # ------------------------------------------------------------- services
 
     def compact(self) -> str | None:
-        """M14: merge MOR log files into fresh base files (one replacecommit)."""
-        files, _ = self.timeline.live_files()
-        log_rels = [r for r, (_, a) in files.items() if a == "deltacommit"]
+        """M14: merge MOR log files into fresh base files (one replacecommit).
+
+        Partition-scoped (Hudi compacts per file group, never per table —
+        ``DeltaStreamerExample.scala:48-55``, ``flink/.README.md:57-69``): only
+        file groups (hive-partition [+ ``__bucket``] dirs) holding live log
+        files are merged and rewritten; every untouched base file is carried
+        forward by manifest reference, so a 100 TB table with 1% hot
+        partitions compacts ~1% of its bytes. Because the key index is global
+        (a log row may supersede a base row in ANOTHER partition after a
+        partition-changing upsert), base files outside the log dirs whose
+        record-key range overlaps the log keys are pulled into the merge too;
+        without key-range stats that check conservatively degrades to a full
+        compaction. Publishes under OCC so a concurrent writer or competing
+        compactor can't double-apply the same logs."""
+        files, latest = self.timeline.live_files()
+        log_rels = sorted(r for r, (_, a) in files.items() if a == "deltacommit")
         if not log_rels:
             return None
+        log_dirs = {os.path.dirname(r) for r in log_rels}
+        base_rels = sorted(r for r, (_, a) in files.items() if a != "deltacommit")
+        in_dirs = [r for r in base_rels if os.path.dirname(r) in log_dirs]
+        outside = [r for r in base_rels if os.path.dirname(r) not in log_dirs]
+        moved: list[str] = []
+        if outside:
+            logs_keys = self._read_files(log_rels, with_deleted=True).select(META_KEY)
+            moved = self._prune_files_by_keys(outside, logs_keys)
+        merge_base = sorted(set(in_dirs) | set(moved))
+        touched = sorted(set(merge_base) | set(log_rels))
         instant = new_instant()
-        merged = self.read(with_meta=True)  # merged latest view, tombstones dropped
+        base = self._read_files(merge_base, with_deleted=True)
+        logs = self._read_files(log_rels, with_deleted=True)
+        merged = self._merge_mor(base.unionByName(logs)).drop(META_DELETED)
         rels = self._write_files(merged, instant)
-        self.timeline.write(
-            Instant(instant, "replacecommit", rels, list(files.keys()), {"operation": "compaction"})
+        self._publish_occ(
+            Instant(
+                instant,
+                "replacecommit",
+                rels,
+                touched,
+                {"operation": "compaction", "numFileGroupsCompacted": len(log_dirs)},
+            ),
+            since=latest,
+            partitions={self._partition_of(r) for r in touched},
         )
         return instant
 
@@ -961,22 +1166,32 @@ class Table:
 
     def cluster(self, n_buckets: int) -> str:
         """M15: clustering/bucket-resize — rewrite file groups with a new bucket
-        count (consistent-hash split 1→8 of ``consistent_hashing.sql:44-49``)."""
+        count (consistent-hash split 1→8 of ``consistent_hashing.sql:44-49``).
+        OCC-published; the bucket-count change rolls back if a concurrent
+        commit wins the race."""
         instant = new_instant()
-        old_files = list(self.timeline.live_files()[0].keys())
+        old_files, latest = self.timeline.live_files()
+        old_n = self.config.n_buckets
         self.config.n_buckets = n_buckets
         self._save_props()
-        snapshot = self.read(with_meta=True)
-        rels = self._write_files(snapshot, instant)
-        self.timeline.write(
-            Instant(
-                instant,
-                "replacecommit",
-                rels,
-                old_files,
-                {"operation": "clustering", "numOutputFileGroups": n_buckets},
+        try:
+            snapshot = self.read(with_meta=True)
+            rels = self._write_files(snapshot, instant)
+            self._publish_occ(
+                Instant(
+                    instant,
+                    "replacecommit",
+                    rels,
+                    sorted(old_files),
+                    {"operation": "clustering", "numOutputFileGroups": n_buckets},
+                ),
+                since=latest,
+                partitions=None,  # full-table rewrite conflicts with any concurrent commit
             )
-        )
+        except BaseException:
+            self.config.n_buckets = old_n
+            self._save_props()
+            raise
         return instant
 
     def maybe_split_buckets(
@@ -1102,10 +1317,19 @@ class Table:
         """Remove orphan data files with no timeline entry (a write that died before
         its atomic timeline publish) and stale staging dirs. Readers are already
         immune (manifest-driven); this reclaims space."""
+        import time as _time
+
         known: set[str] = set()
         for inst in self.timeline.instants():
             known.update(inst.files_added)
         removed: list[str] = []
+        lock = os.path.join(self.base, TIMELINE_DIR, "_lock")
+        try:
+            if os.path.exists(lock) and _time.time() - os.path.getmtime(lock) > self.LOCK_TTL_SECONDS:
+                os.unlink(lock)
+                removed.append(os.path.join(TIMELINE_DIR, "_lock"))
+        except OSError:
+            pass
         staging_root = os.path.join(self.base, ".staging")
         if os.path.isdir(staging_root):
             for d in os.listdir(staging_root):
