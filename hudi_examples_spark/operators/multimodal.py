@@ -58,18 +58,23 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_media(df: DataFrame) -> DataFrame:
+def decode_media(df: DataFrame, use_codec: bool = False) -> DataFrame:
     """Decode stage: payload → (media_id, kind, n_bytes, width, height, ok).
 
-    With no codec library present this uses the deterministic fake (byte length +
-    meta dimensions); the mapInPandas contract — schema, Arrow batching, per-batch
-    vectorized work — is exactly what a real decoder plugs into.
+    The deterministic fake (byte length + meta dimensions) is the DEFAULT —
+    library presence alone never changes behavior; the real pixel decoder is
+    an explicit opt-in via ``use_codec=True`` (raises until a codec path is
+    wired, ImportError without Pillow). The mapInPandas contract — schema,
+    Arrow batching, per-batch vectorized work — is exactly what a real
+    decoder plugs into.
     """
+    if use_codec and not _HAVE_PIL:
+        raise ImportError("use_codec=True requires Pillow, which is not installed")
     out_schema = "media_id BIGINT, kind STRING, n_bytes INT, width INT, height INT, ok BOOLEAN"
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if _HAVE_PIL and (pdf["kind"] == "image").any():
+            if use_codec and (pdf["kind"] == "image").any():
                 # real path would decode pixels here
                 raise NotImplementedError("real image decode not exercised in this container")
             meta = pdf["meta"].map(lambda s: json.loads(s) if s else {})
@@ -109,20 +114,24 @@ def frame_sample(df: DataFrame, frame_bytes: int = 32, every_n: int = 4) -> Data
     return df.filter(F.col("kind") == "video").mapInPandas(sample, out_schema)
 
 
-def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+def resize_media(df: DataFrame, width: int, height: int, use_codec: bool = False) -> DataFrame:
     """Resize stage: payload → fixed ``width*height`` bytes + updated meta.
 
     Deterministic fake resample (truncate / cyclic-pad the byte stream to the
-    target pixel count); with PIL present this is where ``Image.resize`` slots
-    in — schema, Arrow batching, and meta rewrite are the real contract.
+    target pixel count) by DEFAULT; the real ``Image.resize`` path is an
+    explicit opt-in via ``use_codec=True`` — mere library presence must not
+    flip an operator from deterministic to failing. Schema, Arrow batching,
+    and meta rewrite are the real contract either way.
     """
+    if use_codec and not _HAVE_PIL:
+        raise ImportError("use_codec=True requires Pillow, which is not installed")
     out_schema = "media_id BIGINT, kind STRING, payload BINARY, meta STRING"
     target = width * height
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         meta_str = json.dumps({"width": width, "height": height})
         for pdf in batches:
-            if _HAVE_PIL and (pdf["kind"] == "image").any():
+            if use_codec and (pdf["kind"] == "image").any():
                 raise NotImplementedError("real image resize not exercised in this container")
             out = []
             for payload in pdf["payload"]:

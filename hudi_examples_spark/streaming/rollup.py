@@ -19,7 +19,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hudi_examples_spark.streaming.sources import cdc_source
 from hudi_examples_spark.table import Table, TableConfig
 
 
@@ -44,7 +43,18 @@ class IncrementalRollup:
             self.dst = Table.create(
                 src.spark, dst_base, schema, TableConfig(record_key=list(group_cols))
             )
-        self._poll = cdc_source(src)
+        # restart safety: the last-consumed source instant rides in dst's own
+        # commit metadata (written atomically with the folded delta), so a
+        # rebuilt rollup resumes exactly where the last durable commit left
+        # off instead of re-applying history onto existing aggregates
+        self._offset = self._recover_offset()
+
+    def _recover_offset(self) -> str:
+        for inst in reversed(self.dst.timeline.completed_data_instants()):
+            off = inst.meta.get("src_offset")
+            if off:
+                return off
+        return "0"
 
     def _deltas(self, cdc: DataFrame) -> DataFrame:
         """Fold I/U/D events into per-group (d_sum_*, d_rows) deltas."""
@@ -69,12 +79,15 @@ class IncrementalRollup:
 
     def refresh(self) -> bool:
         """Poll the CDC feed once and fold it in. Returns False when no new
-        commits. One commit on ``dst`` per refresh (updates + deletes via the
-        CDC sink), so a crashed refresh re-polls from the same offset and the
-        rollup never half-applies."""
-        cdc = self._poll()
-        if cdc is None:
+        commits. One commit on ``dst`` per refresh carrying BOTH the folded
+        delta and the consumed source offset (``src_offset`` in commit meta),
+        so a crash at any point either leaves the old offset (refresh re-runs
+        the same exactly-bounded window) or the new one (the window is fully
+        applied) — never half."""
+        latest = self.src.latest_instant()
+        if latest is None or latest <= self._offset:
             return False
+        cdc = self.src.table_changes_cdc(start=self._offset, end=latest)
         delta = self._deltas(cdc)
         cur = self.dst.read().select(
             *self.group_cols,
@@ -92,7 +105,8 @@ class IncrementalRollup:
         out = merged.withColumn(
             "_op", F.when(F.col("n_rows") <= 0, F.lit("D")).otherwise(F.lit("U"))
         )
-        self.dst.write_cdc(out)
+        self.dst.write_cdc(out, extra_meta={"src_offset": latest})
+        self._offset = latest
         return True
 
 

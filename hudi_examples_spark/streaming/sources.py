@@ -28,7 +28,11 @@ def incremental_source(table: Table, start: str = "earliest") -> Callable[[], Da
         last = state["last"]
         if latest is None or (last != "earliest" and latest <= last):
             return None
-        df = table.table_changes(start=last)
+        # end-bounded at the captured offset: a commit landing between
+        # latest_instant() and the read belongs to the NEXT poll — without the
+        # bound it would be delivered twice (once now, once after the offset
+        # advances past it)
+        df = table.table_changes(start=last, end=latest)
         state["last"] = latest
         return df
 
@@ -47,7 +51,9 @@ def cdc_source(table: Table, start: str = "earliest") -> Callable[[], DataFrame 
         last = state["last"]
         if latest is None or latest <= last:
             return None
-        df = table.table_changes_cdc(start=last)
+        # end=latest: the read window must match the offset advance exactly —
+        # see incremental_source on the double-delivery race
+        df = table.table_changes_cdc(start=last, end=latest)
         state["last"] = latest
         return df
 

@@ -846,20 +846,30 @@ class Table:
 
         return self._write_changes(upserts=upserts, deletes=deletes, op="merge")
 
-    def write_cdc(self, df: DataFrame, op_col: str = "_op") -> str:
+    def write_cdc(self, df: DataFrame, op_col: str = "_op", extra_meta: dict | None = None) -> str:
         """M13: CDC batch with row kinds — ``_op ∈ {I,U,D}`` interpreted by one sink
-        (parity: ``RowKind.DELETE`` through the same writer, ``HudiDataStreamWriter.java:170-182``)."""
+        (parity: ``RowKind.DELETE`` through the same writer, ``HudiDataStreamWriter.java:170-182``).
+        ``extra_meta`` rides in the commit's timeline metadata — the hook that
+        lets a consumer persist its source offset atomically with the data it
+        derived from that offset (exactly-once across restarts)."""
         ups = df.filter(F.col(op_col).isin("I", "U", "+I", "+U")).drop(op_col)
         dels = df.filter(F.col(op_col).isin("D", "-D")).drop(op_col)
         return self._write_changes(
             upserts=self._conform(ups),
             deletes=dels,
             op="cdc",
+            extra_meta=extra_meta,
         )
 
     # ------------------------------------------------------- unified write path
 
-    def _write_changes(self, upserts: DataFrame | None, deletes: DataFrame | None, op: str) -> str:
+    def _write_changes(
+        self,
+        upserts: DataFrame | None,
+        deletes: DataFrame | None,
+        op: str,
+        extra_meta: dict | None = None,
+    ) -> str:
         if not self.config.record_key and upserts is not None and deletes is None:
             # pk-less tables degrade upsert to append (reference's pkless matrix rows
             # — ``spark_sql_testing.sh:87-93``); pk-less deletes fall through and are
@@ -867,10 +877,10 @@ class Table:
             return self.insert(upserts)
         instant = new_instant()
         if self.config.table_type == "mor" and self.config.record_key:
-            return self._apply_mor(instant, upserts, deletes, op)
+            return self._apply_mor(instant, upserts, deletes, op, extra_meta)
         # COW, and pk-less MOR deletes (no key ⇒ tombstones can't address rows;
         # a full-row anti-join rewrite is the only correct form)
-        return self._apply_cow(instant, upserts, deletes, op)
+        return self._apply_cow(instant, upserts, deletes, op, extra_meta)
 
     def _touched_partition_filter(self, *dfs: DataFrame):
         """Distinct partition paths of the incoming batches → predicate over live
@@ -936,7 +946,12 @@ class Table:
         return {r["p"] for r in paths.collect()}
 
     def _apply_cow(
-        self, instant: str, upserts: DataFrame | None, deletes: DataFrame | None, op: str
+        self,
+        instant: str,
+        upserts: DataFrame | None,
+        deletes: DataFrame | None,
+        op: str,
+        extra_meta: dict | None = None,
     ) -> str:
         files, _latest = self.timeline.live_files()
         touched = self._touched_partition_filter(upserts, deletes)
@@ -976,14 +991,19 @@ class Table:
 
         rels = self._write_files(merged, instant)
         self._publish_occ(
-            Instant(instant, "commit", rels, touched_rels, {"operation": op}),
+            Instant(instant, "commit", rels, touched_rels, {"operation": op, **(extra_meta or {})}),
             since=_latest,
             partitions=touched,
         )
         return instant
 
     def _apply_mor(
-        self, instant: str, upserts: DataFrame | None, deletes: DataFrame | None, op: str
+        self,
+        instant: str,
+        upserts: DataFrame | None,
+        deletes: DataFrame | None,
+        op: str,
+        extra_meta: dict | None = None,
     ) -> str:
         """MOR: write-cheap log files; merge deferred to read/compaction (M14 prep).
 
@@ -995,10 +1015,11 @@ class Table:
         initial load are resolved here, since no logs exist yet to merge them).
         """
         live, _ = self.timeline.live_files()
+        meta = {"operation": op, **(extra_meta or {})}
         if not live and upserts is not None and deletes is None:
             out = self._latest_wins(self._with_meta(upserts, instant))
             rels = self._write_files(out, instant)
-            self.timeline.write(Instant(instant, "commit", rels, [], {"operation": op}))
+            self.timeline.write(Instant(instant, "commit", rels, [], meta))
             return instant
         parts = []
         if upserts is not None:
@@ -1013,7 +1034,7 @@ class Table:
             return instant
         out = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
         rels = self._write_files(out, instant)
-        self.timeline.write(Instant(instant, "deltacommit", rels, [], {"operation": op}))
+        self.timeline.write(Instant(instant, "deltacommit", rels, [], meta))
         return instant
 
     # ----------------------------------------------------- concurrency control
@@ -1291,6 +1312,19 @@ class Table:
             )
         return removed
 
+    def archive_timeline(self, retain_instants: int = 20) -> int:
+        """Timeline archival (Hudi ``hoodie.archive.*`` / ``hoodie.keep.*``):
+        fold instants older than the retained window into one checkpoint
+        manifest so every read/write plans against O(retain) instants no
+        matter how many commits the table has seen — the fix for the
+        continuous-ingestion mode where a streaming writer accumulates
+        thousands of deltacommits (``DeltaStreamerExample.scala:46-47``).
+        Active savepoints pin the boundary (their snapshots stay
+        reconstructable); time travel / incremental reads before the boundary
+        raise, exactly like Hudi's archived timeline. Returns the number of
+        instants archived."""
+        return self.timeline.archive(retain_instants, pinned=set(self.savepoints()))
+
     def rollback(self, instant: str | None = None) -> str | None:
         """M17: undo the latest (or given) commit; its files become invisible and
         are physically removed. Heals the fault-injection scenario of
@@ -1319,7 +1353,7 @@ class Table:
         immune (manifest-driven); this reclaims space."""
         import time as _time
 
-        known: set[str] = set()
+        known: set[str] = set(self.timeline.checkpoint_files())
         for inst in self.timeline.instants():
             known.update(inst.files_added)
         removed: list[str] = []

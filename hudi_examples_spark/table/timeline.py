@@ -73,11 +73,100 @@ class Instant:
 
 
 class Timeline:
-    """Reads/writes the instant files under ``{base}/_timeline``."""
+    """Reads/writes the instant files under ``{base}/_timeline``.
+
+    Long-lived tables archive: instants older than a retained window fold
+    into one checkpoint manifest (``_timeline/_archive/checkpoint.json``
+    holding the live-file state as of the archive boundary), so planning cost
+    is O(active instants) no matter how many commits the table has seen —
+    the ``hoodie.archive.*`` analogue. Archived instants are appended to
+    ``_archive/instants.jsonl`` for audit; reads before the boundary raise
+    (Hudi's archived timeline can't serve time travel either).
+    """
+
+    ARCHIVE_DIR = "_archive"
 
     def __init__(self, base: str):
         self.base = base
         self.dir = os.path.join(base, TIMELINE_DIR)
+
+    def _checkpoint_path(self) -> str:
+        return os.path.join(self.dir, self.ARCHIVE_DIR, "checkpoint.json")
+
+    def checkpoint(self) -> dict | None:
+        p = self._checkpoint_path()
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def checkpoint_files(self) -> dict[str, tuple[str, str]]:
+        cp = self.checkpoint()
+        return {r: tuple(v) for r, v in (cp["files"] if cp else {}).items()}
+
+    def archive(self, retain_data_instants: int = 20, pinned: set[str] | None = None) -> int:
+        """Fold every instant older than the boundary into the checkpoint.
+
+        The boundary keeps the most recent ``retain_data_instants`` data
+        commits and is clamped to never cross a pin (active savepoint
+        targets) or the target of a retained rollback (rollback retroactivity
+        must keep seeing its target). Savepoint marker instants are never
+        archived. Returns the number of instants archived."""
+        insts = self.instants()
+        completed = self.completed_data_instants()
+        if len(completed) <= retain_data_instants:
+            return 0
+        boundary = completed[-retain_data_instants].instant
+        pins = set(pinned or ())
+        for i in insts:
+            if i.action == "rollback" and i.instant >= boundary and i.meta.get("target"):
+                pins.add(i.meta["target"])
+        if pins:
+            boundary = min([boundary, *pins])
+        to_archive = [i for i in insts if i.instant < boundary and i.action != "savepoint"]
+        if not to_archive:
+            return 0
+        cp = self.checkpoint()
+        files: dict[str, tuple[str, str]] = self.checkpoint_files()
+        latest = cp["latest"] if cp else ""
+        rolled = {i.meta.get("target") for i in insts if i.action == "rollback"}
+        for inst in sorted(to_archive, key=lambda i: i.instant):
+            if not inst.is_data_commit or inst.instant in rolled:
+                continue
+            for fp in inst.files_removed:
+                files.pop(fp, None)
+            for fp in inst.files_added:
+                files[fp] = (inst.instant, inst.action)
+            latest = max(latest, inst.instant)
+        adir = os.path.join(self.dir, self.ARCHIVE_DIR)
+        os.makedirs(adir, exist_ok=True)
+        with open(os.path.join(adir, "instants.jsonl"), "a") as f:
+            for inst in sorted(to_archive, key=lambda i: i.instant):
+                f.write(
+                    json.dumps(
+                        {
+                            "instant": inst.instant,
+                            "action": inst.action,
+                            "files_added": inst.files_added,
+                            "files_removed": inst.files_removed,
+                            "meta": inst.meta,
+                        }
+                    )
+                    + "\n"
+                )
+        new_cp = {
+            "boundary": boundary,
+            "latest": latest,
+            "files": {r: list(v) for r, v in files.items()},
+            "archived_instants": (cp["archived_instants"] if cp else 0) + len(to_archive),
+        }
+        tmp = self._checkpoint_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(new_cp, f)
+        os.replace(tmp, self._checkpoint_path())  # commit point of the archive
+        for inst in to_archive:
+            self.remove(inst.instant)
+        return len(to_archive)
 
     def instants(self) -> list[Instant]:
         if not os.path.isdir(self.dir):
@@ -139,6 +228,15 @@ class Timeline:
         rolled = {i.meta.get("target") for i in insts if i.action == "rollback"}
         files: dict[str, tuple[str, str]] = {}
         latest = ""
+        cp = self.checkpoint()
+        if cp is not None:
+            if as_of is not None and as_of < cp["boundary"]:
+                raise ValueError(
+                    f"as-of {as_of} predates the archived timeline boundary "
+                    f"{cp['boundary']} — archived instants cannot serve time travel"
+                )
+            files = {r: tuple(v) for r, v in cp["files"].items()}
+            latest = cp["latest"]
         for inst in insts:
             if not inst.is_data_commit or inst.instant in rolled:
                 continue

@@ -70,3 +70,25 @@ def test_rollup_multi_sum_cols(spark, tmp_path):
     roll.refresh()
     row = roll.dst.read().collect()[0]
     assert (row["sum_fare"], row["sum_tip"], row["n_rows"]) == (30.0, 3.0, 2)
+
+
+def test_rollup_restart_resumes_from_durable_offset(spark, tmp_path):
+    """A rebuilt rollup (process restart) must NOT re-apply already-folded
+    history: the consumed source offset rides in dst's commit metadata."""
+    src = make_src(spark, tmp_path)
+    roll = IncrementalRollup(src, str(tmp_path / "agg"), ["city"], ["fare"])
+    src.insert(df(spark, [(1, "a", 10.0, "sf"), (1, "b", 20.0, "sf")]))
+    assert roll.refresh() is True
+    assert_consistent(roll)
+
+    # simulate a crash: new instance over the same warehouse paths
+    roll2 = IncrementalRollup(src, str(tmp_path / "agg"), ["city"], ["fare"])
+    assert roll2._offset == roll._offset
+    # nothing new: refresh is a no-op, aggregates unchanged (no double-fold)
+    assert roll2.refresh() is False
+    assert_consistent(roll2)
+
+    # new source commits fold exactly once after the restart
+    src.upsert(df(spark, [(2, "a", 50.0, "sf"), (2, "z", 7.0, "la")]))
+    assert roll2.refresh() is True
+    assert_consistent(roll2)

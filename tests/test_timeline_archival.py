@@ -1,0 +1,98 @@
+"""Timeline archival: O(active) planning for long-lived tables.
+
+Parity: Hudi's archived timeline (``hoodie.archive.*`` knobs,
+``DeltaStreamerExample.scala:46-47``) — old instants fold away, reads keep
+working, pre-boundary time travel is rejected, savepoints pin the boundary.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from hudi_examples_spark.table.timeline import Instant, Timeline, new_instant
+from tests.test_scale_paths import load_df, make, rows_df
+
+
+def test_archive_folds_200_commits_to_bounded_instant_count(tmp_path):
+    tl = Timeline(str(tmp_path))
+    # a streaming writer's life: 220 commits, each superseding the previous file
+    prev = None
+    for n in range(220):
+        inst = new_instant()
+        rel = f"f_{n:04d}.parquet"
+        tl.write(Instant(inst, "commit", [rel], [prev] if prev else [], {"n": n}))
+        prev = rel
+    files_before, latest_before = tl.live_files()
+    assert len(tl.instants()) == 220
+    archived = tl.archive(retain_data_instants=20)
+    assert archived == 200
+    # planning now touches a bounded instant count
+    assert len(tl.instants()) == 20
+    assert tl.live_files() == (files_before, latest_before)
+    # idempotent / incremental: archiving again is a no-op until more commits land
+    assert tl.archive(retain_data_instants=20) == 0
+    tl.write(Instant(new_instant(), "commit", ["g.parquet"], [prev], {}))
+    assert tl.archive(retain_data_instants=20) == 1
+    assert len(tl.instants()) == 20
+    # audit trail of archived instants is preserved
+    audit = os.path.join(str(tmp_path), "_timeline", "_archive", "instants.jsonl")
+    assert sum(1 for _ in open(audit)) == 201
+
+
+def test_pre_boundary_time_travel_rejected(tmp_path):
+    tl = Timeline(str(tmp_path))
+    ids = []
+    for n in range(30):
+        inst = new_instant()
+        ids.append(inst)
+        tl.write(Instant(inst, "commit", [f"f{n}.parquet"], [], {}))
+    tl.archive(retain_data_instants=10)
+    boundary = ids[-10]
+    # at/after boundary: fine
+    assert len(tl.live_files(ids[-1])[0]) == 30
+    assert len(tl.live_files(boundary)[0]) == 21
+    with pytest.raises(ValueError, match="archived timeline boundary"):
+        tl.live_files(ids[5])
+
+
+def test_archival_end_to_end_preserves_views_and_savepoints(spark, tmp_path):
+    tbl = make(spark, tmp_path, table_type="cow")
+    tbl.insert(load_df(spark, range(2), range(10)))
+    for ts in range(2, 12):
+        tbl.upsert(rows_df(spark, 0, range(3), ts=ts, v=float(ts)))
+    mid = tbl.latest_instant()
+    sp = tbl.savepoint()  # pins the current snapshot
+    for ts in range(12, 16):
+        tbl.upsert(rows_df(spark, 1, range(3), ts=ts, v=float(ts)))
+    before = tbl.read().collect()
+    n = tbl.archive_timeline(retain_instants=3)
+    assert n > 0
+    # snapshot identical across the archive
+    assert sorted(map(str, tbl.read().collect())) == sorted(map(str, before))
+    # the savepoint pinned the boundary: its snapshot is still reconstructable
+    # and time travel to it still works
+    assert tbl.read(as_of=sp).filter("p=0 and v=11.0").count() == 3
+    # further writes + maintenance keep working on the archived table
+    tbl.upsert(rows_df(spark, 0, range(2), ts=99, v=99.0))
+    assert tbl.read().filter("v=99.0").count() == 2
+    tbl.clean(retain_commits=2)
+    # heal may reclaim files that died BEFORE the boundary (clean can no
+    # longer see their instants) — but never anything live or pinned:
+    tbl.heal()
+    assert tbl.read().filter("v=99.0").count() == 2
+    assert tbl.read(as_of=sp).filter("p=0 and v=11.0").count() == 3
+
+
+def test_archival_respects_savepoint_pin_then_releases(spark, tmp_path):
+    tbl = make(spark, tmp_path, table_type="cow")
+    tbl.insert(rows_df(spark, 0, range(5)))
+    sp = tbl.savepoint()
+    for ts in range(2, 10):
+        tbl.upsert(rows_df(spark, 0, range(2), ts=ts, v=float(ts)))
+    # savepoint target is the very first commit: nothing can archive past it
+    assert tbl.archive_timeline(retain_instants=2) == 0
+    tbl.release_savepoint(sp)
+    assert tbl.archive_timeline(retain_instants=2) > 0
+    assert tbl.read().filter("v=9.0").count() == 2
