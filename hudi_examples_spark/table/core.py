@@ -37,7 +37,7 @@ from dataclasses import asdict, dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType, StructType
+from pyspark.sql.types import BooleanType, StructField, StructType
 from pyspark.sql.window import Window
 
 from hudi_examples_spark.table.timeline import (
@@ -86,6 +86,10 @@ class TableConfig:
     #: O(batch) planning, but a partition-changing upsert leaves the old row
     #: in place (exactly Hudi's non-global index contract).
     index_type: str = "global"
+    #: bumped on every schema evolution; while 0 every live file shares the
+    #: declared schema, so reads skip parquet mergeSchema (whose footer-merge
+    #: costs a Spark job per read) — evolved tables pay it, fresh ones don't
+    schema_version: int = 0
 
     def __post_init__(self):
         if self.table_type not in ("cow", "mor"):
@@ -447,12 +451,19 @@ class Table:
         if not rels:
             return self._empty(with_deleted)
         paths = [os.path.join(self.base, r) for r in rels]
-        # mergeSchema: files written before a schema evolution lack the newer
-        # columns; the merged read surfaces every declared column and the
-        # null-fill below types the ones no live file carries yet
+        # the read schema is DECLARED, never inferred: the table knows its own
+        # schema, so footer inference (a Spark job per read) and mergeSchema
+        # (a job + every footer) are both unnecessary — files written before a
+        # schema evolution null-fill their missing columns by name, which is
+        # exactly the merged-read semantics at zero planning cost
+        read_schema = StructType(
+            list(_meta_struct().fields)
+            + ([StructField(META_DELETED, BooleanType())] if with_deleted else [])
+            + list(self.schema.fields)
+        )
         df = (
-            self.spark.read.option("basePath", self.base)
-            .option("mergeSchema", "true")
+            self.spark.read.schema(read_schema)
+            .option("basePath", self.base)
             .parquet(*paths)
         )
         if with_deleted and META_DELETED not in df.columns:
@@ -489,6 +500,7 @@ class Table:
         if extra:
             for c in extra:
                 self.schema = self.schema.add(c, df.schema[c].dataType, True)
+            self.config.schema_version += 1
             self._save_props()
         missing = {
             c: F.lit(None).cast(self.schema[c].dataType)
@@ -510,6 +522,7 @@ class Table:
                 raise ValueError(f"column {f_.name} already exists")
         for f_ in new.fields:
             self.schema = self.schema.add(f_.name, f_.dataType, True)
+        self.config.schema_version += 1
         self._save_props()
 
     def _latest_wins(self, df: DataFrame) -> DataFrame:
@@ -614,30 +627,27 @@ class Table:
         if not self.config.record_key or not self.config.n_buckets:
             df = self.read()
         else:
-            row = (
-                self.spark.range(1)
-                .select(
-                    F.pmod(
-                        F.xxhash64(
-                            *[
-                                # xxhash64 is type-sensitive: match the column type
-                                F.lit(key_vals[k]).cast(self.schema[k].dataType)
-                                for k in self.config.record_key
-                            ]
-                        ),
-                        F.lit(self.config.n_buckets),
-                    ).alias("b")
-                )
-                .collect()
+            # the bucket hash is recomputed driver-side (hashing.py mirrors
+            # Spark's xxhash64 bit-for-bit, pinned by tests) — a point lookup
+            # plans with ZERO Spark jobs before the pruned file read
+            from hudi_examples_spark.table.hashing import spark_xxhash64
+
+            h = spark_xxhash64(
+                [
+                    (key_vals[k], self.schema[k].dataType.simpleString())
+                    for k in self.config.record_key
+                ]
             )
-            bucket = str(row[0]["b"])
+            bucket = str(h % self.config.n_buckets)
             files, _ = self.timeline.live_files()
             rels = [
                 r
                 for r in files
                 if self._partition_of_relpath(r).get(BUCKET_COL, bucket) == bucket
             ]
-            df = self._read_files(sorted(rels), with_deleted=False).drop(*META_COLS)
+            # merged subset view: tombstones and superseded versions within the
+            # bucket resolve exactly like a full snapshot read would
+            df = self._snapshot_of(files, sorted(rels)).drop(*META_COLS)
         for k, v in key_vals.items():
             df = df.filter(F.col(k) == v)
         return df

@@ -196,3 +196,21 @@ def test_competing_compactions_conflict(spark, tmp_path):
     stale = Instant(new_instant(), "replacecommit", ["dup.parquet"], sorted(files), {})
     with pytest.raises(ConcurrentWriteConflict):
         tbl._publish_occ(stale, since=latest_before, partitions={""})
+
+
+def test_point_read_plans_without_a_spark_job(spark, tmp_path):
+    tbl = make(spark, tmp_path, table_type="cow", partition_by=[], n_buckets=8)
+    tbl.insert(load_df(spark, range(2), range(50)))
+    sc = spark.sparkContext
+    sc.setJobGroup("point-read-planning", "must stay empty")
+    try:
+        df = tbl.read_point(k="1-0007")  # planning only — no action yet
+        assert sc.statusTracker().getJobIdsForGroup("point-read-planning") == []
+    finally:
+        sc.setJobGroup(None, None)
+    got = df.collect()
+    assert len(got) == 1 and got[0]["v"] == 1.0
+    # and the pruned read touched only one bucket's files
+    files, _ = tbl.timeline.live_files()
+    n_buckets_live = len({os.path.dirname(r) for r in files})
+    assert n_buckets_live > 1  # table actually has multiple bucket dirs
