@@ -56,6 +56,8 @@ META_COLS = (META_COMMIT, META_KEY, META_PARTITION)
 
 PROPS_FILE = "_props.json"
 BUCKET_COL = "__bucket"
+#: hash ring size for consistent-hash (range) bucket routing
+BUCKET_RING = 1 << 32
 
 
 class ConcurrentWriteConflict(RuntimeError):
@@ -90,12 +92,25 @@ class TableConfig:
     #: declared schema, so reads skip parquet mergeSchema (whose footer-merge
     #: costs a Spark job per read) — evolved tables pay it, fresh ones don't
     schema_version: int = 0
+    #: consistent-hash bucket routing (Hudi BUCKET index, CONSISTENT_HASHING
+    #: engine — ``consistent_hashing.sql:44-49``): sorted lower boundaries of
+    #: hash-ring ranges over [0, BUCKET_RING); a bucket's identity is its
+    #: lower boundary, so SPLITTING one bucket (inserting a midpoint) leaves
+    #: every other bucket's id — and files — untouched. Takes precedence over
+    #: the modulo routing of ``n_buckets`` when set.
+    bucket_ranges: list[int] | None = None
 
     def __post_init__(self):
         if self.table_type not in ("cow", "mor"):
             raise ValueError(f"table_type must be cow|mor, got {self.table_type}")
         if self.index_type not in ("global", "partition"):
             raise ValueError(f"index_type must be global|partition, got {self.index_type}")
+        if self.bucket_ranges is not None:
+            bs = self.bucket_ranges
+            if not bs or bs[0] != 0 or bs != sorted(set(bs)) or bs[-1] >= BUCKET_RING:
+                raise ValueError(
+                    "bucket_ranges must be sorted unique lower bounds starting at 0, below BUCKET_RING"
+                )
 
 
 class Table:
@@ -207,6 +222,14 @@ class Table:
         if preserve_layout:
             # caller (sort clustering) planned the partitioning itself — keep it
             pass
+        elif self.config.bucket_ranges and self.config.record_key:
+            # consistent-hash routing: ring position → greatest boundary ≤ h.
+            # The when-chain is O(buckets) expression depth — fine for the
+            # tens-of-buckets regime this engine targets; a thousand-bucket
+            # table would swap this for a broadcast range join
+            df = df.withColumn(BUCKET_COL, self._range_bucket_expr())
+            write_parts.append(BUCKET_COL)
+            df = df.repartition(*[F.col(c) for c in write_parts])
         elif self.config.n_buckets and self.config.record_key:
             # bucket index (J5): the bucket id becomes a hive dir (__bucket=N) —
             # exact file-group routing independent of shuffle planning/AQE, and a
@@ -413,7 +436,7 @@ class Table:
         the same lock as writers — Hudi requires this for clustering): any
         commit landing after our snapshot aborts the publish instead of being
         silently clobbered by the replacecommit."""
-        if self.config.n_buckets:
+        if self.config.n_buckets or self.config.bucket_ranges:
             raise ValueError("sort/zorder clustering conflicts with bucket-index routing")
         instant = new_instant()
         old_files, latest = self.timeline.live_files()
@@ -624,7 +647,7 @@ class Table:
         """Bucket-index point lookup: prune to the key's ``__bucket=N`` file group
         before scanning (J5 — the whole point of ``hoodie.index.type=BUCKET``:
         O(table/n_buckets) IO for a key fetch instead of a full scan)."""
-        if not self.config.record_key or not self.config.n_buckets:
+        if not self.config.record_key or not (self.config.n_buckets or self.config.bucket_ranges):
             df = self.read()
         else:
             # the bucket hash is recomputed driver-side (hashing.py mirrors
@@ -638,7 +661,13 @@ class Table:
                     for k in self.config.record_key
                 ]
             )
-            bucket = str(h % self.config.n_buckets)
+            if self.config.bucket_ranges:
+                import bisect
+
+                bs = sorted(self.config.bucket_ranges)
+                bucket = str(bs[bisect.bisect_right(bs, h % BUCKET_RING) - 1])
+            else:
+                bucket = str(h % self.config.n_buckets)
             files, _ = self.timeline.live_files()
             rels = [
                 r
@@ -1199,7 +1228,11 @@ class Table:
         """M15: clustering/bucket-resize — rewrite file groups with a new bucket
         count (consistent-hash split 1→8 of ``consistent_hashing.sql:44-49``).
         OCC-published; the bucket-count change rolls back if a concurrent
-        commit wins the race."""
+        commit wins the race. Range-routed tables re-balance to ``n_buckets``
+        even ranges instead (still one rewrite; per-bucket growth should use
+        ``split_bucket``)."""
+        if self.config.bucket_ranges:
+            return self.convert_to_ranges(n_buckets)
         instant = new_instant()
         old_files, latest = self.timeline.live_files()
         old_n = self.config.n_buckets
@@ -1225,6 +1258,108 @@ class Table:
             raise
         return instant
 
+    def _range_bucket_expr(self):
+        """Ring position of the record key → owning bucket's lower boundary."""
+        h = F.pmod(
+            F.xxhash64(*[F.col(k) for k in self.config.record_key]), F.lit(BUCKET_RING)
+        )
+        bs = sorted(self.config.bucket_ranges)
+        expr = F.lit(bs[0]).cast("bigint")
+        for b in bs[1:]:
+            expr = F.when(h >= F.lit(b), F.lit(b).cast("bigint")).otherwise(expr)
+        return expr
+
+    def _bucket_files(self, lower: int) -> tuple[list[str], list[str]]:
+        """(base_rels, log_rels) of one range-bucket's live file group."""
+        files, _ = self.timeline.live_files()
+        rels = [
+            r
+            for r in files
+            if self._partition_of_relpath(r).get(BUCKET_COL) == str(lower)
+        ]
+        return (
+            sorted(r for r in rels if files[r][1] != "deltacommit"),
+            sorted(r for r in rels if files[r][1] == "deltacommit"),
+        )
+
+    def convert_to_ranges(self, n_buckets: int) -> str:
+        """Migrate modulo bucket routing to consistent-hash ranges: one full
+        rewrite (the LAST full rewrite — every resize afterwards is a
+        per-bucket ``split_bucket``) with ``n_buckets`` equal ring ranges."""
+        instant = new_instant()
+        old_files, latest = self.timeline.live_files()
+        old_ranges, old_n = self.config.bucket_ranges, self.config.n_buckets
+        self.config.bucket_ranges = [i * BUCKET_RING // n_buckets for i in range(n_buckets)]
+        self.config.n_buckets = None
+        self._save_props()
+        try:
+            snapshot = self.read(with_meta=True)
+            rels = self._write_files(snapshot, instant)
+            self._publish_occ(
+                Instant(
+                    instant,
+                    "replacecommit",
+                    rels,
+                    sorted(old_files),
+                    {"operation": "clustering", "numOutputFileGroups": n_buckets},
+                ),
+                since=latest,
+                partitions=None,
+            )
+        except BaseException:
+            self.config.bucket_ranges, self.config.n_buckets = old_ranges, old_n
+            self._save_props()
+            raise
+        return instant
+
+    def split_bucket(self, lower: int) -> str:
+        """M15 incremental resize: split ONE overflowing bucket at its ring
+        midpoint, rewriting only that bucket's files — every other file group
+        is untouched (checked by the split test against the replacecommit's
+        file lists). This is the consistent-hashing contract of
+        ``consistent_hashing.sql:44-49`` / ``FindBucketNumber.java:47-53``
+        that modulo bucketing cannot deliver (doubling N remaps every key).
+
+        Requires the bucket to have no pending log files (compact first) —
+        rewriting a log under a replacecommit would relabel its rows as base
+        and break merge-on-read versioning, the same reason Hudi clustering
+        refuses file groups with pending logs."""
+        bs = sorted(self.config.bucket_ranges or [])
+        if lower not in bs:
+            raise ValueError(f"no bucket with lower bound {lower}")
+        idx = bs.index(lower)
+        upper = bs[idx + 1] if idx + 1 < len(bs) else BUCKET_RING
+        mid = (lower + upper) // 2
+        if mid == lower:
+            raise ValueError(f"bucket {lower} is a single ring slot — cannot split")
+        base_rels, log_rels = self._bucket_files(lower)
+        if log_rels:
+            raise ValueError(f"bucket {lower} has pending log files — compact() first")
+        instant = new_instant()
+        _, latest = self.timeline.live_files()
+        old_ranges = bs
+        self.config.bucket_ranges = sorted(bs + [mid])
+        self._save_props()
+        try:
+            rows = self._read_files(base_rels, with_deleted=False)
+            rels = self._write_files(rows, instant)  # re-routes across lower/mid
+            self._publish_occ(
+                Instant(
+                    instant,
+                    "replacecommit",
+                    rels,
+                    base_rels,
+                    {"operation": "bucket_split", "split": lower, "new_bound": mid},
+                ),
+                since=latest,
+                partitions={self._partition_of(r) for r in base_rels} or {""},
+            )
+        except BaseException:
+            self.config.bucket_ranges = old_ranges
+            self._save_props()
+            raise
+        return instant
+
     def maybe_split_buckets(
         self,
         split_threshold_bytes: int = 128 * 1024 * 1024,
@@ -1239,20 +1374,43 @@ class Table:
         (``consistent_hashing.sql:44-49``, ``clusteringjob.properties:2-14``,
         ``FindBucketNumber.java:47-53``). Returns the clustering instant when a
         split ran, else None.
+
+        With consistent-hash ranges the resize is INCREMENTAL: only the single
+        largest over-threshold bucket is split (compacting it first if it has
+        pending logs); modulo tables keep the legacy full-rewrite doubling.
         """
-        current = self.config.n_buckets or min_buckets
-        if current >= max_buckets:
-            return None
         files, _ = self.timeline.live_files()
         if not files:
             return None
-        sizes = [
+        if self.config.bucket_ranges:
+            if len(self.config.bucket_ranges) >= max_buckets:
+                return None
+            sizes: dict[str, int] = {}
+            for r in files:
+                b = self._partition_of_relpath(r).get(BUCKET_COL)
+                if b is None:
+                    continue
+                p = os.path.join(self.base, r)
+                if os.path.exists(p):
+                    sizes[b] = sizes.get(b, 0) + os.path.getsize(p)
+            if not sizes:
+                return None
+            biggest, sz = max(sizes.items(), key=lambda kv: kv[1])
+            if sz < split_threshold_bytes:
+                return None
+            if self._bucket_files(int(biggest))[1]:
+                self.compact()
+            return self.split_bucket(int(biggest))
+        current = self.config.n_buckets or min_buckets
+        if current >= max_buckets:
+            return None
+        sizes_l = [
             os.path.getsize(os.path.join(self.base, r))
             for r in files
             if os.path.exists(os.path.join(self.base, r))
         ]
         n_parts = max(len({tuple(self._partition_of_relpath(r).items()) for r in files}), 1)
-        avg_bucket_bytes = sum(sizes) / (current * n_parts)
+        avg_bucket_bytes = sum(sizes_l) / (current * n_parts)
         if avg_bucket_bytes < split_threshold_bytes:
             return None
         return self.cluster(min(current * 2, max_buckets))
