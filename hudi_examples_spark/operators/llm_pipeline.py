@@ -73,17 +73,31 @@ FROM documents GROUP BY md5(text)
 """
 
 
+MAX_SHINGLE_DF = 50  # document-frequency cap on the self-join key
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup pairs by exact 3-gram word-shingle Jaccard ≥ 0.4.
 
     Shuffle-aware shape: explode distinct shingles → self-equi-join on shingle →
-    count common shingles per pair → join per-doc shingle counts → Jaccard. This is
-    the *exact* oracle-checkable form; at 100 TB the minhash/LSH variant below
-    replaces the shingle self-join with a banded bucket join.
+    count common shingles per pair → join per-doc shingle counts → Jaccard.
+
+    Scale guard: a shingle appearing in d documents fans out into d·(d-1)/2
+    join rows — one stopword trigram ("of the and") in a million docs is a
+    5·10¹¹-row hot key. Shingles with document frequency > MAX_SHINGLE_DF are
+    dropped from EVERY doc's set (numerator and denominator alike, so Jaccard
+    stays well-defined over the capped sets; the oracle applies the identical
+    cap), bounding per-key fanout at DF²/2. At 100 TB the minhash/LSH variant
+    below replaces the self-join with a banded bucket join entirely.
     """
     d = _docs_shingled(spark, sf, 3)
-    d = d.withColumn("n_sh", F.size("shingles")).filter(F.col("n_sh") > 0)
-    ex = d.select("doc_id", "n_sh", F.explode("shingles").alias("sh"))
+    ex_all = d.select("doc_id", F.explode("shingles").alias("sh"))
+    rare = ex_all.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= MAX_SHINGLE_DF
+    )
+    kept = ex_all.join(rare.select("sh"), "sh")
+    counts = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ex = kept.join(counts, "doc_id")
     a = ex.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"), "sh")
     b = ex.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"), "sh")
     pairs = (
@@ -101,13 +115,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return pairs
 
 
-DEDUP_JACCARD_ORACLE = """
+DEDUP_JACCARD_ORACLE = f"""
 WITH words AS (
   SELECT doc_id, str_split(trim(text), ' ') AS ws FROM documents
 ), idx AS (
   SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i FROM words
-), sh AS (
+), sh_all AS (
   SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh FROM idx
+), rare AS (
+  SELECT sh FROM sh_all GROUP BY sh HAVING count(*) <= {MAX_SHINGLE_DF}
+), sh AS (
+  SELECT doc_id, sh FROM sh_all WHERE sh IN (SELECT sh FROM rare)
 ), counts AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
 )

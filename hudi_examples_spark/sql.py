@@ -24,22 +24,65 @@ from hudi_examples_spark.table import Table, TableConfig
 
 
 class Engine:
-    """Session-scoped catalog of engine tables + SQL dispatcher."""
+    """Catalog of engine tables + SQL dispatcher.
+
+    The catalog is WAREHOUSE-PERSISTENT (the hive-sync analogue of
+    ``DeltaStreamerExample.scala:28-33``): every ``register`` records
+    name → base path in ``{warehouse}/_catalog.json``, and a new session's
+    Engine resolves those names immediately — a table registered by one job
+    is queryable from the next without re-registration, which is the whole
+    point of syncing a catalog. Tables instantiate lazily on first access."""
+
+    CATALOG_FILE = "_catalog.json"
 
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
         self.warehouse = warehouse
         self.tables: dict[str, Table] = {}
         self._view_seq = 0
+        self._locations: dict[str, str] = self._load_catalog()
 
     # ------------------------------------------------------------------ catalog
 
+    def _catalog_path(self) -> str:
+        return os.path.join(self.warehouse, self.CATALOG_FILE)
+
+    def _load_catalog(self) -> dict[str, str]:
+        import json
+
+        p = self._catalog_path()
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def _save_catalog(self) -> None:
+        import json
+
+        os.makedirs(self.warehouse, exist_ok=True)
+        tmp = self._catalog_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._locations, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._catalog_path())
+
     def register(self, name: str, table: Table) -> None:
         self.tables[name] = table
+        if self._locations.get(name) != table.base:
+            self._locations[name] = table.base
+            self._save_catalog()
+
+    def unregister(self, name: str) -> None:
+        self.tables.pop(name, None)
+        if name in self._locations:
+            del self._locations[name]
+            self._save_catalog()
+
+    def table_names(self) -> list[str]:
+        return sorted(self._locations)
 
     def table(self, name: str) -> Table:
         if name not in self.tables:
-            base = os.path.join(self.warehouse, name)
+            base = self._locations.get(name, os.path.join(self.warehouse, name))
             if Table.exists(base):
                 self.tables[name] = Table(self.spark, base)
             else:
@@ -53,8 +96,13 @@ class Engine:
         return name
 
     def _register_snapshots(self) -> None:
-        for name, tbl in self.tables.items():
-            tbl.read().createOrReplaceTempView(name)
+        # catalog-known names resolve too: a table registered by a PREVIOUS
+        # session is SELECTable here without any re-registration
+        for name in sorted(set(self.tables) | set(self._locations)):
+            try:
+                self.table(name).read().createOrReplaceTempView(name)
+            except KeyError:
+                continue  # catalog entry whose files were removed externally
 
     # ---------------------------------------------------------------------- sql
 
@@ -121,8 +169,13 @@ class Engine:
             return None
         if verb == "DROP":
             m = re.match(r"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)", s, re.I)
-            if m and m.group(1) in self.tables:
-                self.tables.pop(m.group(1)).drop()
+            if m:
+                name = m.group(1)
+                try:
+                    self.table(name).drop()
+                except KeyError:
+                    pass
+                self.unregister(name)
                 return None
             return None
         if verb == "CALL":

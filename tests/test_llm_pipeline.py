@@ -84,3 +84,24 @@ def test_minhash_deterministic_across_runs(spark):
     a = sorted(map(tuple, dedup_minhash_lsh(spark, SF_SMALL).collect()))
     b = sorted(map(tuple, dedup_minhash_lsh(spark, SF_SMALL).collect()))
     assert a == b
+
+
+def test_jaccard_shingle_fanout_is_bounded(spark):
+    """The self-join key (shingle) must never exceed the document-frequency
+    cap on either side — one boilerplate trigram must not become a quadratic
+    hot key."""
+    from pyspark.sql import functions as F
+
+    from hudi_examples_spark.operators.llm_pipeline import (
+        MAX_SHINGLE_DF,
+        _docs_shingled,
+    )
+
+    d = _docs_shingled(spark, SF_SMALL, 3)
+    ex_all = d.select("doc_id", F.explode("shingles").alias("sh"))
+    rare = ex_all.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= MAX_SHINGLE_DF
+    )
+    kept = ex_all.join(rare.select("sh"), "sh")
+    worst = kept.groupBy("sh").count().agg(F.max("count").alias("m")).collect()[0]["m"]
+    assert worst is not None and worst <= MAX_SHINGLE_DF

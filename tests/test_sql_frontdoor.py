@@ -206,3 +206,35 @@ def test_call_procedures(engine):
     assert engine.sql("CALL show_savepoints('hudi_table')").count() == 1
     engine.sql("CALL rollback_to_instant('hudi_table')")  # undo the compaction
     assert engine.sql("SELECT count(1) AS c FROM hudi_table").collect()[0]["c"] == 8
+
+
+def test_catalog_persists_across_sessions(spark, tmp_path):
+    """Hive-sync analogue: a table registered by one Engine is SELECTable from
+    a brand-new Engine over the same warehouse — including tables living
+    OUTSIDE the warehouse directory (explicit LOCATION)."""
+    wh = str(tmp_path / "warehouse")
+    e1 = Engine(spark, wh)
+    e1.sql(
+        "CREATE TABLE trips (uuid STRING, fare DOUBLE, ts BIGINT) "
+        "TBLPROPERTIES (primaryKey = 'uuid', preCombineField = 'ts')"
+    )
+    e1.sql("INSERT INTO trips VALUES ('a', 10.0, 1), ('b', 20.0, 1)")
+    ext_base = str(tmp_path / "elsewhere" / "ext")
+    e1.sql(
+        f"CREATE TABLE ext (k STRING, v DOUBLE, ts BIGINT) "
+        f"TBLPROPERTIES (primaryKey = 'k', preCombineField = 'ts') LOCATION '{ext_base}'"
+    )
+    e1.sql("INSERT INTO ext VALUES ('x', 1.5, 1)")
+
+    # fresh session, same warehouse: both tables resolve from the catalog file
+    e2 = Engine(spark, wh)
+    assert e2.table_names() == ["ext", "trips"]
+    assert e2.sql("SELECT count(*) AS n FROM trips").collect()[0]["n"] == 2
+    assert e2.sql("SELECT v FROM ext").collect()[0]["v"] == 1.5
+    # DML through the new session lands in the same tables
+    e2.sql("INSERT INTO trips VALUES ('c', 30.0, 1)")
+    e3 = Engine(spark, wh)
+    assert e3.sql("SELECT count(*) AS n FROM trips").collect()[0]["n"] == 3
+    # DROP removes the catalog entry durably
+    e3.sql("DROP TABLE ext")
+    assert Engine(spark, wh).table_names() == ["trips"]
