@@ -586,6 +586,15 @@ class Table:
     #: key-shuffle window over base ∪ logs
     MOR_BROADCAST_LOG_BYTES = 256 * 1024 * 1024
 
+    #: below this many live files a CDC read skips key-range pruning — on a
+    #: small table two plain snapshot reads are cheaper than the pruning jobs
+    CDC_PRUNE_MIN_FILES = 64
+
+    #: below this many live files a keyed write's location scan just reads
+    #: them all — the pruning join is a Spark job whose fixed cost only pays
+    #: for itself once the table has real file counts
+    KEY_PRUNE_MIN_FILES = 32
+
     def _merge_mor_pruned(self, base_rels: list[str], log_rels: list[str]) -> DataFrame:
         """MOR snapshot merge whose shuffle is sized to the LOGS, not the table:
         base rows whose key no log touches stream through with NO exchange
@@ -740,11 +749,19 @@ class Table:
                 row.alias("after"),
                 F.col(META_COMMIT).alias("commit_time"),
             ).limit(0)
-        touched = self._read_files(touched_rels, with_deleted=True).select(META_KEY).distinct()
-        before_rels = self._prune_files_by_keys(sorted(files_lo), touched)
-        after_rels = self._prune_files_by_keys(sorted(files_end), touched)
-        before_snap = self._snapshot_of(files_lo, before_rels).join(touched, META_KEY, "left_semi")
-        after_snap = self._snapshot_of(files_end, after_rels).join(touched, META_KEY, "left_semi")
+        if len(files_lo) + len(files_end) <= self.CDC_PRUNE_MIN_FILES:
+            # small table: two plain snapshot reads beat the pruning machinery's
+            # fixed job overhead — the pruned path is for when "table" >> "changes"
+            before_snap = self.read(as_of=lo, with_meta=True)
+            after_snap = self.read(as_of=end, with_meta=True)
+        else:
+            touched = self._read_files(touched_rels, with_deleted=True).select(META_KEY).distinct()
+            # one pruning pass over the union serves both sides (same key set)
+            kept = set(self._prune_files_by_keys(sorted(set(files_lo) | set(files_end)), touched))
+            before_rels = [r for r in sorted(files_lo) if r in kept]
+            after_rels = [r for r in sorted(files_end) if r in kept]
+            before_snap = self._snapshot_of(files_lo, before_rels).join(touched, META_KEY, "left_semi")
+            after_snap = self._snapshot_of(files_end, after_rels).join(touched, META_KEY, "left_semi")
         b = before_snap.select(F.col(META_KEY).alias("key"), row.alias("before"))
         changed = after_snap.filter(F.col(META_COMMIT) > lo).select(
             F.col(META_KEY).alias("key"),
@@ -960,7 +977,10 @@ class Table:
                 files, _ = self.timeline.live_files()
                 if files:
                     keys = df.select(self._key_expr().alias(META_KEY)).distinct()
-                    rels = self._prune_files_by_keys(sorted(files), keys)
+                    if len(files) > self.KEY_PRUNE_MIN_FILES:
+                        rels = self._prune_files_by_keys(sorted(files), keys)
+                    else:
+                        rels = sorted(files)
                     if rels:
                         existing = self._read_files(rels, with_deleted=False).select(
                             META_KEY, META_PARTITION
