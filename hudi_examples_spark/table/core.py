@@ -1475,21 +1475,25 @@ class Table:
 
     def clean(self, retain_commits: int = 10) -> list[str]:
         """M16: physically delete files no longer referenced by the retained
-        window — except files live as of any active savepoint (pinned)."""
+        window — keeping every file needed to reconstruct ANY of the last
+        ``retain_commits`` snapshots (Hudi KEEP_LATEST_COMMITS: time travel
+        within the retained window must survive cleaning), plus files live as
+        of any active savepoint (pinned)."""
         insts = self.timeline.completed_data_instants()
         if len(insts) <= retain_commits:
             return []
         cutoff = insts[-retain_commits].instant
-        live_now, _ = self.timeline.live_files()
-        pinned: set[str] = set()
+        keep: set[str] = set(self.timeline.live_files()[0])
+        for inst in insts[-retain_commits:]:
+            keep.update(self.timeline.live_files(inst.instant)[0])
         for sp in self.savepoints():
-            pinned.update(self.timeline.live_files(sp)[0].keys())
+            keep.update(self.timeline.live_files(sp)[0])
         removed: list[str] = []
         for inst in insts:
             if inst.instant >= cutoff:
                 continue
             for rel in inst.files_added:
-                if rel not in live_now and rel not in pinned:
+                if rel not in keep:
                     p = os.path.join(self.base, rel)
                     if os.path.exists(p):
                         os.remove(p)

@@ -51,6 +51,11 @@ op_st = st.one_of(
     st.builds(Op, st.just("merge_partial"), st.lists(row_st, min_size=1, max_size=3)),
     st.builds(Op, st.just("update_where"), st.just([])),
     st.builds(Op, st.just("cluster_sort"), st.just([])),
+    st.builds(Op, st.just("savepoint"), st.just([])),
+    st.builds(Op, st.just("restore"), st.just([])),
+    st.builds(Op, st.just("archive"), st.just([])),
+    st.builds(Op, st.just("clean"), st.just([])),
+    st.builds(Op, st.just("split"), st.just([])),
 )
 
 
@@ -128,6 +133,7 @@ def apply_ops(spark, tbl: Table, model: Model, ops: list[Op]):
         return spark.createDataFrame(rows, SCHEMA)
 
     checkpoints: list[tuple[str, dict]] = []
+    saved: list = [None]  # latest savepoint: (instant, history_len, state, ckpt_len)
 
     def ckpt():
         checkpoints.append((tbl.latest_instant(), dict(model.state)))
@@ -178,26 +184,55 @@ def apply_ops(spark, tbl: Table, model: Model, ops: list[Op]):
                 model._snapshot()  # compaction commits a view-preserving snapshot
                 ckpt()
         elif op.kind == "cluster_sort":
-            if tbl.latest_instant() is not None:
+            if tbl.latest_instant() is not None and not tbl.config.bucket_ranges:
                 tbl.cluster_sort(["ts", "uuid"], n_files=4)
                 model._snapshot()  # view-preserving rewrite, like compaction
                 ckpt()
+        elif op.kind == "savepoint":
+            if tbl.latest_instant() is not None:
+                sp = tbl.savepoint()
+                saved[0] = (sp, len(model.history), dict(model.state), len(checkpoints))
+        elif op.kind == "restore":
+            if saved[0] is not None and saved[0][0] in tbl.savepoints():
+                sp, hlen, state, clen = saved[0]
+                tbl.restore_to_savepoint(sp)
+                model.history = model.history[:hlen]
+                model.state = dict(state)
+                del checkpoints[clen:]
+        elif op.kind == "archive":
+            # model state untouched (archival is metadata folding); checkpoints
+            # before the boundary can no longer serve time travel, by contract
+            if tbl.archive_timeline(retain_instants=3):
+                boundary = tbl.timeline.checkpoint()["boundary"]
+                checkpoints[:] = [c for c in checkpoints if c[0] and c[0] >= boundary]
+        elif op.kind == "clean":
+            insts = tbl.timeline.completed_data_instants()
+            if len(insts) > 2:
+                cutoff = insts[-2].instant
+                tbl.clean(retain_commits=2)
+                # snapshots inside the retained window must SURVIVE cleaning —
+                # only pre-window checkpoints are forfeited
+                checkpoints[:] = [c for c in checkpoints if c[0] and c[0] >= cutoff]
+        elif op.kind == "split":
+            if tbl.config.bucket_ranges and tbl.latest_instant() is not None:
+                inst = tbl.maybe_split_buckets(split_threshold_bytes=1, max_buckets=8)
+                if inst is not None:
+                    model._snapshot()  # view-preserving relayout
+                    ckpt()
     return checkpoints
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(ops=st.lists(op_st, min_size=1, max_size=6))
-@pytest.mark.parametrize("table_type", ["cow", "mor"])
+@pytest.mark.parametrize("table_type", ["cow", "mor", "cow_ranges"])
 def test_random_dml_sequences_match_model(spark, tmp_path_factory, ops, table_type):
     tmp_path = tmp_path_factory.mktemp(f"prop_{table_type}")
-    tbl = Table.create(
-        spark,
-        str(tmp_path / "t"),
-        SCHEMA,
-        TableConfig(
-            record_key=["uuid"], precombine="ts", partition_by=["part"], table_type=table_type
-        ),
-    )
+    cfg = dict(record_key=["uuid"], precombine="ts", partition_by=["part"])
+    if table_type == "cow_ranges":
+        cfg.update(table_type="cow", bucket_ranges=[0])
+    else:
+        cfg.update(table_type=table_type)
+    tbl = Table.create(spark, str(tmp_path / "t"), SCHEMA, TableConfig(**cfg))
     model = Model()
     checkpoints = apply_ops(spark, tbl, model, ops)
     got = sorted((r["ts"], r["uuid"], r["val"], r["part"]) for r in tbl.read().collect())
