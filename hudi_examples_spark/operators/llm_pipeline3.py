@@ -1,0 +1,194 @@
+"""Third LLM-pipeline battery: corpus splitting, sequence packing, dup clustering.
+
+Rounds out the training-data surface of ``llm_pipeline{,2}.py`` with the three
+ops every pretraining data pipeline runs between "deduped corpus" and "tensors":
+
+- ``pipe_hash_split`` — deterministic train/val/test assignment by content
+  hash (re-running the pipeline never migrates a document across splits, and
+  exact duplicates land in the SAME split — no train/test leakage);
+- ``pipe_pack_sequences`` — concat-and-chunk context-window packing: documents
+  stream in order into fixed token windows (docs may span windows), sharded so
+  packing is embarrassingly parallel;
+- ``dedup_clusters`` — connected components over the near-dup pair graph
+  (pairs only say "a~b"; dedup must drop whole CLUSTERS, keeping one
+  representative per component, or transitive dups survive pairwise removal).
+
+Scale notes per-op; nothing collects to the driver beyond bounded loop scalars.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hudi_examples_spark.functions.text import token_count
+from hudi_examples_spark.operators.llm_pipeline import (
+    DEDUP_JACCARD_ORACLE,
+    dedup_ngram_jaccard,
+)
+from hudi_examples_spark.operators.spec import QuerySpec
+from hudi_examples_spark.sources.readers import load_sf_table as t
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+
+def pipe_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    """80/10/10 split keyed on md5(text) — pure per-row projection, no shuffle.
+
+    The bucket is a function of CONTENT, not position: appends/reorders of the
+    corpus never move a doc between splits, and byte-identical duplicates
+    always co-locate in one split (no leakage). Engine-portable bucket: two
+    hex chars of the md5 mapped through ascii(), so the DuckDB oracle computes
+    the identical assignment."""
+    d = t(spark, sf, "documents")
+    h = F.md5("text")
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * 16 + F.ascii(F.substring(h, 2, 1))
+    ) % 100
+    split = (
+        F.when(bucket < 80, F.lit("train")).when(bucket < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return d.select(
+        "doc_id",
+        split.alias("split"),
+        token_count("text").alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
+PIPE_HASH_SPLIT_ORACLE = """
+SELECT doc_id,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
+FROM (
+  SELECT doc_id, text,
+         (ascii(substr(md5(text), 1, 1)) * 16 + ascii(substr(md5(text), 2, 1))) % 100 AS b
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# Context-window sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pipe_pack_sequences(spark: SparkSession, sf: str, ctx: int = 512, n_shards: int = 8) -> DataFrame:
+    """Concat-and-chunk packing: per shard, documents concatenate in doc_id
+    order and slice into ``ctx``-token windows (docs may span windows — the
+    standard pretraining tokenizer-packing layout). Emits each doc's window
+    span.
+
+    Scale shape: ONE running-sum window function partitioned by shard — the
+    sequential recurrence parallelizes across shards (a 100 TB corpus packs as
+    thousands of independent shards), never as one global ordering."""
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % n_shards).alias("shard"),
+        token_count("text").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    start = cum - F.col("n_tokens")
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(start / ctx).cast("bigint").alias("w_start"),
+        F.floor((cum - 1) / ctx).cast("bigint").alias("w_end"),
+    ).orderBy("doc_id")
+
+
+PIPE_PACK_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
+  FROM documents
+), cums AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+  FROM toks
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS w_start,
+       CAST(floor((cum - 1) / 512.0) AS BIGINT) AS w_end
+FROM cums
+ORDER BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# Near-dup connected components
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(spark: SparkSession, sf: str, max_iters: int = 15) -> DataFrame:
+    """Duplicate CLUSTERS from the exact-Jaccard pair graph: min-label
+    propagation until fixpoint — every doc in a component labels itself with
+    the component's smallest doc_id (the canonical representative to keep).
+
+    Scale shape: each iteration is one equi-join shuffle on the edge list and
+    converges in O(component diameter) rounds (near-dup components are tiny —
+    star-shaped around a source doc); the loop's only driver traffic is the
+    one-row convergence count. This is the standard large-scale connected-
+    components layout (label propagation, cf. Kiveris et al. "Connected
+    Components in MapReduce"); lineage is cut per round with a local
+    checkpoint so plans stay O(1) deep."""
+    pairs = dedup_ngram_jaccard(spark, sf).select("d1", "d2")
+    edges = (
+        pairs.unionByName(pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("d1").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr = edges.join(
+            labels.select(F.col("doc_id").alias("d2"), F.col("label").alias("nl")), "d2"
+        ).groupBy(F.col("d1").alias("doc_id")).agg(F.min("nl").alias("nmin"))
+        new_labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")
+
+
+# transitive closure over the same pair graph (small components at oracle SF)
+DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  {DEDUP_JACCARD_ORACLE}
+), edges AS (
+  SELECT d1, d2 FROM pairs UNION SELECT d2 AS d1, d1 AS d2 FROM pairs
+), reach AS (
+  SELECT d1 AS src, d2 AS dst FROM edges
+  UNION
+  SELECT r.src, e.d2 FROM reach r JOIN edges e ON e.d1 = r.dst
+)
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src ORDER BY doc_id
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("pipe_hash_split", pipe_hash_split, PIPE_HASH_SPLIT_ORACLE, "LLM:split"),
+    QuerySpec("pipe_pack_sequences", pipe_pack_sequences, PIPE_PACK_ORACLE, "LLM:packing"),
+    QuerySpec("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE, "LLM:dedup-clusters"),
+]

@@ -9,6 +9,7 @@ def all_specs() -> list[QuerySpec]:
     from hudi_examples_spark.operators import (
         llm_pipeline,
         llm_pipeline2,
+        llm_pipeline3,
         multimodal,
         relational,
         relational_ext,
@@ -29,6 +30,7 @@ def all_specs() -> list[QuerySpec]:
         pass  # table layer not built yet in this round
     specs.extend(llm_pipeline.SPECS)
     specs.extend(llm_pipeline2.SPECS)
+    specs.extend(llm_pipeline3.SPECS)
     specs.extend(scale_ops.SPECS)
     specs.extend(multimodal.SPECS)
     specs.extend(relational.SPECS)
