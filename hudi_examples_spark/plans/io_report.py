@@ -50,6 +50,38 @@ def io_report_df(spark: SparkSession, table: Table) -> DataFrame:
     )
 
 
+def listing_read(table: Table) -> DataFrame:
+    """The ``hoodie.metadata.enable=false`` side of the reference's A/B: plan a
+    snapshot read by RECURSIVE DIRECTORY LISTING instead of the manifest —
+    walk the tree (one LIST per directory, what S3 bills for), take every
+    parquet file found. Semantically valid only when no superseded file
+    versions remain on disk (fresh bulk load, or post-compaction + clean with
+    retain 1) — which is exactly why the manifest side exists; ``io_ab`` pairs
+    this with the call counts so the Glue-benchmark story is reproducible as a
+    true A/B."""
+    rels = []
+    for root, dirs, fns in os.walk(table.base):
+        dirs[:] = [d for d in dirs if d not in ("_timeline", ".staging", "_stats")]
+        for fn in fns:
+            if fn.endswith(".parquet"):
+                rels.append(os.path.relpath(os.path.join(root, fn), table.base))
+    return table._read_files(sorted(rels), with_deleted=False).drop(
+        "_hoodie_commit_time", "_hoodie_record_key", "_hoodie_partition_path"
+    )
+
+
+def io_ab(table: Table) -> dict[str, int]:
+    """Manifest vs listing planning cost for ONE snapshot read, side by side
+    (the reference's S3-call benchmark as a reproducible A/B instead of a
+    40-DPU Glue job)."""
+    prof = io_profile(table)
+    return {
+        "metadata_on_planning_calls": prof["manifest_total_planning_calls"],
+        "metadata_off_planning_calls": prof["naive_recursive_list_calls"],
+        "data_file_opens": prof["data_file_opens"],
+    }
+
+
 def commit_activity_df(spark: SparkSession, table: Table) -> DataFrame:
     """Per-commit files/rows report (``Code.py:108-120``'s per-commit call counts,
     computed from timeline metadata instead of N filtered scans)."""

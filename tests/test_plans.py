@@ -126,3 +126,26 @@ def test_fp_winnowing_single_doc_shuffle(spark):
     # doc_id exchange — no second hashpartitioning on a different key
     others = [h for h in re.findall(r"hashpartitioning\(([^)]*)\)", text) if "doc_id" not in h]
     assert not others, f"unexpected extra shuffle keys: {others}"
+
+
+def test_metadata_on_off_ab_equivalence_and_cost(spark, tmp_path):
+    """The reference's hoodie.metadata.enable A/B, reproducible: after
+    compaction + clean(retain 1) both planners see the same data, and the
+    manifest side's planning calls don't scale with directory count."""
+    from hudi_examples_spark.plans.io_report import io_ab, listing_read
+    from tests.test_scale_paths import load_df, make
+
+    tbl = make(spark, tmp_path, table_type="mor")
+    tbl.insert(load_df(spark, range(6), range(30)))
+    tbl.upsert(load_df(spark, range(6), range(5), ts=2, v=9.0))
+    tbl.compact()
+    tbl.clean(retain_commits=1)
+    tbl.heal()  # drop pre-clean leftovers so the listing sees only live files
+    a = sorted(map(str, tbl.read().collect()))
+    b = sorted(map(str, listing_read(tbl).collect()))
+    assert a == b
+    ab = io_ab(tbl)
+    # 6 hive partitions + base dir: the listing pays per-directory; the
+    # manifest pays per-instant regardless of layout fanout
+    assert ab["metadata_off_planning_calls"] >= 7
+    assert ab["metadata_on_planning_calls"] < 30
