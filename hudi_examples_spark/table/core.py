@@ -664,12 +664,28 @@ class Table:
             # plans with ZERO Spark jobs before the pruned file read
             from hudi_examples_spark.table.hashing import spark_xxhash64
 
-            h = spark_xxhash64(
-                [
-                    (key_vals[k], self.schema[k].dataType.simpleString())
-                    for k in self.config.record_key
-                ]
-            )
+            try:
+                h = spark_xxhash64(
+                    [
+                        (key_vals[k], self.schema[k].dataType.simpleString())
+                        for k in self.config.record_key
+                    ]
+                )
+            except TypeError:
+                # key type the Python hasher doesn't cover (e.g. DECIMAL):
+                # fall back to evaluating the hash JVM-side — one tiny job
+                h = (
+                    self.spark.range(1)
+                    .select(
+                        F.xxhash64(
+                            *[
+                                F.lit(key_vals[k]).cast(self.schema[k].dataType)
+                                for k in self.config.record_key
+                            ]
+                        ).alias("h")
+                    )
+                    .collect()[0]["h"]
+                )
             if self.config.bucket_ranges:
                 import bisect
 

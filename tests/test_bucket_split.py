@@ -128,3 +128,22 @@ def test_convert_modulo_table_to_ranges(spark, tmp_path):
     assert sorted(map(str, tbl.read().collect())) == before
     hit = tbl.read_point(k="key-00042")
     assert hit.count() == 1
+
+
+def test_point_read_falls_back_for_unhashable_key_types(spark, tmp_path):
+    """A DECIMAL record key isn't covered by the driver-side hasher — the
+    point read must fall back to the JVM hash, not fail."""
+    from decimal import Decimal
+
+    from hudi_examples_spark.table import Table, TableConfig
+
+    tbl = Table.create(
+        spark,
+        str(tmp_path / "dec"),
+        "k DECIMAL(10,2), v DOUBLE, ts LONG",
+        TableConfig(record_key=["k"], precombine="ts", n_buckets=4),
+    )
+    rows = [(Decimal(f"{i}.25"), float(i), 1) for i in range(40)]
+    tbl.insert(spark.createDataFrame(rows, tbl.schema))
+    got = tbl.read_point(k=Decimal("7.25")).collect()
+    assert len(got) == 1 and got[0]["v"] == 7.0
