@@ -222,7 +222,12 @@ def apply_ops(spark, tbl: Table, model: Model, ops: list[Op]):
     return checkpoints
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(
+    # PROP_EXAMPLES=60 for soak runs; 10 keeps the default suite fast
+    max_examples=int(__import__("os").environ.get("PROP_EXAMPLES", "10")),
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
 @given(ops=st.lists(op_st, min_size=1, max_size=6))
 @pytest.mark.parametrize("table_type", ["cow", "mor", "cow_ranges"])
 def test_random_dml_sequences_match_model(spark, tmp_path_factory, ops, table_type):

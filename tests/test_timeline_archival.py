@@ -96,3 +96,36 @@ def test_archival_respects_savepoint_pin_then_releases(spark, tmp_path):
     tbl.release_savepoint(sp)
     assert tbl.archive_timeline(retain_instants=2) > 0
     assert tbl.read().filter("v=9.0").count() == 2
+
+
+def test_crash_between_checkpoint_and_instant_removal_is_safe(tmp_path):
+    """archive()'s commit point is the checkpoint rename; a crash before the
+    archived instant files are deleted leaves BOTH on disk. Replaying an
+    already-folded instant over the checkpoint state is idempotent (same
+    add/remove set ops in the same order), so readers see the exact same
+    snapshot — and a later archive() converges."""
+    import shutil
+
+    tl = Timeline(str(tmp_path))
+    prev = None
+    for n in range(40):
+        rel = f"f_{n:03d}.parquet"
+        tl.write(Instant(new_instant(), "commit", [rel], [prev] if prev else [], {}))
+        prev = rel
+    want = tl.live_files()
+    # simulate the crash: snapshot the instant files, archive, then restore
+    # the "deleted" instant files next to the new checkpoint
+    backup = tmp_path / "backup"
+    shutil.copytree(tmp_path / "_timeline", backup)
+    assert tl.archive(retain_data_instants=10) == 30
+    for fn in os.listdir(backup):
+        if fn.endswith(".json"):
+            dst = tmp_path / "_timeline" / fn
+            if not dst.exists():
+                shutil.copy(backup / fn, dst)
+    # checkpoint + stale instants coexist: view unchanged
+    assert tl.live_files() == want
+    # re-archive converges instead of corrupting
+    tl.archive(retain_data_instants=10)
+    assert tl.live_files() == want
+    assert len(tl.instants()) == 10
