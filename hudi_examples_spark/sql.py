@@ -189,7 +189,9 @@ class Engine:
         """Hudi Spark-SQL procedures (the SQL face of the table services):
         CALL run_compaction('t') | run_clustering('t'[, buckets]) |
         run_clean('t'[, retain]) | rollback_to_instant('t'[, instant]) |
-        create_savepoint('t') | show_commits('t') | show_savepoints('t')."""
+        create_savepoint('t') | show_commits('t') | show_savepoints('t') |
+        run_archival('t'[, retain]) | split_bucket('t', lower) |
+        convert_to_ranges('t', buckets)."""
         m = re.match(r"CALL\s+(\w+)\s*\(\s*'(\w+)'\s*(?:,\s*([^)]+))?\)\s*$", s, re.I)
         if not m:
             raise ValueError(f"cannot parse CALL: {s[:120]}")
@@ -203,6 +205,15 @@ class Engine:
             return None
         if proc == "run_clean":
             tbl.clean(retain_commits=int(arg) if arg else 10)
+            return None
+        if proc == "run_archival":
+            tbl.archive_timeline(retain_instants=int(arg) if arg else 20)
+            return None
+        if proc == "split_bucket":
+            tbl.split_bucket(int(arg))
+            return None
+        if proc == "convert_to_ranges":
+            tbl.convert_to_ranges(int(arg))
             return None
         if proc == "rollback_to_instant":
             tbl.rollback(arg.strip().strip("'") if arg else None)

@@ -1515,10 +1515,36 @@ class Table:
                         os.remove(p)
                         removed.append(rel)
         if removed:
+            self._gc_file_stats(set(removed))
             self.timeline.write(
                 Instant(new_instant(), "clean", [], [], {"removed": removed})
             )
         return removed
+
+    def _gc_file_stats(self, dead: set[str]) -> None:
+        """Drop stats-sidecar entries for physically deleted files so the
+        key-range index stays O(live files). Safe by construction: pruning
+        treats a missing stats entry as 'keep the file', so over-deleting an
+        entry can only cost IO, never correctness."""
+        d = os.path.join(self.base, self.STATS_DIR)
+        if not os.path.isdir(d):
+            return
+        for fn in sorted(os.listdir(d)):
+            if not fn.endswith(".json"):
+                continue
+            p = os.path.join(d, fn)
+            with open(p) as f:
+                stats = json.load(f)
+            kept = {rel: v for rel, v in stats.items() if rel not in dead}
+            if len(kept) == len(stats):
+                continue
+            if kept:
+                tmp = p + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(kept, f)
+                os.replace(tmp, p)
+            else:
+                os.remove(p)
 
     def archive_timeline(self, retain_instants: int = 20) -> int:
         """Timeline archival (Hudi ``hoodie.archive.*`` / ``hoodie.keep.*``):

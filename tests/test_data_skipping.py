@@ -115,3 +115,20 @@ def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
 
     assert ok_pruned > 0, "z-order must prune on the first dimension"
     assert sk_pruned > 0, "z-order must prune on the second dimension too"
+
+
+def test_clean_gcs_stats_sidecars(spark, tmp_path):
+    """Cleaned files disappear from the key-range index sidecars too, so
+    pruning joins stay O(live files) on long-lived tables."""
+    from tests.test_scale_paths import make, rows_df
+
+    tbl = make(spark, tmp_path, table_type="cow", partition_by=[])
+    for ts in range(1, 6):
+        tbl.upsert(rows_df(spark, 0, range(10), ts=ts, v=float(ts)))
+    removed = tbl.clean(retain_commits=1)
+    assert removed
+    stats = tbl._load_file_stats()
+    assert set(stats).isdisjoint(removed)
+    # every live file still has its key-range entry
+    live = set(tbl.timeline.live_files()[0])
+    assert live <= set(stats)

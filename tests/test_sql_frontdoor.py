@@ -238,3 +238,21 @@ def test_catalog_persists_across_sessions(spark, tmp_path):
     # DROP removes the catalog entry durably
     e3.sql("DROP TABLE ext")
     assert Engine(spark, wh).table_names() == ["trips"]
+
+
+def test_call_service_procedures_round2(engine):
+    engine.sql(
+        "CREATE TABLE svc (k STRING, v DOUBLE, ts BIGINT) "
+        "TBLPROPERTIES (primaryKey = 'k', preCombineField = 'ts')"
+    )
+    for i in range(6):
+        engine.sql(f"INSERT INTO svc VALUES ('a{i}', {i}.0, {i})")
+    tbl = engine.table("svc")
+    engine.sql("CALL convert_to_ranges('svc', 2)")
+    assert len(tbl.config.bucket_ranges) == 2
+    engine.sql("CALL split_bucket('svc', 0)")
+    assert len(tbl.config.bucket_ranges) == 3
+    n_before = len(tbl.timeline.instants())
+    engine.sql("CALL run_archival('svc', 3)")
+    assert len(tbl.timeline.instants()) < n_before
+    assert engine.sql("SELECT count(*) AS n FROM svc").collect()[0]["n"] == 6
