@@ -15,7 +15,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame
 
-from hudi_examples_spark.table import Table
+from hudi_examples_spark.table import ConcurrentWriteConflict, Table
 
 
 def _already_applied(table: Table, sink_name: str, batch_id: int) -> bool:
@@ -61,7 +61,13 @@ def make_batch_handler(
             and table.config.table_type == "mor"
             and table.should_compact(compact_every)
         ):
-            table.compact()
+            try:
+                table.compact()
+            except ConcurrentWriteConflict:
+                # another process's service won the race — compaction is
+                # best-effort maintenance, so skip and let the next batch's
+                # trigger retry rather than failing the streaming query
+                pass
 
     return handle
 
