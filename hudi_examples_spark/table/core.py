@@ -370,10 +370,14 @@ class Table:
         cannot satisfy ``filters`` (list of ``(col, op, value)`` with op in
         =, <, <=, >, >=), then apply the same predicates to the surviving rows.
 
-        Safe exactly when the live set holds one version per key — COW always,
-        MOR only with no pending logs (a log row could supersede a pruned base
-        row); with logs present this degrades to read().filter(). Pruned file
-        count is observable at ``last_scan`` for IO accounting/tests.
+        MOR tables with pending logs still prune: base files are kept when
+        their column stats match OR their record-key range overlaps a log key
+        (a pruned base row may be the precombine winner over a log row — it
+        must join the merge), and all logs are read. Safe exactly when the
+        base set holds one version per key (COW writes, compaction and split
+        outputs guarantee this; blind ``bulk_insert`` duplicates are the
+        documented exception). Pruned file count is observable at
+        ``last_scan`` for IO accounting/tests.
         """
         conds = None
         for col, op, val in filters or []:
@@ -381,17 +385,31 @@ class Table:
             cond = {"=": c == val, "<": c < val, "<=": c <= val, ">": c > val, ">=": c >= val}[op]
             conds = cond if conds is None else (conds & cond)
         files, _ = self.timeline.live_files(normalize_as_of(as_of) if as_of else None)
-        log_rels = [r for r, (_, a) in files.items() if a == "deltacommit"]
-        if log_rels or not filters or not self.config.stats_cols:
+        log_rels = sorted(r for r, (_, a) in files.items() if a == "deltacommit")
+        if not filters or not self.config.stats_cols:
             self.last_scan = {"total": len(files), "scanned": len(files), "pruned": 0}
             df = self.read(as_of=as_of)
             return df.filter(conds) if conds is not None else df
         stats = self._load_file_stats()
-        keep = [
-            r for r in files if _file_may_match(stats.get(r), filters)
-        ]
-        self.last_scan = {"total": len(files), "scanned": len(keep), "pruned": len(files) - len(keep)}
-        df = self._read_files(sorted(keep), with_deleted=False).drop(*META_COLS)
+        base_rels = sorted(r for r in files if r not in set(log_rels))
+        keep = [r for r in base_rels if _file_may_match(stats.get(r), filters)]
+        if log_rels:
+            # MOR with pending logs: a pruned base row could be the precombine
+            # winner over a log row of the same key (emitting the stale log
+            # version would be wrong), so base files whose record-key range
+            # overlaps any log key are read regardless of their column stats;
+            # logs are always read in full. Data-skipping still prunes every
+            # base file the logs don't touch.
+            dropped = [r for r in base_rels if r not in set(keep)]
+            log_keys = self._read_files(log_rels, with_deleted=True).select(META_KEY)
+            keep = sorted(set(keep) | set(self._prune_files_by_keys(dropped, log_keys)))
+        rels = sorted(set(keep) | set(log_rels))
+        self.last_scan = {
+            "total": len(files),
+            "scanned": len(rels),
+            "pruned": len(files) - len(rels),
+        }
+        df = self._snapshot_of(files, rels).drop(*META_COLS)
         return df.filter(conds) if conds is not None else df
 
     def cluster_sort(self, cols: list[str], n_files: int | None = None) -> str:

@@ -132,3 +132,34 @@ def test_clean_gcs_stats_sidecars(spark, tmp_path):
     # every live file still has its key-range entry
     live = set(tbl.timeline.live_files()[0])
     assert live <= set(stats)
+
+
+def test_mor_scan_prunes_with_pending_logs(spark, tmp_path):
+    """Data skipping no longer surrenders when logs exist: untouched base
+    files prune by stats; log-touched ones join the merge."""
+    from tests.test_scale_paths import load_df, make, rows_df
+
+    tbl = make(spark, tmp_path, table_type="mor", stats_cols=["v"])
+    tbl.insert(load_df(spark, range(4), range(40)))          # base, v=1.0
+    tbl.upsert(rows_df(spark, 1, range(3), ts=2, v=50.0))    # log in p=1
+    got = tbl.scan([("v", ">", 40.0)])
+    expect = tbl.read().filter("v > 40.0")
+    assert sorted(map(str, got.collect())) == sorted(map(str, expect.collect()))
+    assert tbl.last_scan["pruned"] >= 2  # untouched partitions' bases skipped
+
+
+def test_mor_scan_keeps_base_that_outranks_log(spark, tmp_path):
+    """Precombine edge: the base row (ts=5, v=100) outranks a log row (ts=2)
+    for the same key. A stats-only pruner would drop the base file for a
+    v<10 filter and wrongly emit the stale log version — the key-range
+    overlap rule must pull the base file into the merge."""
+    from tests.test_scale_paths import make
+
+    tbl = make(spark, tmp_path, table_type="mor", partition_by=[], stats_cols=["v"])
+    base = [("kA", 0, 100.0, 5), ("kB", 0, 100.0, 1)]
+    tbl.insert(spark.createDataFrame(base, "k STRING, p INT, v DOUBLE, ts LONG"))
+    # late-arriving update: lower precombine, small v — must LOSE to base for kA
+    tbl.upsert(spark.createDataFrame([("kA", 0, 5.0, 2)], "k STRING, p INT, v DOUBLE, ts LONG"))
+    got = tbl.scan([("v", "<", 10.0)]).collect()
+    # merged truth: kA resolves to the ts=5 base row (v=100) → no row matches
+    assert got == []
