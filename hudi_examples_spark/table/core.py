@@ -92,6 +92,10 @@ class TableConfig:
     #: declared schema, so reads skip parquet mergeSchema (whose footer-merge
     #: costs a Spark job per read) — evolved tables pay it, fresh ones don't
     schema_version: int = 0
+    #: file-sizing cap (Hudi ``hoodie.parquet.max.file.size`` analogue): the
+    #: writer rolls to a new file past this many records, so a hive partition
+    #: written by one task still yields bounded-size files at any scale
+    max_records_per_file: int = 5_000_000
     #: consistent-hash bucket routing (Hudi BUCKET index, CONSISTENT_HASHING
     #: engine — ``consistent_hashing.sql:44-49``): sorted lower boundaries of
     #: hash-ring ranges over [0, BUCKET_RING); a bucket's identity is its
@@ -242,6 +246,8 @@ class Table:
             df = df.repartition(*[F.col(c) for c in parts])
         staging = os.path.join(self.base, ".staging", instant)
         writer = df.write.mode("overwrite")
+        if self.config.max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", self.config.max_records_per_file)
         if write_parts:
             writer = writer.partitionBy(*write_parts)
         writer.parquet(staging)

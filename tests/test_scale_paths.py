@@ -217,3 +217,17 @@ def test_point_read_plans_without_a_spark_job(spark, tmp_path):
     files, _ = tbl.timeline.live_files()
     n_buckets_live = len({os.path.dirname(r) for r in files})
     assert n_buckets_live > 1  # table actually has multiple bucket dirs
+
+
+def test_writer_rolls_files_at_max_records(spark, tmp_path):
+    """One task per hive partition must still produce bounded-size files
+    (the hoodie.parquet.max.file.size analogue)."""
+    import pyarrow.parquet as pq
+
+    tbl = make(spark, tmp_path, table_type="cow", max_records_per_file=30)
+    tbl.insert(rows_df(spark, 0, range(100)))
+    files, _ = tbl.timeline.live_files()
+    assert len(files) >= 4  # 100 rows / 30-row cap
+    for r in files:
+        assert pq.ParquetFile(os.path.join(tbl.base, r)).metadata.num_rows <= 30
+    assert tbl.count() == 100
