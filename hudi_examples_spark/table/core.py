@@ -290,14 +290,17 @@ class Table:
         just written (no data re-read — footer metadata only). Stored as one
         JSON sidecar per instant, so planning stays O(instants): a scan loads
         the sidecars of live instants and never opens pruned files."""
+        from concurrent.futures import ThreadPoolExecutor
+
         import pyarrow.parquet as pq
 
-        stats: dict[str, dict[str, list]] = {}
-        for rel in rels:
+        stat_cols = self._stat_cols()
+
+        def footer_stats(rel: str) -> tuple[str, dict[str, list]]:
             md = pq.ParquetFile(os.path.join(self.base, rel)).metadata
             col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
             per_col: dict[str, list] = {}
-            for col in self._stat_cols():
+            for col in stat_cols:
                 if col not in col_idx:
                     continue
                 lo, hi = None, None
@@ -311,8 +314,13 @@ class Table:
                     hi = mx if hi is None or mx > hi else hi
                 if lo is not None:
                     per_col[col] = [_stats_json(lo), _stats_json(hi)]
-            if per_col:
-                stats[rel] = per_col
+            return rel, per_col
+
+        # footer reads are IO-bound and independent — a big commit (thousands
+        # of rolled files) must not serialize them on the driver
+        with ThreadPoolExecutor(max_workers=min(16, max(len(rels), 1))) as ex:
+            results = list(ex.map(footer_stats, rels))
+        stats = {rel: per_col for rel, per_col in results if per_col}
         d = os.path.join(self.base, self.STATS_DIR)
         os.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, f".{instant}.json.tmp")
