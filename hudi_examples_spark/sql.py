@@ -178,6 +178,11 @@ class Engine:
                 self.unregister(name)
                 return None
             return None
+        if verb == "SHOW" and re.match(r"SHOW\s+TABLES\s*$", s, re.I):
+            return self.spark.createDataFrame(
+                [(n, self._locations.get(n, "")) for n in self.table_names()],
+                "tableName STRING, location STRING",
+            )
         if verb == "CALL":
             return self._call(s)
         # SELECT / SHOW / narration — rewrite engine sugar then hand to spark.sql

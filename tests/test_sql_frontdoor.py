@@ -229,6 +229,8 @@ def test_catalog_persists_across_sessions(spark, tmp_path):
     # fresh session, same warehouse: both tables resolve from the catalog file
     e2 = Engine(spark, wh)
     assert e2.table_names() == ["ext", "trips"]
+    shown = {r["tableName"] for r in e2.sql("SHOW TABLES").collect()}
+    assert shown == {"ext", "trips"}
     assert e2.sql("SELECT count(*) AS n FROM trips").collect()[0]["n"] == 2
     assert e2.sql("SELECT v FROM ext").collect()[0]["v"] == 1.5
     # DML through the new session lands in the same tables
