@@ -215,9 +215,13 @@ def apply_ops(spark, tbl: Table, model: Model, ops: list[Op]):
                 checkpoints[:] = [c for c in checkpoints if c[0] and c[0] >= cutoff]
         elif op.kind == "split":
             if tbl.config.bucket_ranges and tbl.latest_instant() is not None:
+                before_n = len(tbl.timeline.completed_data_instants())
                 inst = tbl.maybe_split_buckets(split_threshold_bytes=1, max_buckets=8)
                 if inst is not None:
-                    model._snapshot()  # view-preserving relayout
+                    # MOR may auto-compact before splitting: one model
+                    # snapshot per engine data commit keeps rollback parity
+                    for _ in range(len(tbl.timeline.completed_data_instants()) - before_n):
+                        model._snapshot()
                     ckpt()
     return checkpoints
 
@@ -229,12 +233,12 @@ def apply_ops(spark, tbl: Table, model: Model, ops: list[Op]):
     suppress_health_check=list(HealthCheck),
 )
 @given(ops=st.lists(op_st, min_size=1, max_size=6))
-@pytest.mark.parametrize("table_type", ["cow", "mor", "cow_ranges"])
+@pytest.mark.parametrize("table_type", ["cow", "mor", "cow_ranges", "mor_ranges"])
 def test_random_dml_sequences_match_model(spark, tmp_path_factory, ops, table_type):
     tmp_path = tmp_path_factory.mktemp(f"prop_{table_type}")
     cfg = dict(record_key=["uuid"], precombine="ts", partition_by=["part"])
-    if table_type == "cow_ranges":
-        cfg.update(table_type="cow", bucket_ranges=[0])
+    if table_type.endswith("_ranges"):
+        cfg.update(table_type=table_type.split("_")[0], bucket_ranges=[0])
     else:
         cfg.update(table_type=table_type)
     tbl = Table.create(spark, str(tmp_path / "t"), SCHEMA, TableConfig(**cfg))
