@@ -264,6 +264,32 @@ def s_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 S_CSV_ORACLE = "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
 
 
+def s_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC source/sink: write the supplier dim as ORC, read it back with a
+    declared schema — proves the columnar alternative format round-trips
+    values exactly (oracle compares against the parquet original)."""
+    sub = t(spark, sf, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "hudi_examples_spark_orc",
+        re.sub(r"[^A-Za-z0-9]", "_", sf),
+    )
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    sub.write.orc(out)
+    from hudi_examples_spark.sources.readers import read_orc
+
+    return read_orc(
+        spark, out, "s_suppkey BIGINT, s_name STRING, s_acctbal DOUBLE"
+    ).orderBy("s_suppkey")
+
+
+S_ORC_ORACLE = """
+SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier ORDER BY s_suppkey
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("q4_order_priority", q4_order_priority, Q4_ORACLE, "J4,A3"),
     QuerySpec("q7_nation_volume", q7_nation_volume, Q7_ORACLE, "J1-J5,A3"),
@@ -273,4 +299,5 @@ SPECS: list[QuerySpec] = [
     QuerySpec("w_running_totals", w_running_totals, W_RUNNING_ORACLE, "§2.5"),
     QuerySpec("w_sessionization", w_sessionization, W_SESSION_ORACLE, "§2.5,T6"),
     QuerySpec("s_csv_roundtrip", s_csv_roundtrip, S_CSV_ORACLE, "S5"),
+    QuerySpec("s_orc_roundtrip", s_orc_roundtrip, S_ORC_ORACLE, "S5+"),
 ]

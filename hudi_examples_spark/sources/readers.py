@@ -74,6 +74,28 @@ def read_text(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema_ddl: str | None = None) -> DataFrame:
+    """ORC scan (Spark-native columnar alternative to parquet; same pushdown/
+    pruning machinery). Declared schema skips footer inference when given."""
+    reader = spark.read
+    if schema_ddl:
+        reader = reader.schema(schema_ddl)
+    return reader.orc(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan — requires the external ``spark-avro`` module, which this
+    container does not ship (environment-blocked, like the live Kafka broker);
+    raises with a clear message rather than a Spark classpath error."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as e:  # AnalysisException: Failed to find data source
+        raise ImportError(
+            "avro support needs the spark-avro package on the classpath "
+            "(not shipped in this environment)"
+        ) from e
+
+
 def read_csv_ddl(
     spark: SparkSession,
     path: str,
