@@ -10,6 +10,7 @@ def all_specs() -> list[QuerySpec]:
         llm_pipeline,
         llm_pipeline2,
         llm_pipeline3,
+        llm_pipeline4,
         multimodal,
         relational,
         relational_ext,
@@ -31,6 +32,7 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(llm_pipeline.SPECS)
     specs.extend(llm_pipeline2.SPECS)
     specs.extend(llm_pipeline3.SPECS)
+    specs.extend(llm_pipeline4.SPECS)
     specs.extend(scale_ops.SPECS)
     specs.extend(multimodal.SPECS)
     specs.extend(relational.SPECS)
