@@ -290,6 +290,70 @@ FROM supplier ORDER BY s_suppkey
 """
 
 
+def a_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPING SETS ((priority,status),(priority),()) over orders — the
+    multi-granularity report shape between plain GROUP BY and CUBE. One
+    shuffle; Spark expands the sets map-side (Expand operator), so cost is
+    ~|sets| × input rows of partial aggregation, no extra exchanges."""
+    o = t(spark, sf, "orders")
+    gd = o.groupingSets(
+        [[F.col("o_orderpriority"), F.col("o_orderstatus")], [F.col("o_orderpriority")], []],
+        "o_orderpriority",
+        "o_orderstatus",
+    )
+    return (
+        gd.agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("priority", "status")
+    )
+
+
+A_GROUPING_SETS_ORACLE = """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+ORDER BY priority, status
+"""
+
+
+def a_sketch_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-based profile per order priority: HyperLogLog++ distinct
+    customers and approximate total-price quantiles. The 100 TB shape for
+    distinct-count/quantile reporting: sketches merge associatively in
+    partial aggregation (fixed-size state per group), so no exact
+    distinct-shuffle of the full key set ever happens. rows-only spec —
+    DuckDB's approx algorithms differ; the error bound vs exact is pinned
+    by test_llm_pipeline4-style assertions in tests/test_sketches.py."""
+    o = t(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.percentile_approx("o_totalprice", [0.5, 0.95], 10000).alias("price_q"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "o_orderpriority",
+            "approx_customers",
+            F.round(F.col("price_q")[0], 2).alias("p50_price"),
+            F.round(F.col("price_q")[1], 2).alias("p95_price"),
+            "n_orders",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("q4_order_priority", q4_order_priority, Q4_ORACLE, "J4,A3"),
     QuerySpec("q7_nation_volume", q7_nation_volume, Q7_ORACLE, "J1-J5,A3"),
@@ -300,4 +364,6 @@ SPECS: list[QuerySpec] = [
     QuerySpec("w_sessionization", w_sessionization, W_SESSION_ORACLE, "§2.5,T6"),
     QuerySpec("s_csv_roundtrip", s_csv_roundtrip, S_CSV_ORACLE, "S5"),
     QuerySpec("s_orc_roundtrip", s_orc_roundtrip, S_ORC_ORACLE, "S5+"),
+    QuerySpec("a_grouping_sets", a_grouping_sets, A_GROUPING_SETS_ORACLE, "A3+,rollup"),
+    QuerySpec("a_sketch_profile", a_sketch_profile, None, "A:sketches"),
 ]
