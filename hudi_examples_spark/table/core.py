@@ -33,11 +33,30 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from contextlib import contextmanager
 from dataclasses import asdict, dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, StructField, StructType
+
+
+@contextmanager
+def _no_aqe(spark: SparkSession):
+    """Disable AQE for one tiny driver-side planning query.
+
+    AQE materializes every query stage as its own Spark job; for the
+    metadata-sized collects in the write path (partition location, key-range
+    pruning — dozens of rows) that's 3-5 driver round-trips where a static
+    plan needs one. Data-path queries keep AQE. Safe because engine writes
+    are driver-sequential (the only in-process threads are the footer-stat
+    readers, which never touch SQL conf)."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 from pyspark.sql.window import Window
 
 from hudi_examples_spark.table.timeline import (
@@ -366,15 +385,16 @@ class Table:
             return list(rels)
         rng = self.spark.createDataFrame(ranged, "rel STRING, lo STRING, hi STRING")
         keys = keys_df.select(F.col(META_KEY).cast("string").alias("__k")).distinct()
-        hit = (
-            keys.join(
-                F.broadcast(rng),
-                (F.col("__k") >= F.col("lo")) & (F.col("__k") <= F.col("hi")),
+        with _no_aqe(self.spark):
+            hit = (
+                keys.join(
+                    F.broadcast(rng),
+                    (F.col("__k") >= F.col("lo")) & (F.col("__k") <= F.col("hi")),
+                )
+                .select("rel")
+                .distinct()
+                .collect()
             )
-            .select("rel")
-            .distinct()
-            .collect()
-        )
         kept = sorted({r["rel"] for r in hit} | set(unknown))
         self.last_key_prune = {"total": len(rels), "candidates": len(kept)}
         return kept
@@ -1047,10 +1067,13 @@ class Table:
             if not ps:
                 return None  # cannot locate: treat all partitions as touched
             for p in ps:
-                paths = p if paths is None else paths.unionByName(p).distinct()
+                # no cross-batch distinct: each ps is already distinct and the
+                # driver-side set() below dedupes — saves one exchange per write
+                paths = p if paths is None else paths.unionByName(p)
         if paths is None:
             return set()
-        return {r["p"] for r in paths.collect()}
+        with _no_aqe(self.spark):
+            return {r["p"] for r in paths.collect()}
 
     def _apply_cow(
         self,
@@ -1061,7 +1084,10 @@ class Table:
         extra_meta: dict | None = None,
     ) -> str:
         files, _latest = self.timeline.live_files()
-        touched = self._touched_partition_filter(upserts, deletes)
+        # Empty table: nothing to locate or rewrite — skip the partition-location
+        # jobs and publish with the conservative full-table OCC footprint (None),
+        # so a concurrent first writer still conflicts instead of duplicating keys.
+        touched = self._touched_partition_filter(upserts, deletes) if files else None
         if touched is None:
             touched_rels = list(files.keys())
         else:
