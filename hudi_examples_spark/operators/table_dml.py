@@ -320,6 +320,86 @@ FROM final GROUP BY seg ORDER BY seg
 """
 
 
+def tbl_join_view_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (IVM): dst = customers ⋈ segment dim,
+    kept exact purely from both tables' CDC feeds across insert + upsert +
+    dim-update + delete batches — never recomputed from scratch after
+    bootstrap. The slice-recompute engine lives in streaming/join_view.py."""
+    from hudi_examples_spark.streaming.join_view import IncrementalJoinView
+
+    wd = _workdir("tbl_join_view_incremental", sf)
+    left = Table.create(
+        spark,
+        os.path.join(wd, "cust"),
+        CUST_SCHEMA,
+        TableConfig(record_key=["c_custkey"], precombine="v", partition_by=["seg"]),
+    )
+    right = Table.create(
+        spark,
+        os.path.join(wd, "dim"),
+        "seg STRING, seg_name STRING, budget DOUBLE",
+        TableConfig(record_key=["seg"]),
+    )
+    view = IncrementalJoinView(
+        left,
+        right,
+        os.path.join(wd, "view"),
+        "seg",
+        ["c_custkey", "c_name", "acctbal"],
+        ["seg_name", "budget"],
+    )
+    left.insert(_cust_df(spark, sf))
+    right.insert(
+        _cust_df(spark, sf)
+        .select("seg")
+        .distinct()
+        .select(
+            "seg",
+            F.concat(F.lit("Region-"), F.col("seg")).alias("seg_name"),
+            (F.length("seg") * 100.0).alias("budget"),
+        )
+    )
+    view.refresh()
+    left.upsert(_upsert_batch(spark, sf))
+    right.update_where("seg = 'BUILDING'", {"budget": "budget + 1000"})
+    view.refresh()
+    left.delete_where("c_custkey % 11 = 0")
+    view.refresh()
+    return view.dst.read().select(
+        "c_custkey",
+        "c_name",
+        F.round("acctbal", 2).alias("acctbal"),
+        "seg",
+        "seg_name",
+        F.round("budget", 2).alias("budget"),
+    ).orderBy("c_custkey")
+
+
+TBL_JOIN_VIEW_ORACLE = """
+WITH final_cust AS (
+  SELECT c_custkey, c_name,
+         c_acctbal + CASE WHEN c_custkey % 7 = 0 THEN 100.0 ELSE 0 END AS acctbal,
+         c_mktsegment AS seg
+  FROM customer
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 13 = 0
+),
+dim AS (
+  SELECT DISTINCT c_mktsegment AS seg,
+         'Region-' || c_mktsegment AS seg_name,
+         length(c_mktsegment) * 100.0
+           + CASE WHEN c_mktsegment = 'BUILDING' THEN 1000 ELSE 0 END AS budget
+  FROM customer
+)
+SELECT f.c_custkey, f.c_name, round(f.acctbal, 2) AS acctbal, f.seg,
+       d.seg_name, round(d.budget, 2) AS budget
+FROM final_cust f JOIN dim d USING (seg)
+WHERE f.c_custkey % 11 <> 0
+ORDER BY f.c_custkey
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("tbl_upsert_cow", tbl_upsert_cow, UPSERT_FINAL_ORACLE, "M1,M2,M7"),
     QuerySpec("tbl_upsert_mor", tbl_upsert_mor, UPSERT_FINAL_ORACLE, "M7,MOR"),
@@ -332,4 +412,5 @@ SPECS: list[QuerySpec] = [
     QuerySpec("tbl_cdc_query", tbl_cdc_query, TBL_CDC_ORACLE, "M11,M13 CDC images"),
     QuerySpec("tbl_scan_pruned", tbl_scan_pruned, TBL_SCAN_ORACLE, "col-stats data skipping"),
     QuerySpec("tbl_rollup_incremental", tbl_rollup_incremental, TBL_ROLLUP_ORACLE, "incremental rollup (CDC IVM)"),
+    QuerySpec("tbl_join_view_incremental", tbl_join_view_incremental, TBL_JOIN_VIEW_ORACLE, "incremental join view (CDC IVM)"),
 ]
