@@ -95,14 +95,22 @@ def minhash_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
 def simhash64(tokens: Column) -> Column:
     """64-bit SimHash over a token array: per-bit majority vote of token hashes.
 
-    Expressed as 64 aggregate expressions over xxhash64(token) bits — heavyweight to
-    write but stays whole-stage-codegen. Returns BIGINT.
+    The per-token hash is the md5 digest split into two 32-bit words (hi = hex
+    chars 1-8, lo = chars 9-16) — 64 hash bits reproducible in ANY engine with
+    md5, which is what lets the driver run a full value-match DuckDB oracle
+    (xxhash64, the previous bit source, is Spark-only and forced a rows-only
+    check). Expressed as 64 aggregate expressions — heavyweight to write but
+    stays whole-stage-codegen. Returns BIGINT.
     """
-    th = F.transform(tokens, lambda w: F.xxhash64(w))
+    hx = F.transform(tokens, lambda w: F.md5(w))
+    hi = F.transform(hx, lambda h: F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"))
+    lo = F.transform(hx, lambda h: F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint"))
     acc = F.lit(0).cast("bigint")
     n = F.size(tokens)
     for bit in range(64):
-        mask = F.lit(1 << bit).cast("bigint") if bit < 63 else F.lit(-(1 << 63)).cast("bigint")
-        ones = F.size(F.filter(th, lambda h: h.bitwiseAND(mask) != 0))
-        acc = acc + F.when(ones * 2 > n, mask).otherwise(F.lit(0).cast("bigint"))
+        word = hi if bit < 32 else lo
+        mask32 = F.lit(1 << (bit % 32)).cast("bigint")
+        contrib = F.lit(1 << bit).cast("bigint") if bit < 63 else F.lit(-(1 << 63)).cast("bigint")
+        ones = F.size(F.filter(word, lambda h: h.bitwiseAND(mask32) != 0))
+        acc = acc + F.when(ones * 2 > n, contrib).otherwise(F.lit(0).cast("bigint"))
     return acc

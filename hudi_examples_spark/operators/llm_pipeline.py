@@ -164,10 +164,48 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash 64-bit signatures per doc (rows-only check; hamming-pairing in tests)."""
+    """SimHash 64-bit signatures per doc.
+
+    md5-based bit source → full value-match DuckDB oracle (the 64 per-bit
+    majority votes are re-expressed as 64 FILTER aggregates in SQL);
+    hamming-separation quality bound in tests/test_llm_pipeline.py."""
     n = max(spark.sparkContext.defaultParallelism, 8)
     d = t(spark, sf, "documents").repartition(n).select("doc_id", words("text").alias("__ws"))
     return d.select("doc_id", simhash64(F.col("__ws")).alias("simhash")).orderBy("doc_id")
+
+
+def _simhash_oracle_terms() -> str:
+    # one FILTER aggregate per signature bit, mirroring functions/text.py:simhash64
+    terms = []
+    for bit in range(64):
+        word = "hi" if bit < 32 else "lo"
+        mask32 = 1 << (bit % 32)
+        contrib = (1 << bit) if bit < 63 else -(1 << 63)
+        terms.append(
+            f"(CASE WHEN 2 * count(*) FILTER (WHERE ({word} & {mask32}) <> 0) > count(*) "
+            f"THEN ({contrib})::BIGINT ELSE 0::BIGINT END)"
+        )
+    return "\n    + ".join(terms)
+
+
+DEDUP_SIMHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(str_split(trim(text), ' '), w -> w <> '')) AS w
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(w), 1, 8))::BIGINT AS hi,
+         ('0x' || substr(md5(w), 9, 8))::BIGINT AS lo
+  FROM tok
+), sig AS (
+  SELECT doc_id,
+    ( {_simhash_oracle_terms()} )::BIGINT AS simhash
+  FROM h GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(s.simhash, 0)::BIGINT AS simhash
+FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -424,7 +462,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE, "LLM:dedup"),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE, "LLM:dedup"),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, None, "LLM:dedup"),
-    QuerySpec("dedup_simhash", dedup_simhash, None, "LLM:dedup"),
+    QuerySpec("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_ORACLE, "LLM:dedup"),
     QuerySpec("text_stats", text_stats, TEXT_STATS_ORACLE, "LLM:text"),
     QuerySpec("lang_distribution", lang_distribution, LANG_DIST_ORACLE, "LLM:text"),
     QuerySpec("doc_fingerprints", doc_fingerprints, FINGERPRINT_ORACLE, "LLM:text"),

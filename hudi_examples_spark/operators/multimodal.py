@@ -184,10 +184,18 @@ from hudi_examples_spark.operators.spec import QuerySpec  # noqa: E402
 
 
 def mm_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry entry (rows-only): synth → decode → features → join, end to end."""
+    """Registry entry: synth → decode → features → join, end to end.
+
+    Oracle-gated: the first feature is reported as ``f0_sum`` — the exact
+    integer byte-sum of the first block, reconstructed from the float32
+    feature as ``round(f0 * 255 * n_blocks)``. Block sums stay below 2^24 so
+    float32 holds them exactly and the reconstruction is error-free, which
+    turns a float-fuzzy feature into a value-hashable column DuckDB can
+    recompute from the payload bytes."""
     media = synthetic_media(spark, sf_dir)
     decoded = decode_media(media)
     feats = extract_features(media)
+    blk = F.ceil(F.col("n_bytes") / F.lit(16)).cast("bigint")
     return (
         decoded.join(feats, "media_id")
         .select(
@@ -196,10 +204,36 @@ def mm_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bytes",
             "width",
             "height",
-            F.round(F.element_at("features", 1), 4).alias("f0"),
+            F.round(F.element_at("features", 1) * 255.0 * blk).cast("bigint").alias("f0_sum"),
         )
         .orderBy("media_id")
     )
+
+
+MM_FEATURE_ORACLE = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+         encode(text) AS payload,
+         CAST(doc_id % 64 + 1 AS INT) AS width,
+         CAST(doc_id % 48 + 1 AS INT) AS height
+  FROM documents
+), m AS (
+  SELECT media_id, kind, CAST(octet_length(payload) AS INT) AS n_bytes, width, height,
+         upper(hex(payload)) AS hx,
+         (octet_length(payload) + 15) // 16 AS blk
+  FROM media
+), s AS (
+  SELECT media_id,
+         sum(('0x' || substring(hx, CAST((i - 1) * 2 + 1 AS INT), 2))::BIGINT) AS f0_sum
+  FROM (SELECT media_id, hx, unnest(generate_series(1, blk)) AS i FROM m)
+  GROUP BY media_id
+)
+SELECT m.media_id, m.kind, m.n_bytes, m.width, m.height,
+       coalesce(s.f0_sum, 0)::BIGINT AS f0_sum
+FROM m LEFT JOIN s ON m.media_id = s.media_id
+ORDER BY m.media_id
+"""
 
 
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -235,17 +269,46 @@ ORDER BY media_id, frame_no
 
 
 def mm_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry entry (rows-only): synth → resize(8x6) → decode — verifies the
-    resized payload round-trips through the decode stage with the new meta."""
+    """Registry entry: synth → resize(8x6) → decode, plus the resized payload
+    as hex — the truncate/cyclic-pad resample is pure byte math, so the whole
+    pipeline (mapInPandas resize, meta rewrite, decode) sits under the DuckDB
+    differential gate."""
     media = synthetic_media(spark, sf_dir)
     resized = resize_media(media, width=8, height=6)
-    return decode_media(resized).orderBy("media_id")
+    dec = decode_media(resized)
+    return (
+        dec.join(resized.select("media_id", F.hex("payload").alias("payload_hex")), "media_id")
+        .select("media_id", "kind", "n_bytes", "width", "height", "ok", "payload_hex")
+        .orderBy("media_id")
+    )
+
+
+MM_RESIZE_ORACLE = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+         encode(text) AS payload
+  FROM documents
+), r AS (
+  SELECT media_id, kind, octet_length(payload) AS len, upper(hex(payload)) AS hx
+  FROM media
+)
+SELECT media_id, kind, 48 AS n_bytes, 8 AS width, 6 AS height, TRUE AS ok,
+       CASE WHEN len = 0 THEN repeat('00', 48)
+            WHEN len >= 48 THEN substring(hx, 1, 96)
+            ELSE substring(repeat(hx, CAST((48 + len - 1) // len AS INT)), 1, 96)
+       END AS payload_hex
+FROM r
+ORDER BY media_id
+"""
 
 
 SPECS: list[QuerySpec] = [
-    # binary pipelines — frame sampling carries a DuckDB oracle (byte math);
-    # the rest are rows-only checks with full verification in tests/test_multimodal.py
-    QuerySpec("mm_feature_pipeline", mm_feature_pipeline, None, "LLM:multimodal"),
+    # all three binary pipelines carry DuckDB oracles: the fake decode/resize/
+    # chunk stages are pure byte math, so the mapInPandas plumbing itself sits
+    # under the value-hash gate (a real codec swaps in without changing the
+    # verified plan shape); deeper checks in tests/test_multimodal.py
+    QuerySpec("mm_feature_pipeline", mm_feature_pipeline, MM_FEATURE_ORACLE, "LLM:multimodal"),
     QuerySpec("mm_frame_sample", mm_frame_sample, MM_FRAME_ORACLE, "LLM:multimodal"),
-    QuerySpec("mm_resize_pipeline", mm_resize_pipeline, None, "LLM:multimodal"),
+    QuerySpec("mm_resize_pipeline", mm_resize_pipeline, MM_RESIZE_ORACLE, "LLM:multimodal"),
 ]

@@ -40,6 +40,27 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(relational_tpch3.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names in registry"
+    # Prefix rotation (round 3): the driver gate samples a 50-query prefix, so
+    # queries that never landed a driver correctness row in rounds 1-2 are
+    # hoisted to just after the table-DML lifecycle, displacing rows that were
+    # hash-green in BOTH earlier rounds (q1/q3/q5/q6/q10, p_*). Every
+    # registered query then has at least one driver row across r1-r3.
+    hoist = [
+        "s_orc_roundtrip",
+        "a_grouping_sets",
+        "a_sketch_profile",
+        "w_ranking_battery",
+        "fn_string_agg",
+        "a_count_distinct_users",
+        "j_asof_join",
+        "j_range_join",
+        "fn_array_battery",
+        "fn_explode_unnest",
+    ]
+    n_tbl = sum(1 for s in specs if s.name.startswith("tbl_"))
+    hoisted = [s for s in specs if s.name in hoist]
+    rest = [s for s in specs if s.name not in hoist]
+    specs = rest[:n_tbl] + hoisted + rest[n_tbl:]
     return specs
 
 

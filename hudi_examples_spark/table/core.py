@@ -59,6 +59,32 @@ def _no_aqe(spark: SparkSession):
         spark.conf.set("spark.sql.adaptive.enabled", prev)
 from pyspark.sql.window import Window
 
+
+#: integer widening lattice for Hudi-style type promotion
+_INT_RANK = {"byte": 1, "short": 2, "integer": 3, "long": 4}
+
+
+def _promotes(declared, batch) -> bool:
+    """True iff ``batch`` is a SAFE widening of ``declared`` — i.e. the table
+    schema may be promoted to the batch type and parquet files already written
+    at the narrower declared type remain readable under the wider read schema
+    (the Spark 4 vectorized parquet reader supports exactly these widened
+    reads: int upcasts, int→double, float→double, decimal growth)."""
+    from pyspark.sql.types import DecimalType
+
+    d, b = declared.typeName(), batch.typeName()
+    if d in _INT_RANK and b in _INT_RANK:
+        return _INT_RANK[b] > _INT_RANK[d]
+    if b == "double" and d in ("float", "byte", "short", "integer"):
+        return True
+    if isinstance(declared, DecimalType) and isinstance(batch, DecimalType):
+        return (
+            (batch.precision, batch.scale) != (declared.precision, declared.scale)
+            and batch.scale >= declared.scale
+            and batch.precision - batch.scale >= declared.precision - declared.scale
+        )
+    return False
+
 from hudi_examples_spark.table.timeline import (
     TIMELINE_DIR,
     Instant,
@@ -570,20 +596,47 @@ class Table:
         """Align an incoming batch with the declared schema (schema-on-write
         evolution, Hudi semantics): batch columns the table doesn't know are
         ADDED to the table schema as nullable (auto-evolution); declared
-        columns the batch misses are null-filled. Returns data_cols order."""
+        columns the batch misses are null-filled; declared columns that
+        arrive at a DIFFERENT dtype are reconciled — the table schema is
+        WIDENED when the batch type is a safe promotion of the declared type
+        (int→long, float→double, decimal growth: Hudi's type-promotion rules;
+        parquet files written at the narrower type stay readable because the
+        Spark 4 parquet reader supports widened reads), otherwise the batch
+        column is CAST to the declared type. Without this, an inferred-wider
+        batch (``spark.createDataFrame(py_int_rows, ...)`` infers bigint into
+        an INT column — the normal shape of the reference's JSON-inferred
+        writes, ``TestAutomationUtils.scala:31``) would be written as INT64
+        and poison every later declared-schema read. Returns data_cols order."""
         extra = [c for c in df.columns if c not in self.schema.names]
+        widened = False
         if extra:
             for c in extra:
                 self.schema = self.schema.add(c, df.schema[c].dataType, True)
+            widened = True
+        casts = {}
+        for f_ in self.schema.fields:
+            if f_.name not in df.columns:
+                casts[f_.name] = F.lit(None).cast(f_.dataType)
+                continue
+            batch_t = df.schema[f_.name].dataType
+            if batch_t == f_.dataType:
+                continue
+            if _promotes(f_.dataType, batch_t):
+                # batch is strictly wider: promote the declared schema
+                self.schema = StructType(
+                    [
+                        StructField(x.name, batch_t if x.name == f_.name else x.dataType, True)
+                        for x in self.schema.fields
+                    ]
+                )
+                widened = True
+            else:
+                casts[f_.name] = F.col(f_.name).cast(f_.dataType)
+        if widened:
             self.config.schema_version += 1
             self._save_props()
-        missing = {
-            c: F.lit(None).cast(self.schema[c].dataType)
-            for c in self.schema.names
-            if c not in df.columns
-        }
-        if missing:
-            df = df.withColumns(missing)
+        if casts:
+            df = df.withColumns(casts)
         return df.select(*self.data_cols)
 
     def add_columns(self, ddl: str) -> None:

@@ -47,7 +47,7 @@ def test_mm_pipeline_end_to_end(spark):
     out = mm_feature_pipeline(spark, SF_SMALL)
     assert out.count() == 500
     cols = [f.name for f in out.schema.fields]
-    assert cols == ["media_id", "kind", "n_bytes", "width", "height", "f0"]
+    assert cols == ["media_id", "kind", "n_bytes", "width", "height", "f0_sum"]
 
 
 def test_resize_media_target_bytes(spark):

@@ -108,6 +108,92 @@ def test_decimal_precision_in_aggregation(spark, tmp_path):
     assert total == Decimal("10.0000")  # 100 × 0.1 exact, which doubles cannot do
 
 
+def test_inferred_wider_batch_does_not_poison_table(spark, tmp_path):
+    """The normal case: a batch built from Python rows infers bigint/double
+    (``createDataFrame`` with column names only) into INT/FLOAT/DECIMAL
+    columns. The write path must reconcile types — either cast to the declared
+    type or promote the table schema — so every later declared-schema read
+    still works. (Round-2 regression: INT64 written into an INT column made
+    all subsequent reads throw PARQUET_COLUMN_DATA_TYPE_MISMATCH.)"""
+    from pyspark.sql.types import FloatType, ShortType
+
+    schema = StructType(
+        [
+            StructField("uuid", StringType()),
+            StructField("ts", LongType()),
+            StructField("v", IntegerType()),
+            StructField("small", ShortType()),
+            StructField("f", FloatType()),
+            StructField("d", DecimalType(10, 2)),
+        ]
+    )
+    tbl = Table.create(
+        spark,
+        str(tmp_path / "w"),
+        schema,
+        TableConfig(record_key=["uuid"], precombine="ts"),
+    )
+    # typed first write establishes narrow parquet files
+    tbl.insert(spark.createDataFrame([("a", 1, 10, 2, 1.5, Decimal("3.14"))], schema))
+    # second batch: inferred types only (bigint, bigint, bigint, double, decimal(38,18)-ish)
+    inferred = spark.createDataFrame(
+        [("b", 2, 20, 4, 2.5, 6.28)], ["uuid", "ts", "v", "small", "f", "d"]
+    )
+    tbl.upsert(inferred)
+    got = {r["uuid"]: r for r in tbl.read().collect()}
+    assert got["a"]["v"] == 10 and got["b"]["v"] == 20
+    assert got["a"]["small"] == 2 and got["b"]["small"] == 4
+    assert abs(got["b"]["f"] - 2.5) < 1e-6
+    # third write + read-after-write on the mixed-file table must also work
+    tbl.upsert(spark.createDataFrame([("a", 3, 11, 3, 9.9, 1.23)], ["uuid", "ts", "v", "small", "f", "d"]))
+    got = {r["uuid"]: r for r in tbl.read().collect()}
+    assert got["a"]["v"] == 11
+    assert tbl.read().count() == 2
+
+
+def test_widening_promotes_schema(spark, tmp_path):
+    """Hudi type promotion: a batch whose column is strictly wider than the
+    declared type WIDENS the table schema (int→long, float→double, decimal
+    growth) instead of narrowing the data; files written at the old width
+    stay readable via Spark's widened parquet reads."""
+    from pyspark.sql.types import FloatType
+
+    schema = StructType(
+        [
+            StructField("uuid", StringType()),
+            StructField("ts", LongType()),
+            StructField("n", IntegerType()),
+            StructField("x", FloatType()),
+        ]
+    )
+    tbl = Table.create(
+        spark,
+        str(tmp_path / "g"),
+        schema,
+        TableConfig(record_key=["uuid"], precombine="ts"),
+    )
+    tbl.insert(spark.createDataFrame([("a", 1, 7, 1.5)], schema))
+    wide = StructType(
+        [
+            StructField("uuid", StringType()),
+            StructField("ts", LongType()),
+            StructField("n", LongType()),
+            StructField("x", DoubleType()),
+        ]
+    )
+    big = 2**40  # does not fit in INT — must promote, not overflow-cast
+    tbl.upsert(spark.createDataFrame([("b", 2, big, 2.5)], wide))
+    assert tbl.schema["n"].dataType == LongType()
+    assert tbl.schema["x"].dataType == DoubleType()
+    got = {r["uuid"]: r for r in tbl.read().collect()}
+    assert got["b"]["n"] == big and got["a"]["n"] == 7
+    assert abs(got["a"]["x"] - 1.5) < 1e-6
+    # reopening from disk sees the promoted schema
+    reopened = Table(spark, tbl.base)
+    assert reopened.schema["n"].dataType == LongType()
+    assert {r["uuid"]: r["n"] for r in reopened.read().collect()}["b"] == big
+
+
 def test_date_partitioning(spark, tmp_path):
     """DATE as the hive partition column (Datagen.py partition shape)."""
     tbl = Table.create(
