@@ -44,50 +44,103 @@ HEADLINE = [
 ]
 
 
+def _calibrate(spark) -> dict:
+    """Host-drift calibration (judge request, round 2): a fixed-size in-memory
+    aggregation plus the 1-minute load average, so cross-round bench
+    comparisons can be normalized for shared-host slowdown instead of
+    re-adjudicated by hand. The micro-op is pure JVM whole-stage-codegen work
+    (no IO, no shuffle) — its drift IS the host's drift."""
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 64_000_000, 1, 32).selectExpr("sum(id * 3 + 7) AS s").collect()
+        times.append(time.perf_counter() - t0)
+    cal = {"micro_agg_sec": round(min(times), 3)}
+    try:
+        cal["loadavg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    return cal
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="hudi-examples-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = {s.name: s for s in registry.all_specs()}
+    from hudi_examples_spark.operators.table_dml import bench_phases
+
+    phased = bench_phases()
+    names = HEADLINE + [n for n in phased if n not in HEADLINE and n not in specs]
 
     # Warm cluster discipline: run every headline query once at the smallest sf so
     # whole-stage-codegen compilation (Janino caches by generated source) and the
     # parquet reader paths are hot; the timed runs then measure execution, not JIT.
     warm_sf = "/root/testdata/sf0.001"
-    for name in HEADLINE:
-        spec = specs.get(name)
-        if spec is not None:
-            try:
-                spec.fn(spark, warm_sf).write.format("noop").mode("overwrite").save()
-            except Exception:
-                pass
+    for name in names:
+        try:
+            if name in phased:
+                build, op = phased[name]
+                op(spark, warm_sf, build(spark, warm_sf)).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            elif name in specs:
+                specs[name].fn(spark, warm_sf).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
 
     # Timed passes, min per query: the shared host shows 2-4x wall-clock
     # noise between runs; the min reports the machine's actual capability.
+    # Lifecycle queries additionally report a build/op phase split — the
+    # headline number stays the full lifecycle (comparable with r1/r2);
+    # "phases" tracks the operation actually being optimized.
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     timings: dict[str, float] = {}
+    phase_timings: dict[str, dict[str, float]] = {}
+    extras: dict[str, dict] = {}
     for _pass in range(n_passes):
-        for name in HEADLINE:
-            spec = specs.get(name)
-            if spec is None:
-                continue
-            t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            el = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, el), el)
+        for name in names:
+            if name in phased:
+                build, op = phased[name]
+                t0 = time.perf_counter()
+                state = build(spark, sf_dir)
+                t1 = time.perf_counter()
+                op(spark, sf_dir, state).write.format("noop").mode("overwrite").save()
+                t2 = time.perf_counter()
+                if name in HEADLINE:
+                    # bench-only fixtures (cdc_pruned) report phases/extras but
+                    # stay out of the headline total so it remains comparable
+                    # across rounds
+                    timings[name] = min(timings.get(name, t2 - t0), t2 - t0)
+                ph = phase_timings.setdefault(name, {"build": t1 - t0, "op": t2 - t1})
+                ph["build"] = min(ph["build"], t1 - t0)
+                ph["op"] = min(ph["op"], t2 - t1)
+                if name == "tbl_cdc_query_pruned":
+                    tbl = state[0]
+                    # prove the O(changes) path engaged: candidate files << live files
+                    extras["cdc_pruned_files"] = dict(tbl.last_key_prune or {})
+            elif name in specs:
+                t0 = time.perf_counter()
+                specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                el = time.perf_counter() - t0
+                timings[name] = min(timings.get(name, el), el)
+    timings = {k: round(v, 3) for k, v in timings.items()}
+    phase_out = {
+        k: {p: round(v, 3) for p, v in d.items()} for k, d in phase_timings.items()
+    }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "phases": phase_out,
+        "calibration": _calibrate(spark),
+    }
+    out.update(extras)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

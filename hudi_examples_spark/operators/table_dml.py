@@ -424,13 +424,18 @@ def _cdc_pruned_build(spark: SparkSession, sf: str):
     the key-range prune actually engages (the standard sf lifecycle sits below
     ``CDC_PRUNE_MIN_FILES`` and always takes the two-snapshot fast path, so
     without this fixture the bench never exercises the scale path)."""
+    from pyspark.sql.window import Window
+
     base = os.path.join(_workdir("bench_cdc_pruned", sf), "tbl")
     c = _cust_df(spark, sf)
-    mx = c.agg(F.max("c_custkey")).collect()[0][0]
     n_parts = 48
-    # contiguous key ranges per partition, so file key-range stats are selective
-    pt = F.least(F.lit(n_parts - 1), (F.col("c_custkey") * n_parts / (mx + 1)).cast("int"))
-    d = c.withColumn("pt", pt)
+    # contiguous STRING-ordered key ranges per partition: the record key (and
+    # its footer min/max stats) is a string, so buckets cut on numeric order
+    # would have overlapping string ranges and defeat the prune. ntile over
+    # the string order gives disjoint per-file ranges — fixture-build only
+    # (the single-partition window never appears in a measured op).
+    w = Window.orderBy(F.col("c_custkey").cast("string"))
+    d = c.withColumn("pt", F.ntile(n_parts).over(w) - 1)
     tbl = Table.create(
         spark,
         base,

@@ -84,11 +84,24 @@ def test_quickstart_lifecycle(engine):
         "SELECT COUNT(1) AS c FROM hudi_table WHERE uuid = '334e26e9'"
     ).collect()[0]["c"] == 0
 
-    # quickstart.sql:74-77 — time travel (instant id form)
+    # quickstart.sql:74-77 — time travel, all THREE timestamp formats through
+    # the SQL surface: full instant id, 'YYYY-MM-DD HH:MM:SS.fff', 'YYYY-MM-DD'
     tt = engine.sql(
         f"SELECT fare FROM hudi_table TIMESTAMP AS OF '{first_instant}' WHERE rider = 'rider-D'"
     )
     assert tt.collect()[0]["fare"] == 33.90
+    from datetime import datetime, timedelta
+
+    first_dt = datetime.strptime(first_instant[:17], "%Y%m%d%H%M%S%f")
+    wall = first_dt.strftime("%Y-%m-%d %H:%M:%S.%f")[:-3]
+    tt2 = engine.sql(
+        f"SELECT fare FROM hudi_table TIMESTAMP AS OF '{wall}' WHERE rider = 'rider-D'"
+    )
+    assert tt2.collect()[0]["fare"] == 33.90
+    day_after = (first_dt + timedelta(days=1)).strftime("%Y-%m-%d")
+    n_now = engine.sql("SELECT COUNT(1) AS c FROM hudi_table").collect()[0]["c"]
+    tt3 = engine.sql(f"SELECT COUNT(1) AS c FROM hudi_table TIMESTAMP AS OF '{day_after}'")
+    assert tt3.collect()[0]["c"] == n_now  # a date past every commit = latest state
 
     # quickstart.sql:80-86 — incremental TVF since first commit
     inc = engine.sql(
