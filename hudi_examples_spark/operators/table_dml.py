@@ -450,6 +450,10 @@ def _cdc_pruned_build(spark: SparkSession, sf: str):
         .withColumn("v", F.lit(2))
     )
     tbl.upsert(batch)
+    # force the scale path: at sf bench sizes the byte-aware cutover would
+    # (correctly) pick two snapshot reads; this fixture exists to measure and
+    # counter-prove the O(changes) plan the engine uses once files carry data
+    tbl.CDC_PRUNE_MIN_BYTES = 0
     return tbl, t0
 
 

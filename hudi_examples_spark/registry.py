@@ -11,6 +11,7 @@ def all_specs() -> list[QuerySpec]:
         llm_pipeline2,
         llm_pipeline3,
         llm_pipeline4,
+        llm_pipeline5,
         multimodal,
         relational,
         relational_ext,
@@ -33,6 +34,7 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(llm_pipeline2.SPECS)
     specs.extend(llm_pipeline3.SPECS)
     specs.extend(llm_pipeline4.SPECS)
+    specs.extend(llm_pipeline5.SPECS)
     specs.extend(scale_ops.SPECS)
     specs.extend(multimodal.SPECS)
     specs.extend(relational.SPECS)

@@ -695,6 +695,16 @@ class Table:
     #: small table two plain snapshot reads are cheaper than the pruning jobs
     CDC_PRUNE_MIN_FILES = 64
 
+    #: even past the file-count bar, skip pruning when the combined snapshot
+    #: bytes are this small — measured locally (sf0.1, 50×~50 KB files) the
+    #: two-snapshot plan beats the pruned plan ~0.8 s vs ~1.2 s because the
+    #: prune's fixed jobs dominate; the pruned path's win is IO (opens
+    #: O(changes) files instead of 2×table), which only matters once files
+    #: carry real data. Sizes come from a local stat sweep gated behind the
+    #: file-count bar (on an object store the listing that produced the
+    #: manifest carries sizes for free — never a per-file HEAD storm).
+    CDC_PRUNE_MIN_BYTES = 64 * 1024 * 1024
+
     #: below this many live files a keyed write's location scan just reads
     #: them all — the pruning join is a Spark job whose fixed cost only pays
     #: for itself once the table has real file counts
@@ -870,13 +880,32 @@ class Table:
                 row.alias("after"),
                 F.col(META_COMMIT).alias("commit_time"),
             ).limit(0)
-        if len(files_lo) + len(files_end) <= self.CDC_PRUNE_MIN_FILES:
+        small = len(files_lo) + len(files_end) <= self.CDC_PRUNE_MIN_FILES
+        if not small and self.CDC_PRUNE_MIN_BYTES:
+            total = 0
+            for r in set(files_lo) | set(files_end):
+                try:
+                    total += os.path.getsize(os.path.join(self.base, r))
+                except OSError:
+                    total += self.CDC_PRUNE_MIN_BYTES  # unknown size: assume big
+                if total > self.CDC_PRUNE_MIN_BYTES:
+                    break
+            small = total <= self.CDC_PRUNE_MIN_BYTES
+        if small:
             # small table: two plain snapshot reads beat the pruning machinery's
             # fixed job overhead — the pruned path is for when "table" >> "changes"
             before_snap = self.read(as_of=lo, with_meta=True)
             after_snap = self.read(as_of=end, with_meta=True)
         else:
-            touched = self._read_files(touched_rels, with_deleted=True).select(META_KEY).distinct()
+            # materialize the touched key set ONCE (it feeds the prune collect
+            # AND both semi-joins — without this the touched files are re-read
+            # three times); size is O(changes), distributed, never driver-side
+            touched = (
+                self._read_files(touched_rels, with_deleted=True)
+                .select(META_KEY)
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
             # one pruning pass over the union serves both sides (same key set)
             kept = set(self._prune_files_by_keys(sorted(set(files_lo) | set(files_end)), touched))
             before_rels = [r for r in sorted(files_lo) if r in kept]

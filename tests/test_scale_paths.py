@@ -144,6 +144,7 @@ def test_mor_snapshot_merge_broadcasts_log_keys(spark, tmp_path):
 def test_cdc_read_opens_o_changes_files(spark, tmp_path):
     tbl = make(spark, tmp_path, table_type="cow")
     tbl.CDC_PRUNE_MIN_FILES = 0  # force the big-table path on a small fixture
+    tbl.CDC_PRUNE_MIN_BYTES = 0
     tbl.KEY_PRUNE_MIN_FILES = 0
     for part in range(6):
         tbl.insert(rows_df(spark, part, range(50)))
