@@ -229,17 +229,14 @@ ORDER BY bg.doc_id
 QWS_STOP, QWS_LEN, QWS_WORDS, QWS_BIAS = -12000, 1500, 20, 5000
 
 
-def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
-    """Fixed-weight linear quality classifier over cheap per-row features
-    (stopword ratio, mean word length, doc length). The features and the dot
-    product are all codegen expressions — the shape of scoring a trained
-    linear model over 100 TB without leaving the JVM. The score is kept as
-    the exact integer numerator ``q_num = 10^4 · n_words · score`` (band
-    thresholds compare q_num against n_words-scaled cutoffs), so the driver
-    gate hashes exact integers instead of boundary-roundable doubles."""
+def with_quality_columns(df: DataFrame) -> DataFrame:
+    """Append ``n_words`` / ``q_num`` / ``band`` to any DataFrame with a
+    ``text`` column. Shared by the batch query AND the streaming corpus
+    ingestion (streaming/corpus.py) — identical expressions on both paths, so
+    stream-batch equivalence holds by construction, and both stay pure
+    whole-stage-codegen (works unchanged on a streaming DataFrame)."""
     from hudi_examples_spark.functions.text import STOPWORDS
 
-    d = _docs(spark, sf)
     ws = words(F.col("text"))
     n = F.size(ws).cast("bigint")
     sumlen = F.aggregate(ws, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w))
@@ -251,15 +248,30 @@ def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
         + F.lit(QWS_WORDS) * n * n
         + F.lit(QWS_BIAS) * n
     )
-    return d.select(
-        "doc_id",
-        n.alias("n_words"),
-        q_num.cast("bigint").alias("q_num"),
-        F.when(q_num >= 10000 * n, F.lit("high"))
-        .when(q_num >= 6000 * n, F.lit("mid"))
-        .otherwise(F.lit("low"))
-        .alias("band"),
-    ).orderBy("doc_id")
+    return df.withColumns(
+        {
+            "n_words": n,
+            "q_num": q_num.cast("bigint"),
+            "band": F.when(q_num >= 10000 * n, F.lit("high"))
+            .when(q_num >= 6000 * n, F.lit("mid"))
+            .otherwise(F.lit("low")),
+        }
+    )
+
+
+def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-weight linear quality classifier over cheap per-row features
+    (stopword ratio, mean word length, doc length). The features and the dot
+    product are all codegen expressions — the shape of scoring a trained
+    linear model over 100 TB without leaving the JVM. The score is kept as
+    the exact integer numerator ``q_num = 10^4 · n_words · score`` (band
+    thresholds compare q_num against n_words-scaled cutoffs), so the driver
+    gate hashes exact integers instead of boundary-roundable doubles."""
+    return (
+        with_quality_columns(_docs(spark, sf))
+        .select("doc_id", "n_words", "q_num", "band")
+        .orderBy("doc_id")
+    )
 
 
 TEXT_QUALITY_ORACLE = f"""

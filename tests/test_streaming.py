@@ -178,3 +178,42 @@ def test_cdc_source_emits_ops(spark, tmp_path):
     assert ops["334e26e9"] == "U" and ops["c8abbe79"] == "D"
     after = {r["key"]: r["after"] for r in batch}
     assert after["334e26e9"]["fare"] == 88.0 and after["c8abbe79"] is None
+
+
+def test_stream_corpus_quality_equals_batch(spark, tmp_path):
+    """Streaming corpus scoring (readStream → quality columns → exactly-once
+    upsert sink) must produce a table identical to the batch quality query —
+    stream-batch equivalence for the LLM corpus pipeline."""
+    from hudi_examples_spark.operators.llm_pipeline5 import text_quality_score
+    from hudi_examples_spark.sources.readers import load_sf_table
+    from hudi_examples_spark.streaming.corpus import SCORED_DDL, stream_corpus_quality
+    from hudi_examples_spark.table import Table, TableConfig
+    from tests.conftest import SF_SMALL
+
+    docs_dir = str(tmp_path / "docs_in")
+    load_sf_table(spark, SF_SMALL, "documents").write.parquet(docs_dir)
+    tbl = Table.create(
+        spark,
+        str(tmp_path / "scored"),
+        SCORED_DDL,
+        TableConfig(record_key=["doc_id"], precombine="q_num"),
+    )
+    q = stream_corpus_quality(
+        spark, docs_dir, tbl, str(tmp_path / "ckpt"), trigger={"availableNow": True}
+    )
+    q.awaitTermination(120)
+
+    got = {r["doc_id"]: (r["n_words"], r["q_num"], r["band"]) for r in tbl.read().collect()}
+    want = {
+        r["doc_id"]: (r["n_words"], r["q_num"], r["band"])
+        for r in text_quality_score(spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+    # restart with the same checkpoint: no new files → no new instants (idempotent)
+    n_instants = len(tbl.timeline.completed_data_instants())
+    q2 = stream_corpus_quality(
+        spark, docs_dir, tbl, str(tmp_path / "ckpt"), trigger={"availableNow": True}
+    )
+    q2.awaitTermination(120)
+    assert len(tbl.timeline.completed_data_instants()) == n_instants
