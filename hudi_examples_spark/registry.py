@@ -44,9 +44,11 @@ def all_specs() -> list[QuerySpec]:
     assert len(names) == len(set(names)), "duplicate query names in registry"
     # Prefix rotation (round 3): the driver gate samples a 50-query prefix, so
     # queries that never landed a driver correctness row in rounds 1-2 are
-    # hoisted to just after the table-DML lifecycle, displacing rows that were
-    # hash-green in BOTH earlier rounds (q1/q3/q5/q6/q10, p_*). Every
-    # registered query then has at least one driver row across r1-r3.
+    # hoisted to just after the table-DML lifecycle — the 10 that sat past the
+    # prefix in both rounds, plus the round-3 additions (llm_pipeline5) —
+    # displacing rows that were hash-green in earlier rounds (q1/q3/q5/q6/q10,
+    # p_*, tail llm rows). Every registered query then has at least one green
+    # driver row across r1-r3.
     hoist = [
         "s_orc_roundtrip",
         "a_grouping_sets",
@@ -58,6 +60,11 @@ def all_specs() -> list[QuerySpec]:
         "j_range_join",
         "fn_array_battery",
         "fn_explode_unnest",
+        "pipe_decontaminate",
+        "dedup_cross_corpus",
+        "text_repetition_filter",
+        "text_quality_score",
+        "pipe_shuffle_order",
     ]
     n_tbl = sum(1 for s in specs if s.name.startswith("tbl_"))
     hoisted = [s for s in specs if s.name in hoist]

@@ -33,6 +33,22 @@ SF_TABLES = (
 )
 
 
+#: inferred parquet schemas by path — schema inference is a Spark job reading
+#: footers; the sf fixtures are immutable, so every load after the first can
+#: pass the schema explicitly and plan with zero jobs (the same reason the
+#: table layer always reads with its DECLARED schema, table/core.py)
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
+def _read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
+    sch = _SCHEMA_CACHE.get(path)
+    if sch is not None:
+        return spark.read.schema(sch).parquet(path)
+    df = spark.read.parquet(path)
+    _SCHEMA_CACHE[path] = df.schema
+    return df
+
+
 def load_sf_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table from an sf directory (S2).
 
@@ -43,13 +59,13 @@ def load_sf_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _read_parquet_cached_schema(spark, f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             from pyspark.sql import functions as F
 
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_parquet_cached_schema(spark, f"{sf_dir}/{name}.parquet")
 
 
 def register_sf_views(spark: SparkSession, sf_dir: str) -> None:
