@@ -149,13 +149,18 @@ ORDER BY doc_id
 
 
 def text_repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
-    """Gopher-style repetition signals, per document, in one pass:
+    """Gopher-style repetition signals per document:
 
     - ``dup_bigram_frac``: 1 − distinct-bigrams / total-bigrams;
     - ``top_word_frac``: occurrences of the most frequent word / total words;
     - ``keep``: both under the (Gopher report) thresholds.
 
-    Pure array-expression pipeline — no shuffle, no UDF.
+    The bigram metrics are per-row array expressions (O(words) each). The
+    top-word count deliberately is NOT the all-array form
+    (``array_distinct × filter`` is O(words²) per row — a 100k-word document
+    would cost 10^10 comparisons); it's explode → count per (doc, word) →
+    max per doc, two keyed exchanges that stay balanced at any document
+    length.
     """
     d = _docs(spark, sf)
     ws = words(F.col("text"))
@@ -166,20 +171,29 @@ def text_repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
         ),
         lambda s: s.isNotNull(),
     )
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(ws), lambda u: F.size(F.filter(ws, lambda w: w == u))
-        )
+    base = d.select("doc_id", ws.alias("__ws"), bg.alias("__bg"))
+    top = (
+        base.select("doc_id", F.explode("__ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"))
     )
-    out = d.select(
-        "doc_id",
-        F.size(ws).alias("n_words"),
-        F.when(F.size(bg) > 0, F.round(1.0 - F.size(F.array_distinct(bg)) / F.size(bg), 4))
-        .otherwise(F.lit(0.0))
-        .alias("dup_bigram_frac"),
-        F.when(F.size(ws) > 0, F.round(top_cnt / F.size(ws), 4))
-        .otherwise(F.lit(0.0))
-        .alias("top_word_frac"),
+    out = (
+        base.join(top, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.size("__ws").cast("bigint").alias("n_words"),
+            F.when(
+                F.size("__bg") > 0,
+                F.round(1.0 - F.size(F.array_distinct("__bg")) / F.size("__bg"), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_bigram_frac"),
+            F.when(F.size("__ws") > 0, F.round(F.col("top_cnt") / F.size("__ws"), 4))
+            .otherwise(F.lit(0.0))
+            .alias("top_word_frac"),
+        )
     )
     return out.withColumn(
         "keep", (F.col("dup_bigram_frac") <= 0.9) & (F.col("top_word_frac") <= 0.3)

@@ -5,6 +5,11 @@ The sandbox has no Kafka broker or connector jar, so this module only *builds* t
 reader (construction is lazy; ``.load()`` is where Spark would resolve the connector).
 The file-based JSON surrogate below has the identical downstream contract and is what
 tests exercise — swapping surrogate → kafka changes one line of pipeline code.
+
+For the broker-side SEMANTICS (partitioned append log, per-partition offsets,
+consumer groups, auto.offset.reset, at-least-once redelivery) see
+``streaming/topic.py:FileTopic`` — those behaviors are protocol-independent
+and fully tested in tests/test_topic.py.
 """
 
 from __future__ import annotations

@@ -1,0 +1,107 @@
+"""Kafka-semantics surrogate (streaming/topic.py): offsets, groups, redelivery.
+
+Parity: DeltaStreamerExample.scala:36-38 (auto.offset.reset, group.id),
+Kafka2HudiPipeline.java:88-98 (group offset resume).
+"""
+
+from __future__ import annotations
+
+from hudi_examples_spark.streaming.topic import FileTopic
+
+DDL = "k STRING, v BIGINT"
+
+
+def _rows(spark, lo, hi):
+    return spark.createDataFrame([(f"k{i % 7}", i) for i in range(lo, hi)], DDL)
+
+
+def test_offsets_dense_and_key_sticky(spark, tmp_path):
+    t = FileTopic(spark, str(tmp_path / "t"), DDL, n_partitions=4)
+    t.produce(_rows(spark, 0, 40), key_col="k")
+    t.produce(_rows(spark, 40, 80), key_col="k")
+    df, _end = t.consume("g0")
+    rows = df.collect()
+    assert len(rows) == 80
+    # offsets dense per partition across batches
+    by_part: dict[int, list[int]] = {}
+    for r in rows:
+        by_part.setdefault(r["partition"], []).append(r["offset"])
+    assert sum(len(v) for v in by_part.values()) == 80
+    for p, offs in by_part.items():
+        assert sorted(offs) == list(range(len(offs))), f"partition {p} offsets dense from 0"
+    # same key always lands in the same partition (per-key order preserved)
+    key_parts = {}
+    for r in rows:
+        key_parts.setdefault(r["k"], set()).add(r["partition"])
+    assert all(len(ps) == 1 for ps in key_parts.values())
+
+
+def test_group_commit_resume_and_redelivery(spark, tmp_path):
+    t = FileTopic(spark, str(tmp_path / "t"), DDL, n_partitions=2)
+    t.produce(_rows(spark, 0, 10))
+    df1, end1 = t.consume("g")
+    assert df1.count() == 10
+    # no commit → redelivered in full (at-least-once)
+    df1b, _ = t.consume("g")
+    assert df1b.count() == 10
+    t.commit("g", end1)
+    # committed → caught up
+    df2, end2 = t.consume("g")
+    assert df2.count() == 0
+    t.produce(_rows(spark, 10, 25))
+    df3, end3 = t.consume("g")
+    got = {r["v"] for r in df3.collect()}
+    assert got == set(range(10, 25)), "only the new batch is delivered"
+    t.commit("g", end3)
+
+
+def test_auto_offset_reset_latest(spark, tmp_path):
+    t = FileTopic(spark, str(tmp_path / "t"), DDL, n_partitions=2)
+    t.produce(_rows(spark, 0, 20))
+    df, end = t.consume("fresh", auto_offset_reset="latest")
+    assert df.count() == 0, "latest: backlog skipped"
+    t.commit("fresh", end)
+    t.produce(_rows(spark, 20, 30))
+    df2, _ = t.consume("fresh", auto_offset_reset="latest")
+    assert {r["v"] for r in df2.collect()} == set(range(20, 30))
+
+
+def test_independent_groups_and_manifest_pruning(spark, tmp_path):
+    t = FileTopic(spark, str(tmp_path / "t"), DDL, n_partitions=2)
+    t.produce(_rows(spark, 0, 10))
+    _df, end = t.consume("a")
+    t.commit("a", end)
+    t.produce(_rows(spark, 10, 20))
+    # group b starts from earliest regardless of a's position
+    dfb, _ = t.consume("b")
+    assert dfb.count() == 20
+    # caught-up group a reads only the second batch's files (manifest pruning:
+    # the first batch's ranges are entirely below a's committed offsets)
+    pruned = [
+        b["seq"]
+        for b in t.meta["batches"]
+        if any(r[1] > (t.committed("a") or {}).get(int(p), 0) for p, r in b["ranges"].items())
+    ]
+    assert pruned == [2]
+
+
+def test_topic_feeds_keyed_table(spark, tmp_path):
+    """End-to-end: topic → consume → exactly-once-style upsert into a keyed
+    table, committing offsets only after the table commit (the DeltaStreamer
+    checkpoint-in-commit-metadata pattern)."""
+    from hudi_examples_spark.table import Table, TableConfig
+
+    t = FileTopic(spark, str(tmp_path / "t"), DDL, n_partitions=2)
+    tbl = Table.create(
+        spark,
+        str(tmp_path / "tbl"),
+        "k STRING, v BIGINT",
+        TableConfig(record_key=["k"], precombine="v"),
+    )
+    t.produce(_rows(spark, 0, 40), key_col="k")
+    df, end = t.consume("ingest")
+    tbl.upsert(df.select("k", "v"))
+    t.commit("ingest", end)
+    assert tbl.read().count() == 7  # 7 distinct keys, precombine keeps max v
+    top = {r["k"]: r["v"] for r in tbl.read().collect()}
+    assert top["k0"] == 35 and top["k6"] == 34

@@ -13,6 +13,7 @@ from __future__ import annotations
 import datetime
 from decimal import Decimal
 
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BooleanType,
     DateType,
@@ -208,3 +209,51 @@ def test_date_partitioning(spark, tmp_path):
     dirs = [d for d in os.listdir(tbl.base) if d.startswith("ride_date=")]
     assert sorted(dirs) == ["ride_date=2022-12-31", "ride_date=2024-03-07"]
     assert tbl.read().filter("ride_date = DATE'2024-03-07'").count() == 1
+
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "declared,batch,expected",
+    [
+        ("INT", "BIGINT", "bigint"),      # widen
+        ("SMALLINT", "INT", "int"),       # widen
+        ("FLOAT", "DOUBLE", "double"),    # widen
+        ("INT", "DOUBLE", "double"),      # widen (int→double)
+        ("DECIMAL(5,2)", "DECIMAL(10,2)", "decimal(10,2)"),  # widen precision
+        ("DECIMAL(5,2)", "DECIMAL(10,4)", "decimal(10,4)"),  # widen precision+scale
+        ("BIGINT", "INT", "bigint"),      # narrow batch → cast up, schema keeps
+        ("DOUBLE", "FLOAT", "double"),    # narrow batch → cast up
+        ("INT", "STRING", "int"),         # non-promotable → cast to declared
+        ("DECIMAL(10,2)", "DECIMAL(5,4)", "decimal(10,2)"),  # integral part shrinks → cast
+    ],
+)
+def test_promotion_matrix(spark, tmp_path, declared, batch, expected):
+    """Hudi type-promotion lattice through the write path: the table schema
+    widens exactly for safe parquet-readable widenings and casts otherwise;
+    in every case the table stays readable (no parquet type poisoning) and
+    reopening from disk agrees with the in-memory schema."""
+    from pyspark.sql.types import StructType
+
+    tbl = Table.create(
+        spark,
+        str(tmp_path / "m"),
+        f"uuid STRING, ts BIGINT, x {declared}",
+        TableConfig(record_key=["uuid"], precombine="ts"),
+    )
+    first = spark.createDataFrame([("a", 1, "1")], "uuid STRING, ts BIGINT, x STRING").select(
+        "uuid", "ts", F.col("x").cast(declared)
+    )
+    tbl.insert(first)
+    second = spark.createDataFrame([("b", 2, "2")], "uuid STRING, ts BIGINT, x STRING").select(
+        "uuid", "ts", F.col("x").cast(batch)
+    )
+    tbl.upsert(second)
+    assert tbl.schema["x"].dataType.simpleString() == expected
+    rows = {r["uuid"]: r["x"] for r in tbl.read().collect()}
+    assert len(rows) == 2 and rows["a"] is not None and rows["b"] is not None
+    reopened = Table(spark, tbl.base)
+    assert reopened.schema["x"].dataType.simpleString() == expected
+    assert reopened.read().count() == 2
+
