@@ -194,7 +194,8 @@ class Engine:
         """Hudi Spark-SQL procedures (the SQL face of the table services):
         CALL run_compaction('t') | run_clustering('t'[, buckets]) |
         run_clean('t'[, retain]) | rollback_to_instant('t'[, instant]) |
-        create_savepoint('t') | show_commits('t') | show_savepoints('t') |
+        create_savepoint('t') | restore_to_savepoint('t', instant) |
+        show_commits('t') | show_savepoints('t') |
         run_archival('t'[, retain]) | split_bucket('t', lower) |
         convert_to_ranges('t', buckets)."""
         m = re.match(r"CALL\s+(\w+)\s*\(\s*'(\w+)'\s*(?:,\s*([^)]+))?\)\s*$", s, re.I)
@@ -225,6 +226,11 @@ class Engine:
             return None
         if proc == "create_savepoint":
             tbl.savepoint(arg.strip().strip("'") if arg else None)
+            return None
+        if proc == "restore_to_savepoint":
+            if not arg:
+                raise ValueError("restore_to_savepoint requires an instant argument")
+            tbl.restore_to_savepoint(arg.strip().strip("'"))
             return None
         if proc == "show_commits":
             rows = [

@@ -1081,6 +1081,23 @@ class Table:
             # — ``spark_sql_testing.sh:87-93``); pk-less deletes fall through and are
             # resolved by full-row anti join in _apply_cow.
             return self.insert(upserts)
+        # single type-safety net for EVERY mutation path (upsert/update_where/
+        # merge/write_cdc): a batch column at the wrong dtype must never reach
+        # parquet — e.g. the SQL literal ``1.0`` is DECIMAL(2,1), and writing
+        # it into a DOUBLE column makes the declared-schema read decode the
+        # decimal's UNSCALED int (1.0 → 10.0): silent corruption, not an error.
+        # _conform is idempotent, so paths that already conformed are free.
+        if upserts is not None:
+            upserts = self._conform(upserts)
+        if deletes is not None:
+            casts = {
+                c: F.col(c).cast(self.schema[c].dataType)
+                for c in deletes.columns
+                if c in self.schema.names
+                and deletes.schema[c].dataType != self.schema[c].dataType
+            }
+            if casts:
+                deletes = deletes.withColumns(casts)
         instant = new_instant()
         if self.config.table_type == "mor" and self.config.record_key:
             return self._apply_mor(instant, upserts, deletes, op, extra_meta)

@@ -219,6 +219,15 @@ def test_call_procedures(engine):
     assert engine.sql("CALL show_savepoints('hudi_table')").count() == 1
     engine.sql("CALL rollback_to_instant('hudi_table')")  # undo the compaction
     assert engine.sql("SELECT count(1) AS c FROM hudi_table").collect()[0]["c"] == 8
+    # mutate past the savepoint, then restore to it via SQL
+    sp = engine.sql("CALL show_savepoints('hudi_table')").collect()[0]["instant"]
+    engine.sql("UPDATE hudi_table SET fare = 2.0 WHERE rider = 'rider-A'")
+    engine.sql(f"CALL restore_to_savepoint('hudi_table', '{sp}')")
+    fares = {
+        r["rider"]: r["fare"]
+        for r in engine.sql("SELECT rider, fare FROM hudi_table").collect()
+    }
+    assert fares["rider-A"] == 1.0  # back to the savepointed state
 
 
 def test_catalog_persists_across_sessions(spark, tmp_path):

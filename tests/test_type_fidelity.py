@@ -257,3 +257,30 @@ def test_promotion_matrix(spark, tmp_path, declared, batch, expected):
     assert reopened.schema["x"].dataType.simpleString() == expected
     assert reopened.read().count() == 2
 
+
+
+def test_sql_literal_types_conform_through_dml(spark, tmp_path):
+    """Regression (round 3): ``UPDATE ... SET fare = 1.0`` produces a
+    DECIMAL(2,1) literal; written raw into a DOUBLE column, the
+    declared-schema read silently decodes the decimal's UNSCALED int
+    (1.0 → 10.0). Every mutation path must conform batch dtypes — the write
+    path's _conform net, not the caller, is the guarantee."""
+    for ttype in ("cow", "mor"):
+        tbl = Table.create(
+            spark,
+            str(tmp_path / f"dml_{ttype}"),
+            "k STRING, v DOUBLE, ts BIGINT, city STRING",
+            TableConfig(record_key=["k"], precombine="ts", table_type=ttype, partition_by=["city"]),
+        )
+        tbl.insert(
+            spark.createDataFrame([("a", 10.0, 100, "sf"), ("b", 20.0, 100, "ny")], tbl.schema)
+        )
+        tbl.update_where("k = 'a'", {"v": "1.0"})  # decimal literal into DOUBLE
+        tbl.merge(
+            spark.createDataFrame([("b", 200)], "k STRING, v BIGINT"),  # long into DOUBLE
+            when_matched={"v": "__src_v"},
+            when_not_matched=None,
+        )
+        got = {r["k"]: r["v"] for r in tbl.read().collect()}
+        assert got == {"a": 1.0, "b": 200.0}
+        assert tbl.schema["v"].dataType.simpleString() == "double"
