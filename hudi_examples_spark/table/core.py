@@ -608,33 +608,34 @@ class Table:
         writes, ``TestAutomationUtils.scala:31``) would be written as INT64
         and poison every later declared-schema read. Returns data_cols order."""
         extra = [c for c in df.columns if c not in self.schema.names]
-        widened = False
-        if extra:
-            for c in extra:
-                self.schema = self.schema.add(c, df.schema[c].dataType, True)
-            widened = True
+        widened = bool(extra)
+        for c in extra:
+            self.schema = self.schema.add(c, df.schema[c].dataType, True)
+        for f_ in self.schema.fields:
+            if f_.name in df.columns:
+                batch_t = df.schema[f_.name].dataType
+                if batch_t != f_.dataType and _promotes(f_.dataType, batch_t):
+                    # batch is strictly wider: promote the declared schema
+                    self.schema = StructType(
+                        [
+                            StructField(x.name, batch_t if x.name == f_.name else x.dataType, True)
+                            for x in self.schema.fields
+                        ]
+                    )
+                    widened = True
+        if widened:
+            self.config.schema_version += 1
+            # NOTE: the save union-merges with the on-disk schema (concurrent
+            # evolution by another handle), so self.schema can GROW here —
+            # the fill/cast map below must therefore be built AFTER this
+            # point, against the final schema
+            self._save_props()
         casts = {}
         for f_ in self.schema.fields:
             if f_.name not in df.columns:
                 casts[f_.name] = F.lit(None).cast(f_.dataType)
-                continue
-            batch_t = df.schema[f_.name].dataType
-            if batch_t == f_.dataType:
-                continue
-            if _promotes(f_.dataType, batch_t):
-                # batch is strictly wider: promote the declared schema
-                self.schema = StructType(
-                    [
-                        StructField(x.name, batch_t if x.name == f_.name else x.dataType, True)
-                        for x in self.schema.fields
-                    ]
-                )
-                widened = True
-            else:
+            elif df.schema[f_.name].dataType != f_.dataType:
                 casts[f_.name] = F.col(f_.name).cast(f_.dataType)
-        if widened:
-            self.config.schema_version += 1
-            self._save_props()
         if casts:
             df = df.withColumns(casts)
         return df.select(*self.data_cols)
@@ -1788,8 +1789,70 @@ class Table:
         self._save_props()
 
     def _save_props(self) -> None:
-        with open(os.path.join(self.base, PROPS_FILE), "w") as f:
-            json.dump({"config": asdict(self.config), "schema": self.schema.jsonValue()}, f, indent=1)
+        """Persist config + schema with schema MERGE-ON-WRITE under a lock:
+        auto-evolution in ``_conform`` means two concurrent writers can both
+        legitimately evolve the schema (each adding/widening different
+        columns); a blind overwrite would lose the other writer's evolution,
+        so the on-disk schema is unioned into ours first — fields by name,
+        and when both hold the same field at different types the safely-wider
+        one wins (same promotion lattice as ``_conform``). Config fields stay
+        last-writer-wins: service config changes (bucket ranges, versions)
+        are already serialized by their own OCC publish."""
+        import time as _time
+
+        lock = os.path.join(self.base, f".{PROPS_FILE}.lock")
+        fd = None
+        deadline = _time.time() + 10.0
+        while fd is None:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                try:
+                    if _time.time() - os.path.getmtime(lock) > self.LOCK_TTL_SECONDS:
+                        os.unlink(lock)
+                        continue
+                except OSError:
+                    continue
+                if _time.time() > deadline:
+                    raise TimeoutError(f"props lock held too long: {lock}")
+                _time.sleep(0.01)
+        try:
+            path = os.path.join(self.base, PROPS_FILE)
+            try:
+                with open(path) as f:
+                    disk = StructType.fromJson(json.load(f)["schema"])
+            except (OSError, KeyError, ValueError):
+                disk = None
+            if disk is not None:
+                merged = list(self.schema.fields)
+                names = {f_.name: i for i, f_ in enumerate(merged)}
+                changed = False
+                for f_ in disk.fields:
+                    i = names.get(f_.name)
+                    if i is None:
+                        merged.append(StructField(f_.name, f_.dataType, True))
+                        changed = True
+                    elif f_.dataType != merged[i].dataType and _promotes(
+                        merged[i].dataType, f_.dataType
+                    ):
+                        merged[i] = StructField(f_.name, f_.dataType, True)
+                        changed = True
+                if changed:
+                    self.schema = StructType(merged)
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"config": asdict(self.config), "schema": self.schema.jsonValue()},
+                    f,
+                    indent=1,
+                )
+            os.replace(tmp, path)
+        finally:
+            os.close(fd)
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
 
 
 def _stats_json(v):

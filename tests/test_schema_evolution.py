@@ -87,3 +87,27 @@ def test_alter_table_sql(spark, tmp_path):
     eng.sql("INSERT INTO t1 VALUES (2, 'b', 20.0, 2.5)")
     rows = {r["uuid"]: r for r in eng.sql("SELECT * FROM t1").collect()}
     assert rows["a"]["tip"] is None and rows["b"]["tip"] == 2.5
+
+
+def test_interleaved_evolution_from_stale_handles_loses_nothing(spark, tmp_path):
+    """Two handles on the same table (separate processes in real life) each
+    auto-evolve a DIFFERENT column from a stale view of the schema. The props
+    save must union-merge with disk instead of blind-overwriting — otherwise
+    the second save silently drops the first writer's column."""
+    from hudi_examples_spark.table import Table, TableConfig
+
+    base = str(tmp_path / "t")
+    t1 = Table.create(
+        spark, base, "k STRING, ts BIGINT", TableConfig(record_key=["k"], precombine="ts")
+    )
+    t1.insert(spark.createDataFrame([("a", 1)], "k STRING, ts BIGINT"))
+    t2 = Table(spark, base)  # second handle, schema snapshot taken now
+    t1.upsert(spark.createDataFrame([("b", 2, 5.0)], "k STRING, ts BIGINT, x DOUBLE"))
+    assert "x" in t1.schema.names
+    # t2 still believes the schema is (k, ts); its evolution adds y
+    t2.upsert(spark.createDataFrame([("c", 3, "hi")], "k STRING, ts BIGINT, y STRING"))
+    reopened = Table(spark, base)
+    assert set(reopened.schema.names) >= {"k", "ts", "x", "y"}, "neither evolution lost"
+    rows = {r["k"]: r for r in reopened.read().collect()}
+    assert rows["b"]["x"] == 5.0 and rows["c"]["y"] == "hi"
+    assert rows["a"]["x"] is None and rows["a"]["y"] is None
