@@ -60,35 +60,65 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
     return shingles_from(words(text), k)
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature: array of ``num_hashes`` minima of seeded xxhash64 values.
+#: MinHash universe: affine hash families over a 31-bit Mersenne prime, on a
+#: 48-bit md5-derived base value. Everything here is reproducible in any
+#: engine with md5 — which is what lets the minhash+LSH dedup run under a
+#: full value-match DuckDB oracle instead of a rows-only check.
+MINHASH_P = (1 << 31) - 1
+#: sentinel minimum for empty shingle sets (no 3-gram → no signature info)
+MINHASH_SENTINEL = 2**63 - 1
 
-    Seeding trick: instead of N hash families we hash ``seed || shingle`` — standard
-    practice and JVM-side (`xxhash64` accepts multiple cols). Empty shingle sets get
-    sentinel Long.MAX minima.
-    """
-    sentinel = F.lit(2**63 - 1).cast("bigint")
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) per hash family: Knuth-multiplicative spread,
+    a ≠ 0 mod P. Shared by the Spark expressions and the oracle SQL."""
+    out = []
+    for i in range(num_hashes):
+        a = (i * 2654435761 + 2654435761) % MINHASH_P or 1
+        b = (i * 40503 + 7) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def minhash_base(shingle: Column) -> Column:
+    """48-bit integer base hash of a shingle: first 12 hex chars of md5,
+    reduced mod P. Positive, overflow-safe (a·h < 2^62)."""
+    return F.conv(F.substring(F.md5(shingle), 1, 12), 16, 10).cast("bigint") % F.lit(MINHASH_P)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: array of ``num_hashes`` minima of affine hashes
+    ``(a_i·h + b_i) mod P`` over the md5-derived base ``h`` of each shingle.
+    Empty shingle sets get sentinel minima. Single pass over the shingle
+    array (per shingle compute all N hashes, fold with elementwise min)."""
+    coeffs = minhash_coeffs(num_hashes)
+    sentinel = F.lit(MINHASH_SENTINEL).cast("bigint")
     init = F.array_repeat(sentinel, num_hashes)
-    # single pass over the shingle array: per shingle compute all N seeded hashes,
-    # fold with elementwise min — ~Nx fewer array traversals than N array_min calls
+    p = F.lit(MINHASH_P)
+
+    def hashes(s):
+        hp = minhash_base(s)
+        return F.array(*[(F.lit(a) * hp + F.lit(b)) % p for a, b in coeffs])
+
     return F.aggregate(
         shingles,
         init,
-        lambda acc, s: F.zip_with(
-            acc,
-            F.array(*[F.xxhash64(F.lit(i), s) for i in range(num_hashes)]),
-            lambda a, b: F.least(a, b),
-        ),
+        lambda acc, s: F.zip_with(acc, hashes(s), lambda a, b: F.least(a, b)),
     )
 
 
 def minhash_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
-    """LSH banding: array of ``bands`` bucket ids, each hashing ``rows_per_band``
-    consecutive signature entries. Candidate pairs share ≥1 band bucket."""
+    """LSH banding: array of ``bands`` bucket ids, each the ':'-joined string
+    of ``rows_per_band`` consecutive signature entries. Candidate pairs share
+    ≥1 band bucket. String buckets (not a second hash) keep the banding
+    reproducible across engines for the oracle."""
     out = []
     for b in range(bands):
-        parts = [F.element_at(signature, b * rows_per_band + r + 1) for r in range(rows_per_band)]
-        out.append(F.xxhash64(F.lit(b), *parts))
+        parts = [
+            F.element_at(signature, b * rows_per_band + r + 1).cast("string")
+            for r in range(rows_per_band)
+        ]
+        out.append(F.concat_ws(":", *parts))
     return F.array(*out)
 
 

@@ -1,9 +1,10 @@
 """LLM-training-data pipeline operators over ``documents`` / ``embeddings``.
 
 These are the beyond-the-reference operators (BASELINE.json north star): dedup,
-similarity search, text analysis. Each SQL-expressible one carries a DuckDB oracle;
-hash-based ones (minhash/simhash — engine hash functions differ across engines) are
-rows-only checked here and differentially tested in tests/ against exact equivalents.
+similarity search, text analysis. Every text op here carries a DuckDB oracle —
+the hash-based ones (minhash/simhash) derive their bits from md5, the one hash
+both engines share — plus quality-bound tests (recall/separation) in tests/.
+Only the float-geometry ANN ops (hyperplane LSH / IVF) stay rows-only.
 
 Scale stance (100 TB):
 - dedup/fingerprints are groupBy on a hash — one shuffle, no skew beyond dup clusters;
@@ -143,9 +144,11 @@ ORDER BY d1, d2
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (shingle→minhash→band→bucket-join).
 
-    No cross-engine oracle (xxhash64 is Spark-specific) — the driver records a
-    rows-only check; tests/test_llm_pipeline.py verifies recall against the exact
-    Jaccard pairs. 16 hashes × 4 bands × 4 rows: candidates share ≥1 band bucket.
+    16 hashes × 4 bands × 4 rows: candidates share ≥1 band bucket. The hash
+    families are affine maps over an md5-derived base (functions/text.py), so
+    the whole pipeline — signatures, banding, bucket join — runs under a full
+    value-match DuckDB oracle; tests/test_llm_pipeline.py additionally checks
+    recall against the exact Jaccard pairs.
     """
     d = _docs_shingled(spark, sf, 3)
     sig = d.select("doc_id", minhash_signature(F.col("shingles"), 16).alias("sig"))
@@ -161,6 +164,55 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
         .orderBy("d1", "d2")
     )
+
+
+def _minhash_oracle() -> str:
+    """DuckDB re-expression of minhash_signature + minhash_bands (16 hashes,
+    4 bands × 4 rows): same md5 base, same affine coefficients, same ':'
+    bucket strings. Empty-shingle docs get sentinel signatures (they bucket
+    together, matching the Spark behavior)."""
+    from hudi_examples_spark.functions.text import (
+        MINHASH_P,
+        MINHASH_SENTINEL,
+        minhash_coeffs,
+    )
+
+    coeffs = minhash_coeffs(16)
+    mins = ",\n         ".join(
+        f"coalesce(min(({a} * hp + {b}) % {MINHASH_P}), {MINHASH_SENTINEL}) AS s{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    bands = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, {expr} AS bucket FROM sig".format(
+            b=b,
+            expr=" || ':' || ".join(f"s{b * 4 + r}::VARCHAR" for r in range(4)),
+        )
+        for b in range(4)
+    )
+    return f"""
+WITH ws AS (
+  SELECT doc_id, list_filter(str_split(trim(text), ' '), w -> w <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM ws)
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 12))::BIGINT % {MINHASH_P} AS hp FROM sh
+), sig AS (
+  SELECT d.doc_id,
+         {mins}
+  FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+  GROUP BY d.doc_id
+), banded AS (
+{bands}
+)
+SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+ORDER BY d1, d2
+"""
+
+
+DEDUP_MINHASH_ORACLE = _minhash_oracle()
 
 
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -461,7 +513,7 @@ FROM per_dim GROUP BY label ORDER BY label
 SPECS: list[QuerySpec] = [
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE, "LLM:dedup"),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE, "LLM:dedup"),
-    QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, None, "LLM:dedup"),
+    QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_ORACLE, "LLM:dedup"),
     QuerySpec("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_ORACLE, "LLM:dedup"),
     QuerySpec("text_stats", text_stats, TEXT_STATS_ORACLE, "LLM:text"),
     QuerySpec("lang_distribution", lang_distribution, LANG_DIST_ORACLE, "LLM:text"),
