@@ -418,8 +418,12 @@ def sim_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH: candidates share the query's bucket.
 
     Scale path for similarity search — the bucket equi-join prunes the corpus ~2^planes
-    fold before any cosine math. Approximate ⇒ rows-only driver check; recall is
-    asserted against brute force in tests/test_llm_pipeline.py.
+    fold before any cosine math. The hyperplanes are driver-side constants, so
+    the DuckDB oracle embeds the SAME plane literals and recomputes the sign
+    bits + bucket join + cosine ranking in SQL (a sign bit could only diverge
+    if a dot product sat within float-summation error of zero — measurably not
+    the case for this data); recall vs brute force is additionally asserted in
+    tests/test_llm_pipeline.py.
     """
     e = t(spark, sf, "embeddings").withColumn(
         "bucket", lsh_hyperplane_bits("embedding", _PLANES)
@@ -436,14 +440,46 @@ def sim_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ann_lsh_oracle() -> str:
+    """DuckDB re-expression of sim_ann_lsh: the same 8x64 hyperplane literals,
+    sign-bit bucket ids, broadcast-query bucket join, cosine top-10."""
+    bits = []
+    for i, plane in enumerate(_PLANES):
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]::DOUBLE[]"
+        bits.append(
+            f"(CASE WHEN list_inner_product(embedding::DOUBLE[], {lit}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = "\n         + ".join(bits)
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         ({bucket})::BIGINT AS bucket
+  FROM embeddings
+)
+SELECT b.vec_id,
+       round(list_cosine_similarity(b.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cos_sim
+FROM b JOIN (SELECT embedding, bucket FROM b WHERE vec_id = 0) q ON b.bucket = q.bucket
+WHERE b.vec_id <> 0
+ORDER BY cos_sim DESC, b.vec_id
+LIMIT 10
+"""
+
+
+SIM_ANN_LSH_ORACLE = _ann_lsh_oracle()
+
+
 def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus to label centroids (the inverted
     lists), probe only the closest nprobe lists for the query, brute-force within.
 
     This is the standard 100 TB shape: centroid assignment is a broadcast join
     against a tiny centroid table; the probe prunes the corpus |lists|/nprobe-fold
-    before any exact distance math. Approximate ⇒ rows-only driver check; recall vs
-    brute force asserted in tests/test_llm_pipeline.py.
+    before any exact distance math. The label-mean centroids and both cosine
+    rankings are deterministic, so the whole pipeline runs under a DuckDB
+    oracle (the label-probe margins are ~1e-4, ten orders above float-sum
+    noise); recall vs brute force additionally asserted in
+    tests/test_llm_pipeline.py.
     """
     from pyspark.sql.window import Window
 
@@ -475,6 +511,31 @@ def sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )
+
+
+SIM_IVF_ORACLE = """
+WITH q AS (
+  SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0
+), cent AS (
+  SELECT label, i, avg(embedding[i]) AS m
+  FROM (SELECT label, embedding, unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+  GROUP BY label, i
+), cvec AS (
+  SELECT label, list(m ORDER BY i) AS centroid FROM cent GROUP BY label
+), probe AS (
+  SELECT label
+  FROM cvec, q
+  ORDER BY list_cosine_similarity(centroid, q_emb::DOUBLE[]) DESC, label
+  LIMIT 3
+)
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 6) AS cos_sim
+FROM embeddings e JOIN probe USING (label), q
+WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT 10
+"""
 
 
 def emb_label_centroids(spark: SparkSession, sf: str) -> DataFrame:

@@ -158,11 +158,52 @@ def embed_near_dup_pairs(
 
 
 def dedup_embed_ann(spark: SparkSession, sf: str) -> DataFrame:
-    """LSH-bucketed embedding near-dup at threshold 0.4 (rows-only driver check;
-    planted-duplicate recall asserted in tests — the sf corpus is random, so
-    genuinely-near pairs are scarce by construction)."""
+    """LSH-bucketed embedding near-dup at threshold 0.4. The hash tables are
+    driver-side constants, so the DuckDB oracle embeds the same 8x4 plane
+    literals and replays the bucket join + exact rescore in SQL;
+    planted-duplicate recall additionally asserted in tests — the sf corpus is
+    random, so genuinely-near pairs are scarce by construction."""
     e = t(spark, sf, "embeddings")
     return embed_near_dup_pairs(e, threshold=0.4)
+
+
+def _embed_ann_oracle() -> str:
+    """DuckDB re-expression of embed_near_dup_pairs(_TABLES, threshold=0.4):
+    per-table sign-bit buckets (table index shifted into the id), collide-in-
+    any-table candidate pairs, exact cosine rescore."""
+    selects = []
+    for ti, planes in enumerate(_TABLES):
+        bits = []
+        for i, plane in enumerate(planes):
+            lit = "[" + ", ".join(repr(v) for v in plane) + "]::DOUBLE[]"
+            bits.append(
+                f"(CASE WHEN list_inner_product(embedding::DOUBLE[], {lit}) >= 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        selects.append(
+            "  SELECT vec_id, embedding, ("
+            + " + ".join(bits)
+            + f" + {ti << 56}::BIGINT)::BIGINT AS bucket FROM embeddings"
+        )
+    banded = "\n  UNION ALL\n".join(selects)
+    return f"""
+WITH banded AS (
+{banded}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.d1, c.d2,
+       round(list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 6) AS cos_sim
+FROM cand c
+JOIN embeddings e1 ON e1.vec_id = c.d1
+JOIN embeddings e2 ON e2.vec_id = c.d2
+WHERE round(list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 6) >= 0.4
+ORDER BY cos_sim DESC, d1, d2
+"""
+
+
+DEDUP_EMBED_ANN_ORACLE = _embed_ann_oracle()
 
 
 # ---------------------------------------------------------------------------
