@@ -581,7 +581,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("doc_fingerprints", doc_fingerprints, FINGERPRINT_ORACLE, "LLM:text"),
     QuerySpec("sim_brute_topk", sim_brute_topk, SIM_BRUTE_ORACLE, "LLM:sim"),
     QuerySpec("sim_knn_join", sim_knn_join, SIM_KNN_ORACLE, "LLM:sim"),
-    QuerySpec("sim_ann_lsh", sim_ann_lsh, None, "LLM:sim"),
-    QuerySpec("sim_ivf_topk", sim_ivf_topk, None, "LLM:sim"),
+    QuerySpec("sim_ann_lsh", sim_ann_lsh, SIM_ANN_LSH_ORACLE, "LLM:sim"),
+    QuerySpec("sim_ivf_topk", sim_ivf_topk, SIM_IVF_ORACLE, "LLM:sim"),
     QuerySpec("emb_label_centroids", emb_label_centroids, EMB_CENTROID_ORACLE, "LLM:sim"),
 ]

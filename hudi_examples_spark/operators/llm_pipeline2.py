@@ -413,7 +413,7 @@ FROM kept GROUP BY lang ORDER BY lang
 
 SPECS: list[QuerySpec] = [
     QuerySpec("dedup_embed_cosine", dedup_embed_cosine, DEDUP_EMBED_ORACLE, "LLM:dedup-embed"),
-    QuerySpec("dedup_embed_ann", dedup_embed_ann, None, "LLM:dedup-embed"),
+    QuerySpec("dedup_embed_ann", dedup_embed_ann, DEDUP_EMBED_ANN_ORACLE, "LLM:dedup-embed"),
     QuerySpec("fp_winnowing", fp_winnowing, FP_WINNOWING_ORACLE, "LLM:fingerprint"),
     QuerySpec("lang_detect_ngram", lang_detect_ngram, LANG_DETECT_ORACLE, "LLM:langid"),
     QuerySpec("pipe_training_corpus", pipe_training_corpus, PIPE_CORPUS_ORACLE, "LLM:pipeline-e2e"),

@@ -65,6 +65,9 @@ def all_specs() -> list[QuerySpec]:
         "text_repetition_filter",
         "text_quality_score",
         "pipe_shuffle_order",
+        # rows-only in r1/r2, oracle-gated since r3 — certify under the driver
+        "mm_feature_pipeline",
+        "mm_resize_pipeline",
     ]
     n_tbl = sum(1 for s in specs if s.name.startswith("tbl_"))
     hoisted = [s for s in specs if s.name in hoist]
