@@ -50,20 +50,17 @@ def _docs(spark: SparkSession, sf: str) -> DataFrame:
     return t(spark, sf, "documents").repartition(n)
 
 
-def _shingle3(col):
-    """Distinct word 3-grams of a text column (single space separated)."""
-    ws = words(col)
-    return F.array_distinct(
-        F.filter(
-            F.transform(
-                ws,
-                lambda w, i: F.when(
-                    i < F.size(ws) - 2,
-                    F.concat_ws(" ", w, F.element_at(ws, i + 2), F.element_at(ws, i + 3)),
-                ),
-            ),
-            lambda s: s.isNotNull(),
-        )
+def _docs_shingled3(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, sh): distinct word 3-grams, with the word array PROJECTED into
+    a real column before shingling — inlining words() into the element_at
+    lambdas makes Catalyst re-evaluate the split per array element, O(words²)
+    per row (see functions/text.py:shingles_from)."""
+    from hudi_examples_spark.functions.text import shingles_from
+
+    return (
+        _docs(spark, sf)
+        .select("doc_id", words("text").alias("__ws"))
+        .select("doc_id", F.array_distinct(shingles_from(F.col("__ws"), 3)).alias("sh"))
     )
 
 
@@ -75,7 +72,7 @@ def pipe_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     side is only ever scanned and hash-joined against a small dimension, the
     exact shape that survives a 1000× train-corpus scale-up.
     """
-    d = _docs(spark, sf).select("doc_id", _shingle3(F.col("text")).alias("sh"))
+    d = _docs_shingled3(spark, sf)
     ev = F.broadcast(
         d.filter(F.col("doc_id") % EVAL_MOD == 0)
         .select(F.explode("sh").alias("g"))
@@ -162,16 +159,12 @@ def text_repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
     max per doc, two keyed exchanges that stay balanced at any document
     length.
     """
-    d = _docs(spark, sf)
-    ws = words(F.col("text"))
-    bg = F.filter(
-        F.transform(
-            ws,
-            lambda w, i: F.when(i < F.size(ws) - 1, F.concat_ws(" ", w, F.element_at(ws, i + 2))),
-        ),
-        lambda s: s.isNotNull(),
-    )
-    base = d.select("doc_id", ws.alias("__ws"), bg.alias("__bg"))
+    from hudi_examples_spark.functions.text import shingles_from
+
+    # project the word array first; bigrams via shingles_from over the
+    # projected column (inlined words() in the lambda is O(words²) per row)
+    base = _docs(spark, sf).select("doc_id", words("text").alias("__ws"))
+    base = base.select("doc_id", "__ws", shingles_from(F.col("__ws"), 2).alias("__bg"))
     top = (
         base.select("doc_id", F.explode("__ws").alias("w"))
         .groupBy("doc_id", "w")
@@ -288,6 +281,12 @@ def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _stopword_sql_list() -> str:
+    from hudi_examples_spark.functions.text import STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
 TEXT_QUALITY_ORACLE = f"""
 WITH ws AS (
   SELECT doc_id, list_filter(str_split(trim(text), ' '), w -> w <> '') AS w
@@ -295,7 +294,7 @@ WITH ws AS (
 ), f AS (
   SELECT doc_id,
          len(list_filter(w, x -> list_contains(
-               ['the','a','an','of','and','or','to','in','is','it'], lower(x)))) AS nstop,
+               {_stopword_sql_list()}, lower(x)))) AS nstop,
          coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS sumlen,
          len(w) AS n
   FROM ws

@@ -96,9 +96,17 @@ class FileTopic:
         )
         out_dir = os.path.join(self.base, f"batch={seq:08d}")
         stamped.write.mode("errorifexists").partitionBy("partition").parquet(out_dir)
+        # count from the files just WRITTEN, not by re-executing the input
+        # plan: a nondeterministic input (sample(), rand()-derived values)
+        # would otherwise produce counts that disagree with the stamped
+        # offsets, corrupting the manifest ranges — and even deterministic
+        # inputs would pay a full second source scan
         counts = {
             int(r["partition"]): int(r["c"])
-            for r in stamped.groupBy("partition").agg(F.count(F.lit(1)).alias("c")).collect()
+            for r in self.spark.read.parquet(out_dir)
+            .groupBy("partition")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
         }
         ranges = {}
         for p, c in counts.items():
@@ -143,11 +151,20 @@ class FileTopic:
             for b in self.meta["batches"]
             if any(r[1] > start.get(int(p), 0) for p, r in b["ranges"].items())
         ]
+        # fixed column order on BOTH paths (parquet appends the partition dir
+        # column last, the empty literal schema doesn't — positional callers
+        # would otherwise see offset/partition transposed)
+        from pyspark.sql.types import StructType
+
+        cols = [f.name for f in StructType.fromDDL(self.schema_ddl).fields] + [
+            "partition",
+            "offset",
+        ]
         if not paths:
             empty = self.spark.createDataFrame(
                 [], f"{self.schema_ddl}, partition INT, offset BIGINT"
             )
-            return empty, end
+            return empty.select(*cols), end
         df = self.spark.read.option("basePath", self.base).parquet(*paths)
         if start:
             pos = self.spark.createDataFrame(
@@ -158,7 +175,7 @@ class FileTopic:
                 .filter(F.col("offset") >= F.coalesce("__committed", F.lit(0)))
                 .drop("__committed")
             )
-        return df, end
+        return df.select(*cols), end
 
     def commit(self, group_id: str, offsets: dict[int, int]) -> None:
         os.makedirs(os.path.join(self.base, GROUPS_DIR), exist_ok=True)

@@ -64,6 +64,40 @@ from pyspark.sql.window import Window
 _INT_RANK = {"byte": 1, "short": 2, "integer": 3, "long": 4}
 
 
+def _acquire_lock(path: str, ttl_seconds: float, timeout_seconds: float) -> int:
+    """O_EXCL filesystem lock with crash-recovery expiry. Returns the open fd
+    (caller closes + unlinks).
+
+    Stale locks (older than ``ttl_seconds``; a holder that died mid-publish)
+    are broken by RENAME, not unlink: two waiters that both judge the lock
+    stale race the rename, exactly one wins (the loser's rename raises), so a
+    freshly re-created lock can never be deleted out from under its new
+    holder — the TOCTOU that a naive check-then-unlink has. The wait deadline
+    must exceed the TTL or a slow-but-live holder would time every waiter out
+    before expiry can ever break the lock."""
+    import time as _time
+
+    timeout_seconds = max(timeout_seconds, ttl_seconds + 10.0)
+    deadline = _time.time() + timeout_seconds
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, json.dumps({"pid": os.getpid(), "ts": _time.time()}).encode())
+            return fd
+        except FileExistsError:
+            try:
+                if _time.time() - os.path.getmtime(path) > ttl_seconds:
+                    broken = f"{path}.broken.{os.getpid()}.{int(_time.time() * 1e6)}"
+                    os.rename(path, broken)  # single winner; losers raise
+                    os.unlink(broken)
+                    continue
+            except OSError:
+                continue  # holder released / another waiter broke it — retry
+            if _time.time() > deadline:
+                raise TimeoutError(f"lock held too long: {path}")
+            _time.sleep(0.05)
+
+
 def _promotes(declared, batch) -> bool:
     """True iff ``batch`` is a SAFE widening of ``declared`` — i.e. the table
     schema may be promoted to the batch type and parquet files already written
@@ -953,9 +987,7 @@ class Table:
         in snapshots. Pk-less / no-precombine tables append. Use
         ``bulk_insert`` for the raw no-key-lookup load (Hudi 'bulk_insert')."""
         if self.config.record_key and self.config.precombine:
-            return self._write_changes(
-                upserts=self._conform(df), deletes=None, op="insert"
-            )
+            return self._write_changes(upserts=df, deletes=None, op="insert")
         return self.bulk_insert(df, dedup=dedup)
 
     def bulk_insert(self, df: DataFrame, dedup: bool = False) -> str:
@@ -986,7 +1018,7 @@ class Table:
     def upsert(self, df: DataFrame) -> str:
         """M7: precombine-dedup + key-merge + touched-partition rewrite (COW) or
         log append (MOR)."""
-        return self._write_changes(upserts=self._conform(df), deletes=None, op="upsert")
+        return self._write_changes(upserts=df, deletes=None, op="upsert")
 
     def delete(self, keys_df: DataFrame) -> str:
         """M9: delete-by-key batch (``hoodie.datasource.write.operation=delete``)."""
@@ -1061,12 +1093,7 @@ class Table:
         derived from that offset (exactly-once across restarts)."""
         ups = df.filter(F.col(op_col).isin("I", "U", "+I", "+U")).drop(op_col)
         dels = df.filter(F.col(op_col).isin("D", "-D")).drop(op_col)
-        return self._write_changes(
-            upserts=self._conform(ups),
-            deletes=dels,
-            op="cdc",
-            extra_meta=extra_meta,
-        )
+        return self._write_changes(upserts=ups, deletes=dels, op="cdc", extra_meta=extra_meta)
 
     # ------------------------------------------------------- unified write path
 
@@ -1082,12 +1109,16 @@ class Table:
             # — ``spark_sql_testing.sh:87-93``); pk-less deletes fall through and are
             # resolved by full-row anti join in _apply_cow.
             return self.insert(upserts)
+        # adopt any concurrent writer's schema evolution BEFORE planning the
+        # rewrite: a stale handle that skipped this would rebuild touched
+        # files through its old column list and erase the evolved column's
+        # data (reads would return null) even though props still declares it
+        self._merge_disk_schema()
         # single type-safety net for EVERY mutation path (upsert/update_where/
         # merge/write_cdc): a batch column at the wrong dtype must never reach
         # parquet — e.g. the SQL literal ``1.0`` is DECIMAL(2,1), and writing
         # it into a DOUBLE column makes the declared-schema read decode the
         # decimal's UNSCALED int (1.0 → 10.0): silent corruption, not an error.
-        # _conform is idempotent, so paths that already conformed are free.
         if upserts is not None:
             upserts = self._conform(upserts)
         if deletes is not None:
@@ -1294,27 +1325,10 @@ class Table:
         """
         lock = os.path.join(self.base, TIMELINE_DIR, "_lock")
         os.makedirs(os.path.dirname(lock), exist_ok=True)
-        import time as _time
-
-        fd = None
-        deadline = _time.time() + 30.0
-        while fd is None:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, json.dumps({"pid": os.getpid(), "ts": _time.time()}).encode())
-            except FileExistsError:
-                # crash recovery (Hudi FileSystemBasedLockProvider expiry): a
-                # holder that died between acquire and release would otherwise
-                # block every publish forever — break locks past their TTL
-                try:
-                    if _time.time() - os.path.getmtime(lock) > self.LOCK_TTL_SECONDS:
-                        os.unlink(lock)
-                        continue
-                except OSError:
-                    continue  # holder released/broke it concurrently — retry
-                if _time.time() > deadline:
-                    raise TimeoutError(f"timeline lock held too long: {lock}")
-                _time.sleep(0.05)
+        # crash recovery (Hudi FileSystemBasedLockProvider expiry): locks past
+        # their TTL are broken (rename-won) so a dead holder can't block
+        # publishes forever
+        fd = _acquire_lock(lock, self.LOCK_TTL_SECONDS, 30.0)
         try:
             ours_removed = set(inst.files_removed)
             for other in self.timeline.completed_data_instants():
@@ -1798,47 +1812,11 @@ class Table:
         one wins (same promotion lattice as ``_conform``). Config fields stay
         last-writer-wins: service config changes (bucket ranges, versions)
         are already serialized by their own OCC publish."""
-        import time as _time
-
         lock = os.path.join(self.base, f".{PROPS_FILE}.lock")
-        fd = None
-        deadline = _time.time() + 10.0
-        while fd is None:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                try:
-                    if _time.time() - os.path.getmtime(lock) > self.LOCK_TTL_SECONDS:
-                        os.unlink(lock)
-                        continue
-                except OSError:
-                    continue
-                if _time.time() > deadline:
-                    raise TimeoutError(f"props lock held too long: {lock}")
-                _time.sleep(0.01)
+        fd = _acquire_lock(lock, self.LOCK_TTL_SECONDS, 30.0)
         try:
+            self._merge_disk_schema()
             path = os.path.join(self.base, PROPS_FILE)
-            try:
-                with open(path) as f:
-                    disk = StructType.fromJson(json.load(f)["schema"])
-            except (OSError, KeyError, ValueError):
-                disk = None
-            if disk is not None:
-                merged = list(self.schema.fields)
-                names = {f_.name: i for i, f_ in enumerate(merged)}
-                changed = False
-                for f_ in disk.fields:
-                    i = names.get(f_.name)
-                    if i is None:
-                        merged.append(StructField(f_.name, f_.dataType, True))
-                        changed = True
-                    elif f_.dataType != merged[i].dataType and _promotes(
-                        merged[i].dataType, f_.dataType
-                    ):
-                        merged[i] = StructField(f_.name, f_.dataType, True)
-                        changed = True
-                if changed:
-                    self.schema = StructType(merged)
             tmp = path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(
@@ -1853,6 +1831,38 @@ class Table:
                 os.unlink(lock)
             except OSError:
                 pass
+
+    def _merge_disk_schema(self) -> bool:
+        """Union the ON-DISK schema into the in-memory one (fields by name;
+        when both hold a field at different types the safely-wider one wins —
+        same promotion lattice as ``_conform``). Returns True if the schema
+        changed. Called under the props lock by ``_save_props``, and at the
+        top of every mutation (``_write_changes``) so a STALE handle adopts a
+        concurrent writer's evolution before it rewrites files — without
+        this, a handle opened before another writer added a column would
+        rewrite touched files through its old column list and silently erase
+        that column's data."""
+        try:
+            with open(os.path.join(self.base, PROPS_FILE)) as f:
+                disk = StructType.fromJson(json.load(f)["schema"])
+        except (OSError, KeyError, ValueError):
+            return False
+        merged = list(self.schema.fields)
+        names = {f_.name: i for i, f_ in enumerate(merged)}
+        changed = False
+        for f_ in disk.fields:
+            i = names.get(f_.name)
+            if i is None:
+                merged.append(StructField(f_.name, f_.dataType, True))
+                changed = True
+            elif f_.dataType != merged[i].dataType and _promotes(
+                merged[i].dataType, f_.dataType
+            ):
+                merged[i] = StructField(f_.name, f_.dataType, True)
+                changed = True
+        if changed:
+            self.schema = StructType(merged)
+        return changed
 
 
 def _stats_json(v):

@@ -111,3 +111,24 @@ def test_interleaved_evolution_from_stale_handles_loses_nothing(spark, tmp_path)
     rows = {r["k"]: r for r in reopened.read().collect()}
     assert rows["b"]["x"] == 5.0 and rows["c"]["y"] == "hi"
     assert rows["a"]["x"] is None and rows["a"]["y"] is None
+
+
+def test_stale_handle_write_preserves_concurrent_evolution_data(spark, tmp_path):
+    """Code-review round-3 finding: a stale handle whose OWN batch does not
+    widen anything must still adopt a concurrent writer's evolved column
+    before rewriting files — otherwise the COW rewrite drops that column's
+    DATA (not just the declaration) from every touched file."""
+    from hudi_examples_spark.table import Table, TableConfig
+
+    base = str(tmp_path / "t")
+    t1 = Table.create(
+        spark, base, "k STRING, ts BIGINT", TableConfig(record_key=["k"], precombine="ts")
+    )
+    t1.insert(spark.createDataFrame([("a", 1), ("b", 1)], "k STRING, ts BIGINT"))
+    t2 = Table(spark, base)  # stale: believes schema is (k, ts)
+    t1.upsert(spark.createDataFrame([("a", 2, 7.5)], "k STRING, ts BIGINT, x DOUBLE"))
+    # t2's batch is plain (k, ts): no widening from ITS perspective
+    t2.upsert(spark.createDataFrame([("b", 3)], "k STRING, ts BIGINT"))
+    rows = {r["k"]: r for r in Table(spark, base).read().collect()}
+    assert rows["a"]["x"] == 7.5, "concurrent evolution's data survives the stale rewrite"
+    assert rows["b"]["ts"] == 3 and rows["b"]["x"] is None

@@ -48,6 +48,7 @@ def test_group_commit_resume_and_redelivery(spark, tmp_path):
     # committed → caught up
     df2, end2 = t.consume("g")
     assert df2.count() == 0
+    assert df2.columns == df1.columns, "empty and non-empty consumes agree on column order"
     t.produce(_rows(spark, 10, 25))
     df3, end3 = t.consume("g")
     got = {r["v"] for r in df3.collect()}
