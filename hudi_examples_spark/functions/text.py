@@ -80,24 +80,41 @@ def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     return out
 
 
-def minhash_base(shingle: Column) -> Column:
-    """48-bit integer base hash of a shingle: first 12 hex chars of md5,
-    reduced mod P. Positive, overflow-safe (a·h < 2^62)."""
+def minhash_base(shingle: Column, hash_family: str = "xxhash64") -> Column:
+    """Integer base hash of a shingle, reduced mod P. Positive, overflow-safe
+    (a·h < 2^62 for the affine maps layered on top).
+
+    Two families, identical plan shape:
+
+    - ``"xxhash64"`` (default, production): one JVM xxhash64 call per shingle
+      — the fast path. Spark-only, so not oracle-reproducible.
+    - ``"md5"`` (oracle mode): first 12 hex chars of md5 — ~an order of
+      magnitude costlier per shingle, but reproducible in any engine with
+      md5, which is what lets the driver's DuckDB oracle value-match the
+      whole minhash/LSH pipeline.
+    """
+    if hash_family == "xxhash64":
+        return F.pmod(F.xxhash64(shingle), F.lit(MINHASH_P))
+    if hash_family != "md5":
+        raise ValueError(f"unknown minhash hash_family: {hash_family!r}")
     return F.conv(F.substring(F.md5(shingle), 1, 12), 16, 10).cast("bigint") % F.lit(MINHASH_P)
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+def minhash_signature(
+    shingles: Column, num_hashes: int = 32, hash_family: str = "xxhash64"
+) -> Column:
     """MinHash signature: array of ``num_hashes`` minima of affine hashes
-    ``(a_i·h + b_i) mod P`` over the md5-derived base ``h`` of each shingle.
-    Empty shingle sets get sentinel minima. Single pass over the shingle
-    array (per shingle compute all N hashes, fold with elementwise min)."""
+    ``(a_i·h + b_i) mod P`` over the base ``h`` of each shingle (see
+    ``minhash_base`` for the two hash families). Empty shingle sets get
+    sentinel minima. Single pass over the shingle array (per shingle compute
+    all N hashes, fold with elementwise min)."""
     coeffs = minhash_coeffs(num_hashes)
     sentinel = F.lit(MINHASH_SENTINEL).cast("bigint")
     init = F.array_repeat(sentinel, num_hashes)
     p = F.lit(MINHASH_P)
 
     def hashes(s):
-        hp = minhash_base(s)
+        hp = minhash_base(s, hash_family)
         return F.array(*[(F.lit(a) * hp + F.lit(b)) % p for a, b in coeffs])
 
     return F.aggregate(

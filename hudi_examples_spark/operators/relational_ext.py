@@ -332,26 +332,90 @@ def a_sketch_profile(spark: SparkSession, sf: str) -> DataFrame:
     customers and approximate total-price quantiles. The 100 TB shape for
     distinct-count/quantile reporting: sketches merge associatively in
     partial aggregation (fixed-size state per group), so no exact
-    distinct-shuffle of the full key set ever happens. rows-only spec —
-    DuckDB's approx algorithms differ; the error bound vs exact is pinned
-    by test_llm_pipeline4-style assertions in tests/test_sketches.py."""
+    distinct-shuffle of the full key set ever happens.
+
+    Oracle-certifiable form: DuckDB's approx algorithms differ, so the sketch
+    values themselves can never hash-match.  Instead this emits the exact
+    distinct count / row count (hashable) plus `within_bounds` booleans that
+    assert the sketch landed inside its published error bound — HLL++ rsd
+    (0.02, checked at 3×rsd) and percentile_approx rank error (1/accuracy,
+    checked at ±0.01 rank).  The oracle computes the exact columns and
+    literal TRUEs; a sketch gone wrong flips a boolean and fails the hash.
+    The exact columns are gate instrumentation (5 groups); at 100 TB only
+    the sketch path runs.  Tighter error-bound assertions live in
+    tests/test_sketches.py."""
     o = t(spark, sf, "orders")
-    return (
+    prof = (
         o.groupBy("o_orderpriority")
         .agg(
             F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.count_distinct("o_custkey").alias("exact_customers"),
             F.percentile_approx("o_totalprice", [0.5, 0.95], 10000).alias("price_q"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .select(
             "o_orderpriority",
             "approx_customers",
-            F.round(F.col("price_q")[0], 2).alias("p50_price"),
-            F.round(F.col("price_q")[1], 2).alias("p95_price"),
+            "exact_customers",
+            F.col("price_q")[0].alias("p50_approx"),
+            F.col("price_q")[1].alias("p95_approx"),
             "n_orders",
+        )
+    )
+    # Rank-check the approx quantiles: fraction of rows <= returned value must
+    # sit within eps of the target rank. One extra pass over orders with the
+    # tiny (5-row) profile broadcast — no second shuffle of the fact table.
+    ranks = (
+        o.select("o_orderpriority", "o_totalprice")
+        .join(
+            F.broadcast(prof.select("o_orderpriority", "p50_approx", "p95_approx")),
+            "o_orderpriority",
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            (
+                F.sum(F.when(F.col("o_totalprice") <= F.col("p50_approx"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("p50_frac"),
+            (
+                F.sum(F.when(F.col("o_totalprice") <= F.col("p95_approx"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("p95_frac"),
+        )
+    )
+    return (
+        prof.join(F.broadcast(ranks), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "exact_customers",
+            "n_orders",
+            (
+                F.abs(F.col("approx_customers") - F.col("exact_customers"))
+                / F.col("exact_customers")
+                <= F.lit(0.06)
+            ).alias("customers_within_bounds"),
+            ((F.col("p50_frac") >= 0.49) & (F.col("p50_frac") <= 0.51)).alias(
+                "p50_rank_ok"
+            ),
+            ((F.col("p95_frac") >= 0.94) & (F.col("p95_frac") <= 0.96)).alias(
+                "p95_rank_ok"
+            ),
         )
         .orderBy("o_orderpriority")
     )
+
+
+A_SKETCH_ORACLE = """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS exact_customers,
+       count(*) AS n_orders,
+       TRUE AS customers_within_bounds,
+       TRUE AS p50_rank_ok,
+       TRUE AS p95_rank_ok
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
 
 
 SPECS: list[QuerySpec] = [
@@ -365,5 +429,5 @@ SPECS: list[QuerySpec] = [
     QuerySpec("s_csv_roundtrip", s_csv_roundtrip, S_CSV_ORACLE, "S5"),
     QuerySpec("s_orc_roundtrip", s_orc_roundtrip, S_ORC_ORACLE, "S5+"),
     QuerySpec("a_grouping_sets", a_grouping_sets, A_GROUPING_SETS_ORACLE, "A3+,rollup"),
-    QuerySpec("a_sketch_profile", a_sketch_profile, None, "A:sketches"),
+    QuerySpec("a_sketch_profile", a_sketch_profile, A_SKETCH_ORACLE, "A:sketches"),
 ]

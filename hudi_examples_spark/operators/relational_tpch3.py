@@ -853,7 +853,7 @@ def fn_array_battery(spark: SparkSession, sf: str) -> DataFrame:
         F.size("names").alias("n_nations"),
         F.element_at("names", 1).alias("first_nation"),
         F.element_at("names", -1).alias("last_nation"),
-        F.slice("names", 1, 2).alias("first_two"),
+        F.array_join(F.slice("names", 1, 2), "|").alias("first_two"),
         F.array_contains("names", "NATION_7").alias("has_n7"),
         F.array_join(F.reverse("names"), "|").alias("reversed_joined"),
     ).orderBy("n_regionkey")
@@ -868,7 +868,7 @@ SELECT n_regionkey,
        len(names) AS n_nations,
        names[1] AS first_nation,
        names[-1] AS last_nation,
-       names[1:2] AS first_two,
+       array_to_string(names[1:2], '|') AS first_two,
        list_contains(names, 'NATION_7') AS has_n7,
        array_to_string(list_reverse(names), '|') AS reversed_joined
 FROM per_region ORDER BY n_regionkey

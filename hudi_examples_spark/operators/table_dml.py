@@ -400,6 +400,120 @@ ORDER BY f.c_custkey
 """
 
 
+# ---------------------------------------------------------------------------
+# The reference's canonical compatibility workload, driver-gated.
+# ---------------------------------------------------------------------------
+
+BATCH_SCHEMA = "ts BIGINT, uuid STRING, fare DOUBLE, part STRING"
+
+#: Per-batch checkpoint counts from the reference schedule
+#: (``compatibility_test.sh:68-70,101,139,169,181,186,194,212``).
+BATCH_EXPECTED = [990, 1980, 2980, 3970, 4960]
+
+
+def batch_insert_df(spark: SparkSession, batch: int, n_ins: int = 1000) -> DataFrame:
+    """Batch `batch`'s 1000 fresh keys (ids batch*1000 .. +999)."""
+    base = batch * n_ins
+    return spark.range(base, base + n_ins).select(
+        (F.col("id") + 1_000_000_000).alias("ts"),
+        F.concat(F.lit("k"), F.col("id")).alias("uuid"),
+        (F.col("id") % 97).cast("double").alias("fare"),
+        F.concat(F.lit("p"), (F.col("id") % 4)).alias("part"),
+    )
+
+
+def batch_update_df(spark: SparkSession, batch: int, n_upd: int = 100) -> DataFrame:
+    """Batch `batch`'s 100 updates: previous batch's first 100 keys → fare 999."""
+    prev = (batch - 1) * 1000
+    return spark.range(prev, prev + n_upd).select(
+        (F.col("id") + 2_000_000_000).alias("ts"),
+        F.concat(F.lit("k"), F.col("id")).alias("uuid"),
+        F.lit(999.0).alias("fare"),
+        F.concat(F.lit("p"), (F.col("id") % 4)).alias("part"),
+    )
+
+
+def batch_delete_keys(spark: SparkSession, batch: int, n_del: int = 10) -> DataFrame:
+    """Batch `batch`'s 10 deletes: previous batch's last 10 keys."""
+    prev_end = (batch - 1) * 1000 + 1000
+    return spark.range(prev_end - n_del, prev_end).select(
+        F.concat(F.lit("k"), F.col("id")).alias("uuid")
+    )
+
+
+def run_batch_schedule(spark: SparkSession, tbl: Table, compact_every: int | None = None) -> list[int]:
+    """The reference's 5 × (1000 ins + 100 upd + 10 del) schedule with the
+    990/1980/2980/3970/4960 checkpoints. Batch 3's deletes re-target batch 1's
+    already-deleted keys — the expected counts encode that deletes of absent
+    keys are idempotent no-ops (the reference runs batch 3 with numDeletes=0;
+    an absent-key delete is the equivalent observable)."""
+    counts = []
+    for b in range(1, 6):
+        batch = batch_insert_df(spark, b - 1)
+        tbl.insert(batch) if b == 1 else tbl.upsert(batch)
+        tbl.upsert(batch_update_df(spark, b))
+        tbl.delete(batch_delete_keys(spark, 1 if b == 3 else b))
+        if compact_every and tbl.should_compact(compact_every):
+            tbl.compact()
+        counts.append(tbl.count())
+    return counts
+
+
+def tbl_batch_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's end-to-end compatibility schedule under the driver gate
+    (``compatibility_test.sh:68-212``): 5 batches of (1000 inserts + 100
+    updates + 10 deletes) on a partitioned MOR table with mid-schedule
+    compaction, the per-batch count checkpoints asserted in-line, and the
+    mid-schedule rollback fault injection (an extra "failed" batch rolled
+    back between batches 3 and 4 — the schedule's counts must be unaffected).
+    Returns the final snapshot; the oracle reconstructs the identical final
+    state generatively in DuckDB SQL (no sf tables involved — the workload is
+    self-generated, as in the reference)."""
+    base = os.path.join(_workdir("tbl_batch_schedule", sf), "tbl")
+    tbl = Table.create(
+        spark,
+        base,
+        BATCH_SCHEMA,
+        TableConfig(record_key=["uuid"], precombine="ts", partition_by=["part"], table_type="mor"),
+    )
+    counts = []
+    for b in range(1, 6):
+        batch = batch_insert_df(spark, b - 1)
+        tbl.insert(batch) if b == 1 else tbl.upsert(batch)
+        tbl.upsert(batch_update_df(spark, b))
+        tbl.delete(batch_delete_keys(spark, 1 if b == 3 else b))
+        if tbl.should_compact(4):
+            tbl.compact()
+        counts.append(tbl.count())
+        if b == 3:
+            # Fault injection: a "failed" extra batch, rolled back
+            # (compatibility_test.sh:155-186 deletes the latest commit file).
+            tbl.upsert(batch_insert_df(spark, 90))
+            tbl.rollback()
+            if tbl.count() != counts[-1]:
+                raise AssertionError(
+                    f"rollback did not restore count: {tbl.count()} != {counts[-1]}"
+                )
+    if counts != BATCH_EXPECTED:
+        raise AssertionError(f"checkpoint counts {counts} != {BATCH_EXPECTED}")
+    return tbl.read().select("uuid", "ts", "fare", "part").orderBy("uuid")
+
+
+#: Final schedule state, reconstructed generatively: ids 0..4999 inserted;
+#: ids with id%1000<100 updated to fare=999/ts=id+2e9; the four real delete
+#: batches remove id%1000>=990 for batches 1,2,4,5 (batch 3's re-targeted
+#: delete is a no-op), i.e. all but ids 2990..2999.
+TBL_BATCH_SCHEDULE_ORACLE = """
+SELECT 'k' || CAST(i AS VARCHAR) AS uuid,
+       CASE WHEN i % 1000 < 100 THEN i + 2000000000 ELSE i + 1000000000 END AS ts,
+       CASE WHEN i % 1000 < 100 THEN 999.0 ELSE CAST(i % 97 AS DOUBLE) END AS fare,
+       'p' || CAST(i % 4 AS VARCHAR) AS part
+FROM range(0, 5000) t(i)
+WHERE NOT (i % 1000 >= 990 AND (i < 2000 OR i >= 3000))
+ORDER BY uuid
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("tbl_upsert_cow", tbl_upsert_cow, UPSERT_FINAL_ORACLE, "M1,M2,M7"),
     QuerySpec("tbl_upsert_mor", tbl_upsert_mor, UPSERT_FINAL_ORACLE, "M7,MOR"),
@@ -413,6 +527,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("tbl_scan_pruned", tbl_scan_pruned, TBL_SCAN_ORACLE, "col-stats data skipping"),
     QuerySpec("tbl_rollup_incremental", tbl_rollup_incremental, TBL_ROLLUP_ORACLE, "incremental rollup (CDC IVM)"),
     QuerySpec("tbl_join_view_incremental", tbl_join_view_incremental, TBL_JOIN_VIEW_ORACLE, "incremental join view (CDC IVM)"),
+    QuerySpec("tbl_batch_schedule", tbl_batch_schedule, TBL_BATCH_SCHEDULE_ORACLE, "reference compat schedule: M2,M7,M9,M14,M17"),
 ]
 
 

@@ -42,37 +42,76 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(relational_tpch3.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names in registry"
-    # Prefix rotation (round 3): the driver gate samples a 50-query prefix, so
-    # queries that never landed a driver correctness row in rounds 1-2 are
-    # hoisted to just after the table-DML lifecycle — the 10 that sat past the
-    # prefix in both rounds, plus the round-3 additions (llm_pipeline5) —
-    # displacing rows that were hash-green in earlier rounds (q1/q3/q5/q6/q10,
-    # p_*, tail llm rows). Every registered query then has at least one green
-    # driver row across r1-r3.
-    hoist = [
-        "s_orc_roundtrip",
-        "a_grouping_sets",
-        "a_sketch_profile",
-        "w_ranking_battery",
-        "fn_string_agg",
-        "a_count_distinct_users",
-        "j_asof_join",
-        "j_range_join",
+    # Prefix rotation (round 4): the driver gate samples a 50-query prefix.
+    # This round's prefix = the two formerly-red rows now fixed
+    # (fn_array_battery stringified its array column; a_sketch_profile gained a
+    # within-bounds oracle), the new reference-schedule spec
+    # (tbl_batch_schedule), all 42 queries whose latest green driver row dates
+    # from round 1 (oldest evidence), and 5 round-2-evidence LLM-ops — exactly
+    # 50. The 12 tbl_* lifecycle specs and the r3-green LLM battery rotate out
+    # (fresh r3 evidence, age ≤2 at r5 when they rotate back in).
+    r4_prefix = [
+        # new + fixed
+        "tbl_batch_schedule",
         "fn_array_battery",
-        "fn_explode_unnest",
-        "pipe_decontaminate",
-        "dedup_cross_corpus",
-        "text_repetition_filter",
-        "text_quality_score",
-        "pipe_shuffle_order",
-        # rows-only in r1/r2, oracle-gated since r3 — certify under the driver
-        "mm_feature_pipeline",
-        "mm_resize_pipeline",
+        "a_sketch_profile",
+        # r1-evidence (oldest): core relational battery
+        "p_json_extract",
+        "p_range_predicate",
+        "p_arithmetic_projection",
+        "a_count_star",
+        "a_group_count_sort",
+        "a_topk_two_keys",
+        "a_interval_counts",
+        "w_latest_per_key",
+        "j_merge_full_outer",
+        "j_delete_anti",
+        "j_semi_join",
+        "j_bucket_assignment",
+        "e_except_diff",
+        "e_intersect",
+        "e_union_dedup",
+        "fn_scalar_battery",
+        "fn_timestamp_derivation",
+        "fn_regexp_extract",
+        # r1-evidence: TPC-H battery + window/sessionization + CSV surface
+        "q4_order_priority",
+        "q7_nation_volume",
+        "q14_promo_revenue",
+        "q18_large_orders",
+        "q19_bracket_revenue",
+        "w_running_totals",
+        "w_sessionization",
+        "s_csv_roundtrip",
+        "q2_min_cost_supplier",
+        "q8_market_share",
+        "q9_product_profit",
+        "q11_important_stock",
+        "q12_priority_shipping",
+        "q13_customer_distribution",
+        "q15_top_supplier",
+        "q16_supplier_part_types",
+        "q17_small_quantity_revenue",
+        "q20_excess_suppliers",
+        "q21_sole_supplier_orders",
+        "q22_idle_customers",
+        "a_rollup_revenue",
+        "a_cube_order_mix",
+        "a_pivot_event_types",
+        "a_percentile_values",
+        # r2-evidence LLM/scale ops refreshed a round early
+        "pipe_stratified_sample",
+        "pipe_dataset_mixture",
+        "text_tfidf_topterms",
+        "pipe_doc_chunks",
+        "mm_frame_sample",
     ]
-    n_tbl = sum(1 for s in specs if s.name.startswith("tbl_"))
-    hoisted = [s for s in specs if s.name in hoist]
-    rest = [s for s in specs if s.name not in hoist]
-    specs = rest[:n_tbl] + hoisted + rest[n_tbl:]
+    assert len(r4_prefix) == 50 and len(set(r4_prefix)) == 50, "prefix must be 50 unique names"
+    by_name = {s.name: s for s in specs}
+    missing = [n for n in r4_prefix if n not in by_name]
+    assert not missing, f"prefix names not in registry: {missing}"
+    prefix_set = set(r4_prefix)
+    specs = [by_name[n] for n in r4_prefix] + [s for s in specs if s.name not in prefix_set]
     return specs
 
 

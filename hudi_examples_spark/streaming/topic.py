@@ -56,11 +56,20 @@ class FileTopic:
             self.meta = {"n_partitions": n_partitions, "next_seq": 1, "ends": {}, "batches": []}
             self._save()
 
+    #: produce-lock expiry (a producer that died mid-batch)
+    LOCK_TTL_SECONDS = 600.0
+
     def _save(self) -> None:
         tmp = os.path.join(self.base, f".{META}.tmp")
         with open(tmp, "w") as f:
             json.dump(self.meta, f, indent=1)
         os.replace(tmp, os.path.join(self.base, META))
+
+    def _reload(self) -> None:
+        meta_path = os.path.join(self.base, META)
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                self.meta = json.load(f)
 
     @property
     def n_partitions(self) -> int:
@@ -72,7 +81,25 @@ class FileTopic:
         """Append a batch. Records are routed to partitions by hash(key) —
         same key, same partition, preserving per-key order like Kafka — or
         round-robin-by-hash of all columns when no key is given. Returns the
-        new end offsets. Offsets are dense per partition across batches."""
+        new end offsets. Offsets are dense per partition across batches.
+
+        Multi-producer-safe: the whole read-modify-write of ``_meta.json``
+        (next_seq/ends) plus the batch write runs under the table layer's
+        expiry lock — without it two concurrent producers could read the same
+        next_seq, both pass the errorifexists check, interleave writes into
+        one batch dir, and the last ``_save`` would drop the other's
+        ends/batches entries."""
+        from hudi_examples_spark.table.core import _acquire_lock, _release_lock
+
+        lock = os.path.join(self.base, ".produce.lock")
+        fd = _acquire_lock(lock, self.LOCK_TTL_SECONDS, 30.0)
+        try:
+            self._reload()  # adopt any concurrent producer's seq/ends advance
+            return self._produce_locked(df, key_col)
+        finally:
+            _release_lock(fd, lock)
+
+    def _produce_locked(self, df: DataFrame, key_col: str | None = None) -> dict[int, int]:
         n = self.n_partitions
         if key_col is not None:
             part = F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n))

@@ -64,38 +64,113 @@ from pyspark.sql.window import Window
 _INT_RANK = {"byte": 1, "short": 2, "integer": 3, "long": 4}
 
 
-def _acquire_lock(path: str, ttl_seconds: float, timeout_seconds: float) -> int:
-    """O_EXCL filesystem lock with crash-recovery expiry. Returns the open fd
-    (caller closes + unlinks).
+def _sweep_broken_locks(path: str, ttl_seconds: float) -> None:
+    """Opportunistically remove orphaned ``<path>.broken.*`` files — a breaker
+    that crashed between its rename and unlink — once they age past the TTL."""
+    import time as _time
 
-    Stale locks (older than ``ttl_seconds``; a holder that died mid-publish)
-    are broken by RENAME, not unlink: two waiters that both judge the lock
-    stale race the rename, exactly one wins (the loser's rename raises), so a
-    freshly re-created lock can never be deleted out from under its new
-    holder — the TOCTOU that a naive check-then-unlink has. The wait deadline
-    must exceed the TTL or a slow-but-live holder would time every waiter out
-    before expiry can ever break the lock."""
+    d, base = os.path.split(path)
+    prefix = base + ".broken."
+    try:
+        for name in os.listdir(d or "."):
+            if name.startswith(prefix):
+                p = os.path.join(d, name)
+                try:
+                    if _time.time() - os.path.getmtime(p) > ttl_seconds:
+                        os.unlink(p)
+                except OSError:
+                    pass
+    except OSError:
+        pass
+
+
+def _break_stale_lock(path: str, ttl_seconds: float) -> bool:
+    """Break ``path`` if stale (mtime past TTL; a holder that died
+    mid-publish), by RENAME, not unlink: waiters that both judge the lock
+    stale race the rename and exactly one wins (the losers' renames raise),
+    so a freshly re-created lock can never be deleted out from under its new
+    holder — the TOCTOU a naive check-then-unlink has.
+
+    A narrower race remains: the slow-but-live holder releases and a NEW
+    waiter acquires inside the judge→rename window, so the rename displaces a
+    fresh live lock. Detected by comparing the renamed file's identity
+    (inode+mtime) against the one judged stale; on mismatch the fresh lock is
+    restored atomically via link (a no-op if a third party already re-created
+    the path — the displaced holder's inode-checked release stays harmless)
+    and the breaker backs off. Returns True iff a genuinely stale lock was
+    broken."""
+    import time as _time
+
+    try:
+        st = os.stat(path)
+        if _time.time() - st.st_mtime <= ttl_seconds:
+            return False
+        broken = f"{path}.broken.{os.getpid()}.{int(_time.time() * 1e6)}"
+        os.rename(path, broken)  # single winner; losers raise
+    except OSError:
+        return False  # holder released / another waiter won the rename
+    try:
+        bst = os.stat(broken)
+        displaced_fresh = (bst.st_ino, bst.st_mtime) != (st.st_ino, st.st_mtime)
+    except OSError:
+        return False
+    if displaced_fresh:
+        try:
+            os.link(broken, path)  # atomic restore of the live lock
+        except OSError:
+            pass
+        try:
+            os.unlink(broken)
+        except OSError:
+            pass
+        return False
+    try:
+        os.unlink(broken)
+    except OSError:
+        pass
+    return True
+
+
+def _acquire_lock(path: str, ttl_seconds: float, timeout_seconds: float) -> int:
+    """O_EXCL filesystem lock with crash-recovery expiry (see
+    ``_break_stale_lock``). Returns the open fd; release with
+    ``_release_lock`` (inode-checked, never deletes another holder's lock).
+    The wait deadline must exceed the TTL or a slow-but-live holder would
+    time every waiter out before expiry can ever break the lock."""
     import time as _time
 
     timeout_seconds = max(timeout_seconds, ttl_seconds + 10.0)
     deadline = _time.time() + timeout_seconds
+    swept = False
     while True:
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             os.write(fd, json.dumps({"pid": os.getpid(), "ts": _time.time()}).encode())
             return fd
         except FileExistsError:
-            try:
-                if _time.time() - os.path.getmtime(path) > ttl_seconds:
-                    broken = f"{path}.broken.{os.getpid()}.{int(_time.time() * 1e6)}"
-                    os.rename(path, broken)  # single winner; losers raise
-                    os.unlink(broken)
-                    continue
-            except OSError:
-                continue  # holder released / another waiter broke it — retry
+            if not swept:
+                swept = True
+                _sweep_broken_locks(path, ttl_seconds)
+            if _break_stale_lock(path, ttl_seconds):
+                continue
             if _time.time() > deadline:
                 raise TimeoutError(f"lock held too long: {path}")
             _time.sleep(0.05)
+
+
+def _release_lock(fd: int, path: str) -> None:
+    """Close + unlink — but only unlink the lock file WE created: if a breaker
+    displaced this lock and another holder re-created the path, a blind
+    unlink would delete the new holder's lock."""
+    try:
+        ours = os.fstat(fd).st_ino
+        try:
+            if os.stat(path).st_ino == ours:
+                os.unlink(path)
+        except OSError:
+            pass
+    finally:
+        os.close(fd)
 
 
 def _promotes(declared, batch) -> bool:
@@ -543,16 +618,49 @@ class Table:
             [z], n_files, {"operation": "cluster_zorder", "zorder_cols": cols}
         )
 
-    def _cluster_rewrite(self, sort_exprs: list, n_files: int | None, meta: dict) -> str:
-        """Full-table layout rewrite, published under OCC (table services take
-        the same lock as writers — Hudi requires this for clustering): any
-        commit landing after our snapshot aborts the publish instead of being
-        silently clobbered by the replacecommit."""
+    def _cluster_rewrite(self, sort_exprs: list, n_files: int | None, meta: dict) -> str | None:
+        """Layout rewrite, published under OCC (table services take the same
+        lock as writers — Hudi requires this for clustering): any commit
+        landing after our snapshot aborts the publish instead of being
+        silently clobbered by the replacecommit.
+
+        Incremental (Hudi schedules clustering per file group, never per
+        table): a live file is already *in layout* iff the commit that added
+        it was a clustering replacecommit with this same layout spec
+        (operation + columns), and a partition needs rewriting iff it holds
+        at least one out-of-layout live file. Only violating partitions are
+        read and rewritten — at 100 TB a table with 1% churned partitions
+        re-clusters ~1% of its bytes — and the publish conflicts only with
+        commits touching those partitions. A fully-in-layout table is a
+        no-op (returns None). MOR tables with live log files fall back to a
+        full rewrite: a log row may supersede a base row in ANOTHER
+        partition, so partition-scoped base rewrites could resurrect stale
+        versions under newer commit times — compact first to get the
+        incremental path. (cluster_zorder's quantization bounds are
+        recomputed from the current table, so an incremental pass interleaves
+        against fresh bounds — per-file min/max stats stay truthful either
+        way, which is all ``scan`` pruning relies on.)"""
         if self.config.n_buckets or self.config.bucket_ranges:
             raise ValueError("sort/zorder clustering conflicts with bucket-index routing")
-        instant = new_instant()
         old_files, latest = self.timeline.live_files()
-        current = self.read(with_meta=True)
+        log_rels = [r for r, (_, a) in old_files.items() if a == "deltacommit"]
+        layout_sig = dict(meta)
+        viol_parts: set[str] | None = None
+        if not log_rels:
+            inst_meta = {i.instant: i.meta for i in self.timeline.completed_data_instants()}
+
+            def _in_layout(rel: str) -> bool:
+                m = inst_meta.get(old_files[rel][0]) or {}
+                return all(m.get(k) == v for k, v in layout_sig.items())
+
+            viol_parts = {self._partition_of(r) for r in old_files if not _in_layout(r)}
+            if not viol_parts:
+                return None
+            rewrite = sorted(r for r in old_files if self._partition_of(r) in viol_parts)
+        else:
+            rewrite = sorted(old_files)
+        instant = new_instant()
+        current = self._snapshot_of(old_files, rewrite)
         n = n_files or max(self.spark.sparkContext.defaultParallelism, 8)
         out = (
             current.repartitionByRange(n, *sort_exprs)
@@ -565,11 +673,17 @@ class Table:
                 instant,
                 "replacecommit",
                 rels,
-                sorted(old_files),
-                {**meta, "numOutputFileGroups": len(rels)},
+                rewrite,
+                {
+                    **meta,
+                    "numOutputFileGroups": len(rels),
+                    "numPartitionsRewritten": len(viol_parts) if viol_parts is not None else -1,
+                },
             ),
             since=latest,
-            partitions=None,  # full-table rewrite conflicts with any concurrent commit
+            # scoped conflict set when incremental; a full rewrite conflicts
+            # with any concurrent commit
+            partitions=viol_parts,
         )
         return instant
 
@@ -649,10 +763,16 @@ class Table:
             if f_.name in df.columns:
                 batch_t = df.schema[f_.name].dataType
                 if batch_t != f_.dataType and _promotes(f_.dataType, batch_t):
-                    # batch is strictly wider: promote the declared schema
+                    # batch is strictly wider: promote the declared schema —
+                    # only the TYPE changes; declared nullability (incl.
+                    # non-null record keys) is preserved field by field
                     self.schema = StructType(
                         [
-                            StructField(x.name, batch_t if x.name == f_.name else x.dataType, True)
+                            StructField(
+                                x.name,
+                                batch_t if x.name == f_.name else x.dataType,
+                                x.nullable,
+                            )
                             for x in self.schema.fields
                         ]
                     )
@@ -1356,8 +1476,7 @@ class Table:
                     )
             self.timeline.write(inst)
         finally:
-            os.close(fd)
-            os.unlink(lock)
+            _release_lock(fd, lock)
 
     # ------------------------------------------------------------- services
 
@@ -1757,19 +1876,14 @@ class Table:
         """Remove orphan data files with no timeline entry (a write that died before
         its atomic timeline publish) and stale staging dirs. Readers are already
         immune (manifest-driven); this reclaims space."""
-        import time as _time
-
         known: set[str] = set(self.timeline.checkpoint_files())
         for inst in self.timeline.instants():
             known.update(inst.files_added)
         removed: list[str] = []
         lock = os.path.join(self.base, TIMELINE_DIR, "_lock")
-        try:
-            if os.path.exists(lock) and _time.time() - os.path.getmtime(lock) > self.LOCK_TTL_SECONDS:
-                os.unlink(lock)
-                removed.append(os.path.join(TIMELINE_DIR, "_lock"))
-        except OSError:
-            pass
+        _sweep_broken_locks(lock, self.LOCK_TTL_SECONDS)
+        if _break_stale_lock(lock, self.LOCK_TTL_SECONDS):
+            removed.append(os.path.join(TIMELINE_DIR, "_lock"))
         staging_root = os.path.join(self.base, ".staging")
         if os.path.isdir(staging_root):
             for d in os.listdir(staging_root):
@@ -1826,11 +1940,7 @@ class Table:
                 )
             os.replace(tmp, path)
         finally:
-            os.close(fd)
-            try:
-                os.unlink(lock)
-            except OSError:
-                pass
+            _release_lock(fd, lock)
 
     def _merge_disk_schema(self) -> bool:
         """Union the ON-DISK schema into the in-memory one (fields by name;
@@ -1853,12 +1963,14 @@ class Table:
         for f_ in disk.fields:
             i = names.get(f_.name)
             if i is None:
-                merged.append(StructField(f_.name, f_.dataType, True))
+                # adopted fields keep the nullability the evolving writer gave them
+                merged.append(StructField(f_.name, f_.dataType, f_.nullable))
                 changed = True
             elif f_.dataType != merged[i].dataType and _promotes(
                 merged[i].dataType, f_.dataType
             ):
-                merged[i] = StructField(f_.name, f_.dataType, True)
+                # type widens; OUR declared nullability for the field is kept
+                merged[i] = StructField(f_.name, f_.dataType, merged[i].nullable)
                 changed = True
         if changed:
             self.schema = StructType(merged)
