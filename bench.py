@@ -134,6 +134,12 @@ def main() -> None:
                     tbl = state[0]
                     # prove the O(changes) path engaged: candidate files << live files
                     extras["cdc_pruned_files"] = dict(tbl.last_key_prune or {})
+                elif name == "tbl_cluster_incremental":
+                    # prove the partition-scoped re-cluster engaged:
+                    # rewritten partitions << total partitions
+                    extras["cluster_incremental"] = dict(
+                        getattr(state, "last_cluster_meta", {}) or {}
+                    )
             elif name in spec_fns:
                 t0 = time.perf_counter()
                 spec_fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -187,8 +187,80 @@ FROM reach GROUP BY src ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Canonical-document selection per duplicate cluster
+# ---------------------------------------------------------------------------
+
+
+def dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical selection: collapse each near-dup cluster to its single
+    highest-quality member (argmax quality score, ties → smallest doc_id) —
+    the step every dedup pipeline runs after clustering, since keeping the
+    min-id representative throws away the best-written copy.
+
+    Scale shape: cluster labels and per-doc quality scores join on doc_id
+    (both corpus-keyed — an equi-join shuffle, no broadcast assumption since
+    at 100 TB the cluster table is corpus-sized), then one window per
+    cluster_id; clusters are tiny so the window state is bounded. Emits one
+    row per cluster with the keeper and the drop count."""
+    from hudi_examples_spark.operators.llm_pipeline5 import with_quality_columns
+
+    clusters = dedup_clusters(spark, sf)
+    scores = with_quality_columns(
+        t(spark, sf, "documents").select("doc_id", "text")
+    ).select("doc_id", "q_num")
+    members = clusters.join(scores, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("q_num"), F.asc("doc_id"))
+    ranked = members.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keep_doc_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("q_num"))).alias("best_q_num"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .withColumn("n_dropped", F.col("n_members") - 1)
+        .orderBy("cluster_id")
+    )
+
+
+def _keep_best_oracle() -> str:
+    from hudi_examples_spark.operators.llm_pipeline5 import quality_sql
+
+    return f"""
+WITH RECURSIVE pairs AS (
+  {DEDUP_JACCARD_ORACLE}
+), edges AS (
+  SELECT d1, d2 FROM pairs UNION SELECT d2 AS d1, d1 AS d2 FROM pairs
+), reach AS (
+  SELECT d1 AS src, d2 AS dst FROM edges
+  UNION
+  SELECT r.src, e.d2 FROM reach r JOIN edges e ON e.d1 = r.dst
+), clusters AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+), q AS (
+  SELECT doc_id, q_num FROM ({quality_sql("doc_id")})
+), ranked AS (
+  SELECT c.cluster_id, c.doc_id, q.q_num,
+         row_number() OVER (PARTITION BY c.cluster_id ORDER BY q.q_num DESC, c.doc_id ASC) AS rn
+  FROM clusters c JOIN q USING (doc_id)
+)
+SELECT cluster_id,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
+       max(CASE WHEN rn = 1 THEN q_num END) AS best_q_num,
+       count(*) AS n_members,
+       count(*) - 1 AS n_dropped
+FROM ranked GROUP BY cluster_id ORDER BY cluster_id
+"""
+
+
+DEDUP_KEEP_BEST_ORACLE = _keep_best_oracle()
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("pipe_hash_split", pipe_hash_split, PIPE_HASH_SPLIT_ORACLE, "LLM:split"),
     QuerySpec("pipe_pack_sequences", pipe_pack_sequences, PIPE_PACK_ORACLE, "LLM:packing"),
     QuerySpec("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE, "LLM:dedup-clusters"),
+    QuerySpec("dedup_keep_best", dedup_keep_best, DEDUP_KEEP_BEST_ORACLE, "LLM:dedup-canonical"),
 ]

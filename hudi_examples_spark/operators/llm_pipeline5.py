@@ -287,27 +287,33 @@ def _stopword_sql_list() -> str:
     return "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 
 
-TEXT_QUALITY_ORACLE = f"""
-WITH ws AS (
-  SELECT doc_id, list_filter(str_split(trim(text), ' '), w -> w <> '') AS w
-  FROM documents
-), f AS (
-  SELECT doc_id,
-         len(list_filter(w, x -> list_contains(
-               {_stopword_sql_list()}, lower(x)))) AS nstop,
+def quality_sql(cols: str = "doc_id") -> str:
+    """DuckDB SELECT computing ``n_words`` / ``q_num`` / ``band`` over
+    ``documents``, carrying ``cols`` through — the single SQL definition of
+    the quality score (mirror of ``with_quality_columns``), embedded by every
+    oracle that scores documents (text_quality_score, dedup_keep_best,
+    stream_corpus_ingest). Changing the word split, weights, or band cutoffs
+    here and in ``with_quality_columns`` changes them everywhere at once."""
+    score = f"{QWS_STOP} * nstop + {QWS_LEN} * sumlen + {QWS_WORDS} * n * n + {QWS_BIAS} * n"
+    return f"""
+SELECT {cols},
+       n::BIGINT AS n_words,
+       ({score})::BIGINT AS q_num,
+       CASE WHEN {score} >= 10000 * n THEN 'high'
+            WHEN {score} >= 6000 * n THEN 'mid'
+            ELSE 'low' END AS band
+FROM (
+  SELECT {cols},
+         len(list_filter(w, x -> list_contains({_stopword_sql_list()}, lower(x)))) AS nstop,
          coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS sumlen,
          len(w) AS n
-  FROM ws
+  FROM (SELECT {cols}, list_filter(str_split(trim(text), ' '), w -> w <> '') AS w
+        FROM documents)
 )
-SELECT doc_id,
-       n::BIGINT AS n_words,
-       ({QWS_STOP} * nstop + {QWS_LEN} * sumlen + {QWS_WORDS} * n * n + {QWS_BIAS} * n)::BIGINT AS q_num,
-       CASE WHEN {QWS_STOP} * nstop + {QWS_LEN} * sumlen + {QWS_WORDS} * n * n + {QWS_BIAS} * n >= 10000 * n THEN 'high'
-            WHEN {QWS_STOP} * nstop + {QWS_LEN} * sumlen + {QWS_WORDS} * n * n + {QWS_BIAS} * n >= 6000 * n THEN 'mid'
-            ELSE 'low' END AS band
-FROM f
-ORDER BY doc_id
 """
+
+
+TEXT_QUALITY_ORACLE = quality_sql("doc_id") + "ORDER BY doc_id"
 
 #: shards for the deterministic training order
 N_SHARDS = 8

@@ -361,6 +361,10 @@ def a_sketch_profile(spark: SparkSession, sf: str) -> DataFrame:
             F.col("price_q")[1].alias("p95_approx"),
             "n_orders",
         )
+        # materialize the 5-row profile once: it feeds both the rank check
+        # and the final projection, and the rank booleans must validate the
+        # SAME sketch execution they are joined with
+        .localCheckpoint(eager=True)
     )
     # Rank-check the approx quantiles: fraction of rows <= returned value must
     # sit within eps of the target rank. One extra pass over orders with the

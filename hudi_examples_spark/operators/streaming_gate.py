@@ -1,0 +1,79 @@
+"""Structured Streaming under the driver's hash gate.
+
+``stream_corpus_ingest`` replays the streaming corpus-quality ingestion
+(streaming/corpus.py: ``readStream`` → quality scoring → exactly-once
+``foreachBatch`` upsert sink) end-to-end inside a QuerySpec: the sf documents
+table is chunked into 4 parquet files, streamed in availableNow micro-batches
+(``maxFilesPerTrigger=1``, so the sink publishes 4 idempotent batch-id-stamped
+instants), and the final scored-table snapshot is returned. The DuckDB oracle
+is the equivalent BATCH query over the same documents — the stream-batch
+equivalence promise (SURVEY §2.11: T1 exactly-once checkpointing, T2/T3
+foreachBatch upsert sink, T4-shape file-stream source; parity with the
+reference's DeltaStreamer loop ``DeltaStreamerExample.scala:12-65``) as a
+hash-checked artifact rather than a suite-only assertion.
+
+Scale stance: scoring is per-row codegen work, the sink shuffles
+O(micro-batch) on the upsert key, and file listing is incremental — the same
+plan at 100 TB, just more micro-batches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hudi_examples_spark.operators.llm_pipeline5 import quality_sql
+from hudi_examples_spark.operators.spec import QuerySpec
+from hudi_examples_spark.operators.table_dml import _workdir
+from hudi_examples_spark.sources.readers import load_sf_table as t
+from hudi_examples_spark.streaming.corpus import SCORED_DDL, stream_corpus_quality
+from hudi_examples_spark.table import Table, TableConfig
+
+
+def stream_corpus_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Streamed scored-corpus build, returned as the final table snapshot."""
+    work = _workdir("stream_corpus_ingest", sf)
+    src = os.path.join(work, "src")
+    docs = t(spark, sf, "documents").select("doc_id", "text", "lang", "source", "n_chars")
+    docs.withColumn("chunk", (F.col("doc_id") % 4).cast("int")).write.partitionBy(
+        "chunk"
+    ).parquet(src)
+    tbl = Table.create(
+        spark,
+        os.path.join(work, "tbl"),
+        SCORED_DDL,
+        TableConfig(record_key=["doc_id"], precombine="q_num"),
+    )
+    q = stream_corpus_quality(
+        spark,
+        src + "/chunk=*",
+        tbl,
+        os.path.join(work, "ckpt"),
+        trigger={"availableNow": True},
+        max_files=1,  # one micro-batch per chunk: 4 exactly-once sink commits
+    )
+    if not q.awaitTermination(300):
+        q.stop()  # never return a partial snapshot from a still-running drain
+        raise TimeoutError("availableNow drain did not finish within 300s")
+    n_stream_commits = sum(
+        1
+        for i in tbl.timeline.completed_data_instants()
+        if i.meta.get("sink_name") == "corpus_quality"
+    )
+    if n_stream_commits < 2:
+        raise AssertionError(
+            f"expected multiple micro-batch commits, got {n_stream_commits}"
+        )
+    return tbl.read().select("doc_id", "lang", "n_words", "q_num", "band").orderBy("doc_id")
+
+
+STREAM_CORPUS_ORACLE = quality_sql("doc_id, lang") + "ORDER BY doc_id"
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "stream_corpus_ingest", stream_corpus_ingest, STREAM_CORPUS_ORACLE, "T1,T2,T3 gated"
+    ),
+]

@@ -441,12 +441,21 @@ def batch_delete_keys(spark: SparkSession, batch: int, n_del: int = 10) -> DataF
     )
 
 
-def run_batch_schedule(spark: SparkSession, tbl: Table, compact_every: int | None = None) -> list[int]:
+def run_batch_schedule(
+    spark: SparkSession,
+    tbl: Table,
+    compact_every: int | None = None,
+    rollback_fault_after: int | None = None,
+) -> list[int]:
     """The reference's 5 × (1000 ins + 100 upd + 10 del) schedule with the
     990/1980/2980/3970/4960 checkpoints. Batch 3's deletes re-target batch 1's
     already-deleted keys — the expected counts encode that deletes of absent
     keys are idempotent no-ops (the reference runs batch 3 with numDeletes=0;
-    an absent-key delete is the equivalent observable)."""
+    an absent-key delete is the equivalent observable).
+
+    ``rollback_fault_after=b`` injects the reference's fault step after batch
+    ``b`` (``compatibility_test.sh:155-186``): an extra "failed" batch is
+    written and rolled back; the schedule's counts must be unaffected."""
     counts = []
     for b in range(1, 6):
         batch = batch_insert_df(spark, b - 1)
@@ -456,6 +465,13 @@ def run_batch_schedule(spark: SparkSession, tbl: Table, compact_every: int | Non
         if compact_every and tbl.should_compact(compact_every):
             tbl.compact()
         counts.append(tbl.count())
+        if rollback_fault_after == b:
+            tbl.upsert(batch_insert_df(spark, 90))  # the "failed" extra batch
+            tbl.rollback()
+            if tbl.count() != counts[-1]:
+                raise AssertionError(
+                    f"rollback did not restore count: {tbl.count()} != {counts[-1]}"
+                )
     return counts
 
 
@@ -476,24 +492,7 @@ def tbl_batch_schedule(spark: SparkSession, sf: str) -> DataFrame:
         BATCH_SCHEMA,
         TableConfig(record_key=["uuid"], precombine="ts", partition_by=["part"], table_type="mor"),
     )
-    counts = []
-    for b in range(1, 6):
-        batch = batch_insert_df(spark, b - 1)
-        tbl.insert(batch) if b == 1 else tbl.upsert(batch)
-        tbl.upsert(batch_update_df(spark, b))
-        tbl.delete(batch_delete_keys(spark, 1 if b == 3 else b))
-        if tbl.should_compact(4):
-            tbl.compact()
-        counts.append(tbl.count())
-        if b == 3:
-            # Fault injection: a "failed" extra batch, rolled back
-            # (compatibility_test.sh:155-186 deletes the latest commit file).
-            tbl.upsert(batch_insert_df(spark, 90))
-            tbl.rollback()
-            if tbl.count() != counts[-1]:
-                raise AssertionError(
-                    f"rollback did not restore count: {tbl.count()} != {counts[-1]}"
-                )
+    counts = run_batch_schedule(spark, tbl, compact_every=4, rollback_fault_after=3)
     if counts != BATCH_EXPECTED:
         raise AssertionError(f"checkpoint counts {counts} != {BATCH_EXPECTED}")
     return tbl.read().select("uuid", "ts", "fare", "part").orderBy("uuid")
@@ -614,9 +613,48 @@ def bench_phases():
         tbl, t0 = st
         return tbl.table_changes_cdc(start=t0).select("key", "op", "commit_time")
 
+    def cluster_inc_build(spark, sf):
+        """Fixture for incremental clustering: a sort-clustered partitioned
+        table where one upsert churns a single partition — the re-cluster op
+        must rewrite only that partition (file-count evidence lands in the
+        bench extras as ``cluster_incremental``)."""
+        base = os.path.join(_workdir("bench_cluster_inc", sf), "tbl")
+        tbl = Table.create(
+            spark,
+            base,
+            CUST_SCHEMA,
+            TableConfig(record_key=["c_custkey"], precombine="v", partition_by=["seg"]),
+        )
+        tbl.insert(_cust_df(spark, sf))
+        tbl.cluster_sort(["c_custkey"], n_files=8)
+        churn = (
+            _cust_df(spark, sf)
+            .filter(F.col("seg") == "BUILDING")
+            .limit(200)
+            .withColumn("acctbal", F.col("acctbal") + 1.0)
+            .withColumn("v", F.lit(2))
+        )
+        tbl.upsert(churn)
+        return tbl
+
+    def cluster_inc_op(spark, sf, tbl):
+        inst = tbl.cluster_sort(["c_custkey"], n_files=8)
+        meta = next(
+            i.meta for i in tbl.timeline.completed_data_instants() if i.instant == inst
+        )
+        n_parts = len({tbl._partition_of(r) for r in tbl.timeline.live_files()[0]})
+        tbl.last_cluster_meta = {
+            "partitions_total": n_parts,
+            "partitions_rewritten": meta.get("numPartitionsRewritten"),
+        }
+        return spark.createDataFrame(
+            [(inst, meta.get("numPartitionsRewritten"))], "instant STRING, parts_rewritten INT"
+        )
+
     return {
         "tbl_upsert_cow": (upsert_build("tbl_upsert_cow", "cow"), upsert_op),
         "tbl_upsert_mor": (upsert_build("tbl_upsert_mor", "mor"), upsert_op),
         "tbl_cdc_query": (cdc_build, cdc_op),
         "tbl_cdc_query_pruned": (_cdc_pruned_build, cdc_pruned_op),
+        "tbl_cluster_incremental": (cluster_inc_build, cluster_inc_op),
     }

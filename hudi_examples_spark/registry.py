@@ -17,6 +17,7 @@ def all_specs() -> list[QuerySpec]:
         relational_ext,
         relational_tpch3,
         scale_ops,
+        streaming_gate,
     )
 
     # Order matters: the driver's correctness gate samples a prefix of this
@@ -36,6 +37,7 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(llm_pipeline4.SPECS)
     specs.extend(llm_pipeline5.SPECS)
     specs.extend(scale_ops.SPECS)
+    specs.extend(streaming_gate.SPECS)
     specs.extend(multimodal.SPECS)
     specs.extend(relational.SPECS)
     specs.extend(relational_ext.SPECS)
@@ -47,9 +49,10 @@ def all_specs() -> list[QuerySpec]:
     # (fn_array_battery stringified its array column; a_sketch_profile gained a
     # within-bounds oracle), the new reference-schedule spec
     # (tbl_batch_schedule), all 42 queries whose latest green driver row dates
-    # from round 1 (oldest evidence), and 5 round-2-evidence LLM-ops — exactly
-    # 50. The 12 tbl_* lifecycle specs and the r3-green LLM battery rotate out
-    # (fresh r3 evidence, age ≤2 at r5 when they rotate back in).
+    # from round 1 (oldest evidence), 3 round-2-evidence LLM-ops, and the two
+    # r4 debut ops (stream_corpus_ingest, dedup_keep_best) — exactly 50. The
+    # 12 tbl_* lifecycle specs and the r3-green LLM battery rotate out (fresh
+    # r3 evidence, age ≤2 at r5 when they rotate back in).
     r4_prefix = [
         # new + fixed
         "tbl_batch_schedule",
@@ -100,11 +103,13 @@ def all_specs() -> list[QuerySpec]:
         "a_pivot_event_types",
         "a_percentile_values",
         # r2-evidence LLM/scale ops refreshed a round early
-        "pipe_stratified_sample",
         "pipe_dataset_mixture",
         "text_tfidf_topterms",
-        "pipe_doc_chunks",
         "mm_frame_sample",
+        # new r4 ops: streaming ingestion under the hash gate + cluster
+        # canonical selection — certify under the driver in their debut round
+        "stream_corpus_ingest",
+        "dedup_keep_best",
     ]
     assert len(r4_prefix) == 50 and len(set(r4_prefix)) == 50, "prefix must be 50 unique names"
     by_name = {s.name: s for s in specs}

@@ -193,11 +193,15 @@ class Engine:
     def _call(self, s: str) -> DataFrame | None:
         """Hudi Spark-SQL procedures (the SQL face of the table services):
         CALL run_compaction('t') | run_clustering('t'[, buckets]) |
+        run_clustering_sort('t', 'c1'[, 'c2', ...]) |
+        run_clustering_zorder('t', 'c1', 'c2'[, ...]) |
         run_clean('t'[, retain]) | rollback_to_instant('t'[, instant]) |
         create_savepoint('t') | restore_to_savepoint('t', instant) |
         show_commits('t') | show_savepoints('t') |
         run_archival('t'[, retain]) | split_bucket('t', lower) |
-        convert_to_ranges('t', buckets)."""
+        convert_to_ranges('t', buckets). The sort/zorder forms are
+        incremental: already-in-layout partitions are skipped (see
+        ``Table._cluster_rewrite``)."""
         m = re.match(r"CALL\s+(\w+)\s*\(\s*'(\w+)'\s*(?:,\s*([^)]+))?\)\s*$", s, re.I)
         if not m:
             raise ValueError(f"cannot parse CALL: {s[:120]}")
@@ -208,6 +212,15 @@ class Engine:
             return None
         if proc == "run_clustering":
             tbl.cluster(int(arg)) if arg else tbl.cluster(tbl.config.n_buckets or 4)
+            return None
+        if proc in ("run_clustering_sort", "run_clustering_zorder"):
+            cols = [c.strip().strip("'") for c in (arg or "").split(",") if c.strip()]
+            if not cols:
+                raise ValueError(f"{proc} requires a column list")
+            if proc == "run_clustering_sort":
+                tbl.cluster_sort(cols)
+            else:
+                tbl.cluster_zorder(cols)
             return None
         if proc == "run_clean":
             tbl.clean(retain_commits=int(arg) if arg else 10)

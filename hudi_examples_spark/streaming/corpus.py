@@ -48,13 +48,16 @@ def stream_corpus_quality(
     table: Table,
     checkpoint_dir: str,
     trigger: dict | None = None,
+    max_files: int | None = None,
 ):
     """Start the scored-corpus ingestion; returns the StreamingQuery.
 
     ``trigger={"availableNow": True}`` drains the current directory contents
     and stops — the batch-rebuild-equivalent mode used in tests.
+    ``max_files`` forces micro-batch sizing (maxFilesPerTrigger) so a drain
+    exercises multiple exactly-once sink commits instead of one.
     """
-    scored = scored_docs_stream(spark, docs_dir)
+    scored = scored_docs_stream(spark, docs_dir, max_files=max_files)
     return stream_upsert_sink(
         scored,
         table,

@@ -115,14 +115,20 @@ def _break_stale_lock(path: str, ttl_seconds: float) -> bool:
     except OSError:
         return False
     if displaced_fresh:
+        restored = True
         try:
             os.link(broken, path)  # atomic restore of the live lock
         except OSError:
-            pass
-        try:
-            os.unlink(broken)
-        except OSError:
-            pass
+            # a third party re-created the path inside the window: restore
+            # lost. Keep the broken file (the TTL sweeper reclaims it) — the
+            # displaced holder's publish-time inode re-check will abort it,
+            # so the two holders can never both commit.
+            restored = False
+        if restored:
+            try:
+                os.unlink(broken)
+            except OSError:
+                pass
         return False
     try:
         os.unlink(broken)
@@ -581,7 +587,7 @@ class Table:
         df = self._snapshot_of(files, rels).drop(*META_COLS)
         return df.filter(conds) if conds is not None else df
 
-    def cluster_sort(self, cols: list[str], n_files: int | None = None) -> str:
+    def cluster_sort(self, cols: list[str], n_files: int | None = None) -> str | None:
         """Sort-based clustering (Hudi clustering sort strategy): rewrite live
         files range-partitioned + sorted on ``cols`` so their min/max ranges
         become disjoint and ``scan`` pruning turns selective predicates into
@@ -590,7 +596,7 @@ class Table:
             [F.col(c) for c in cols], n_files, {"operation": "cluster_sort", "sort_cols": cols}
         )
 
-    def cluster_zorder(self, cols: list[str], n_files: int | None = None, bits: int = 8) -> str:
+    def cluster_zorder(self, cols: list[str], n_files: int | None = None, bits: int = 8) -> str | None:
         """Z-order clustering: interleave the bit representations of uniformly
         quantized columns into one morton key, then range-layout on it — files
         get locality in EVERY listed dimension, so ``scan`` prunes on any of
@@ -794,12 +800,14 @@ class Table:
             df = df.withColumns(casts)
         return df.select(*self.data_cols)
 
-    def add_columns(self, ddl: str) -> None:
+    def add_columns(self, ddl) -> None:
         """Schema evolution: ALTER TABLE ADD COLUMNS. New columns are nullable;
         files written before the evolution read as null for them (merged-schema
         scan), newer writes carry them. Snapshots always present the CURRENT
-        schema, including time-travel reads (Hudi's behavior)."""
-        new = StructType.fromDDL(ddl)
+        schema, including time-travel reads (Hudi's behavior). Accepts a DDL
+        string or a StructType (DDL parsing needs an active SparkContext;
+        Spark-less admin handles pass the StructType)."""
+        new = ddl if isinstance(ddl, StructType) else StructType.fromDDL(ddl)
         for f_ in new.fields:
             if f_.name in self.schema.names:
                 raise ValueError(f"column {f_.name} already exists")
@@ -1474,6 +1482,19 @@ class Table:
                     raise ConcurrentWriteConflict(
                         f"instant {other.instant} touched partitions {partitions & their_parts}"
                     )
+            # Displacement re-check, closing the residual three-way stale-break
+            # race (_break_stale_lock docstring): if a breaker misjudged THIS
+            # lock as stale and renamed it away (whether or not a new holder
+            # re-created the path), our inode no longer matches — abort
+            # instead of publishing alongside the new holder.
+            try:
+                displaced = os.fstat(fd).st_ino != os.stat(lock).st_ino
+            except OSError:
+                displaced = True
+            if displaced:
+                raise ConcurrentWriteConflict(
+                    "lock displaced by a stale-lock breaker during publish; retry"
+                )
             self.timeline.write(inst)
         finally:
             _release_lock(fd, lock)

@@ -75,3 +75,27 @@ def test_dedup_clusters_are_transitive_with_min_representative(spark):
             parent[max(ra, rb)] = min(ra, rb)
     for doc, c in labels.items():
         assert find(doc) == c, doc
+
+
+def test_dedup_keep_best_selects_argmax_quality_member(spark):
+    from hudi_examples_spark.operators.llm_pipeline3 import dedup_keep_best
+    from hudi_examples_spark.operators.llm_pipeline5 import with_quality_columns
+
+    clusters = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(spark, SF_SMALL).collect()}
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select("doc_id", "text")
+    q = {r["doc_id"]: r["q_num"] for r in with_quality_columns(docs).select("doc_id", "q_num").collect()}
+    out = dedup_keep_best(spark, SF_SMALL).collect()
+
+    members: dict[int, list[int]] = {}
+    for doc, c in clusters.items():
+        members.setdefault(c, []).append(doc)
+    assert {r["cluster_id"] for r in out} == set(members)
+    for r in out:
+        docs_in = members[r["cluster_id"]]
+        assert r["n_members"] == len(docs_in)
+        assert r["n_dropped"] == len(docs_in) - 1
+        assert r["keep_doc_id"] in docs_in
+        best = max(q[d] for d in docs_in)
+        assert r["best_q_num"] == best
+        # argmax with min-doc_id tiebreak
+        assert r["keep_doc_id"] == min(d for d in docs_in if q[d] == best)

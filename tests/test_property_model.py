@@ -185,9 +185,10 @@ def apply_ops(spark, tbl: Table, model: Model, ops: list[Op]):
                 ckpt()
         elif op.kind == "cluster_sort":
             if tbl.latest_instant() is not None and not tbl.config.bucket_ranges:
-                tbl.cluster_sort(["ts", "uuid"], n_files=4)
-                model._snapshot()  # view-preserving rewrite, like compaction
-                ckpt()
+                inst = tbl.cluster_sort(["ts", "uuid"], n_files=4)
+                if inst is not None:  # fully in layout → no-op, no commit
+                    model._snapshot()  # view-preserving rewrite, like compaction
+                    ckpt()
         elif op.kind == "savepoint":
             if tbl.latest_instant() is not None:
                 sp = tbl.savepoint()

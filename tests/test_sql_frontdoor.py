@@ -280,3 +280,33 @@ def test_call_service_procedures_round2(engine):
     engine.sql("CALL run_archival('svc', 3)")
     assert len(tbl.timeline.instants()) < n_before
     assert engine.sql("SELECT count(*) AS n FROM svc").collect()[0]["n"] == 6
+
+
+def test_call_clustering_sort_procedures(engine):
+    """run_clustering_sort / run_clustering_zorder via SQL: view-preserving
+    layout rewrites; a second identical call is the incremental no-op path."""
+    engine.sql(QUICKSTART_DDL, params={"type": "cow"})
+    engine.sql(QUICKSTART_INSERTS)
+    before = {
+        (r["rider"], r["fare"])
+        for r in engine.sql("SELECT rider, fare FROM hudi_table").collect()
+    }
+    engine.sql("CALL run_clustering_sort('hudi_table', 'fare')")
+    commits = engine.sql("CALL show_commits('hudi_table')").collect()
+    assert any(c["operation"] == "cluster_sort" for c in commits)
+    after = {
+        (r["rider"], r["fare"])
+        for r in engine.sql("SELECT rider, fare FROM hudi_table").collect()
+    }
+    assert after == before
+    # fully in layout: incremental path publishes nothing
+    n_commits = len(commits)
+    engine.sql("CALL run_clustering_sort('hudi_table', 'fare')")
+    assert engine.sql("CALL show_commits('hudi_table')").count() == n_commits
+    # zorder over two columns also preserves the view
+    engine.sql("CALL run_clustering_zorder('hudi_table', 'fare', 'ts')")
+    final = {
+        (r["rider"], r["fare"])
+        for r in engine.sql("SELECT rider, fare FROM hudi_table").collect()
+    }
+    assert final == before
