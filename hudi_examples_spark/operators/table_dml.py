@@ -498,6 +498,27 @@ def tbl_batch_schedule(spark: SparkSession, sf: str) -> DataFrame:
     return tbl.read().select("uuid", "ts", "fare", "part").orderBy("uuid")
 
 
+def tbl_savepoint_restore(spark: SparkSession, sf: str) -> DataFrame:
+    """M16/M17 savepoint + restore under the driver gate: insert → savepoint →
+    two mutating commits (upsert + delete) → restore to the savepoint. The
+    final snapshot must be bit-identical to the initial insert — every
+    post-savepoint commit rolled back newest-first, their files removed, and
+    the savepointed state fully reconstructible (the guarantee clean() pins
+    files for). Oracle: the plain initial-state SQL."""
+    tbl = _lifecycle_table(spark, sf, "tbl_savepoint_restore", "cow")
+    sp = tbl.savepoint()
+    tbl.upsert(_upsert_batch(spark, sf))
+    tbl.delete_where("c_custkey % 5 = 0")
+    tbl.restore_to_savepoint(sp)
+    return _final_snapshot(tbl)
+
+
+TBL_SAVEPOINT_ORACLE = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal, c_mktsegment AS seg, 1 AS v
+FROM customer
+"""
+
+
 #: Final schedule state, reconstructed generatively: ids 0..4999 inserted;
 #: ids with id%1000<100 updated to fare=999/ts=id+2e9; the four real delete
 #: batches remove id%1000>=990 for batches 1,2,4,5 (batch 3's re-targeted
@@ -527,6 +548,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("tbl_rollup_incremental", tbl_rollup_incremental, TBL_ROLLUP_ORACLE, "incremental rollup (CDC IVM)"),
     QuerySpec("tbl_join_view_incremental", tbl_join_view_incremental, TBL_JOIN_VIEW_ORACLE, "incremental join view (CDC IVM)"),
     QuerySpec("tbl_batch_schedule", tbl_batch_schedule, TBL_BATCH_SCHEDULE_ORACLE, "reference compat schedule: M2,M7,M9,M14,M17"),
+    QuerySpec("tbl_savepoint_restore", tbl_savepoint_restore, TBL_SAVEPOINT_ORACLE, "M16/M17 savepoint+restore"),
 ]
 
 

@@ -163,10 +163,28 @@ class Engine:
             m = re.match(
                 r"ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS?\s*\((.*)\)\s*$", s, re.I | re.S
             )
-            if not m:
-                raise ValueError(f"only ALTER TABLE t ADD COLUMNS (...) is supported: {s[:120]}")
-            self.table(m.group(1)).add_columns(m.group(2))
-            return None
+            if m:
+                self.table(m.group(1)).add_columns(m.group(2))
+                return None
+            m = re.match(
+                r"ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMNS?\s*\(?\s*([\w\s,]+?)\s*\)?\s*$",
+                s,
+                re.I,
+            )
+            if m:
+                cols = [c.strip() for c in m.group(2).split(",") if c.strip()]
+                self.table(m.group(1)).drop_columns(cols)
+                return None
+            m = re.match(
+                r"ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$", s, re.I
+            )
+            if m:
+                self.table(m.group(1)).rename_column(m.group(2), m.group(3))
+                return None
+            raise ValueError(
+                "only ALTER TABLE t ADD COLUMNS (...) | DROP COLUMN(S) c[, ...] | "
+                f"RENAME COLUMN a TO b are supported: {s[:120]}"
+            )
         if verb == "DROP":
             m = re.match(r"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)", s, re.I)
             if m:

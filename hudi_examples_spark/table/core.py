@@ -263,6 +263,14 @@ class TableConfig:
     #: every other bucket's id — and files — untouched. Takes precedence over
     #: the modulo routing of ``n_buckets`` when set.
     bucket_ranges: list[int] | None = None
+    #: rename log, ordered [from, to] pairs (chains preserved: a→b then b→c
+    #: stays two entries). Reads coalesce a renamed column with every
+    #: historical name so files written before the rename keep their data;
+    #: ``_merge_disk_schema`` replays the log so stale handles adopt renames.
+    renames: list = field(default_factory=list)
+    #: tombstones for dropped columns: the by-name schema union would
+    #: otherwise resurrect a dropped column from an older handle's props
+    dropped_cols: list = field(default_factory=list)
 
     def __post_init__(self):
         if self.table_type not in ("cow", "mor"):
@@ -711,16 +719,37 @@ class Table:
         # (a job + every footer) are both unnecessary — files written before a
         # schema evolution null-fill their missing columns by name, which is
         # exactly the merged-read semantics at zero planning cost
+        # rename mapping: files written before a rename hold the data under a
+        # historical physical name — read those names too (nullable, at the
+        # current declared type: the widened-read path) and coalesce by chain
+        # (each file carries exactly one name of a chain, so coalesce is a
+        # disjoint union, not a precedence choice)
+        hist_map: dict[str, list[str]] = {}
+        hist_fields: list[StructField] = []
+        if self.config.renames:
+            for f_ in self.schema.fields:
+                hs = [h for h in self._historical_names(f_.name) if h not in self.schema.names]
+                if hs:
+                    hist_map[f_.name] = hs
+                    hist_fields += [StructField(h, f_.dataType, True) for h in hs]
         read_schema = StructType(
             list(_meta_struct().fields)
             + ([StructField(META_DELETED, BooleanType())] if with_deleted else [])
             + list(self.schema.fields)
+            + hist_fields
         )
         df = (
             self.spark.read.schema(read_schema)
             .option("basePath", self.base)
             .parquet(*paths)
         )
+        if hist_map:
+            df = df.withColumns(
+                {
+                    logical: F.coalesce(F.col(logical), *[F.col(h) for h in hs])
+                    for logical, hs in hist_map.items()
+                }
+            )
         if with_deleted and META_DELETED not in df.columns:
             df = df.withColumn(META_DELETED, F.lit(False))
         if with_deleted:
@@ -761,7 +790,20 @@ class Table:
         an INT column — the normal shape of the reference's JSON-inferred
         writes, ``TestAutomationUtils.scala:31``) would be written as INT64
         and poison every later declared-schema read. Returns data_cols order."""
-        extra = [c for c in df.columns if c not in self.schema.names]
+        if self.config.renames:
+            # a batch addressing a column by a historical (pre-rename) name
+            # writes the CURRENT column — the write-side mirror of the read
+            # chain coalesce; without this a stale writer would fork the
+            # renamed column back into existence under its old name
+            for f_ in self.schema.fields:
+                for h in self._historical_names(f_.name):
+                    if h in df.columns and f_.name not in df.columns:
+                        df = df.withColumnRenamed(h, f_.name)
+        extra = [
+            c
+            for c in df.columns
+            if c not in self.schema.names and c not in self.config.dropped_cols
+        ]  # dropped names are tombstoned: auto-evolution must not resurrect them
         widened = bool(extra)
         for c in extra:
             self.schema = self.schema.add(c, df.schema[c].dataType, True)
@@ -811,10 +853,82 @@ class Table:
         for f_ in new.fields:
             if f_.name in self.schema.names:
                 raise ValueError(f"column {f_.name} already exists")
+            if f_.name in self.config.dropped_cols:
+                # name-based columns: re-adding a dropped name would resurrect
+                # the old bytes still sitting in pre-drop files (Hudi's
+                # parquet name-based mode restricts this the same way)
+                raise ValueError(
+                    f"column {f_.name} was dropped; pick a new name (old files still "
+                    "hold its bytes under this name)"
+                )
         for f_ in new.fields:
             self.schema = self.schema.add(f_.name, f_.dataType, True)
         self.config.schema_version += 1
         self._save_props()
+
+    def _protected_cols(self) -> set[str]:
+        out = set(self.config.record_key) | set(self.config.partition_by)
+        if self.config.precombine:
+            out.add(self.config.precombine)
+        return out
+
+    def drop_columns(self, cols: list[str]) -> None:
+        """Schema evolution: ALTER TABLE DROP COLUMN(S) — metadata-only (Hudi
+        drop semantics): the column leaves the declared read schema and the
+        bytes in existing files are simply never read again; no rewrite.
+        Record-key / precombine / partition columns are protected. A
+        tombstone in the config stops the concurrent-evolution schema union
+        from resurrecting the column out of an older handle's props."""
+        cols = list(cols)
+        protected = self._protected_cols()
+        for c in cols:
+            if c not in self.schema.names:
+                raise ValueError(f"column {c} does not exist")
+            if c in protected:
+                raise ValueError(f"column {c} is a key/precombine/partition column")
+        drop = set(cols)
+        self.schema = StructType([f for f in self.schema.fields if f.name not in drop])
+        self.config.stats_cols = [c for c in self.config.stats_cols if c not in drop]
+        self.config.renames = [r for r in self.config.renames if r[1] not in drop]
+        self.config.dropped_cols = sorted(set(self.config.dropped_cols) | drop)
+        self.config.schema_version += 1
+        self._save_props()
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Schema evolution: ALTER TABLE RENAME COLUMN — metadata-only. Files
+        written before the rename keep the data under the old physical name;
+        reads coalesce the current name with every historical name in the
+        rename chain (each file carries exactly one of them), so no rewrite
+        happens and no data disappears. Key/precombine/partition columns are
+        protected (their names are baked into config, keys, and layouts —
+        Hudi restricts these the same way)."""
+        if old not in self.schema.names:
+            raise ValueError(f"column {old} does not exist")
+        if new in self.schema.names:
+            raise ValueError(f"column {new} already exists")
+        if old in self._protected_cols():
+            raise ValueError(f"column {old} is a key/precombine/partition column")
+        self.schema = StructType(
+            [
+                StructField(new, f.dataType, f.nullable) if f.name == old else f
+                for f in self.schema.fields
+            ]
+        )
+        self.config.stats_cols = [new if c == old else c for c in self.config.stats_cols]
+        self.config.renames = list(self.config.renames) + [[old, new]]
+        self.config.schema_version += 1
+        self._save_props()
+
+    def _historical_names(self, logical: str) -> list[str]:
+        """Every prior physical name of ``logical``, newest first, by walking
+        the rename log backwards (chains supported: a→b→c gives [b, a])."""
+        out: list[str] = []
+        cur = logical
+        for frm, to in reversed(self.config.renames):
+            if to == cur:
+                out.append(frm)
+                cur = frm
+        return out
 
     def _latest_wins(self, df: DataFrame) -> DataFrame:
         """Resolve multiple versions of a key: max precombine, then newest commit.
@@ -1963,6 +2077,24 @@ class Table:
         finally:
             _release_lock(fd, lock)
 
+    @staticmethod
+    def _apply_renames(schema: StructType, log: list) -> tuple[StructType, bool]:
+        """Replay a rename log over ``schema``: each [from, to] renames the
+        field when ``from`` is present and ``to`` absent (if both exist —
+        e.g. ``from`` was re-added as a fresh column — the rename is a no-op
+        for this schema)."""
+        fields = list(schema.fields)
+        changed = False
+        for frm, to in log:
+            names = {f_.name for f_ in fields}
+            if frm in names and to not in names:
+                fields = [
+                    StructField(to, f_.dataType, f_.nullable) if f_.name == frm else f_
+                    for f_ in fields
+                ]
+                changed = True
+        return StructType(fields), changed
+
     def _merge_disk_schema(self) -> bool:
         """Union the ON-DISK schema into the in-memory one (fields by name;
         when both hold a field at different types the safely-wider one wins —
@@ -1972,15 +2104,28 @@ class Table:
         concurrent writer's evolution before it rewrites files — without
         this, a handle opened before another writer added a column would
         rewrite touched files through its old column list and silently erase
-        that column's data."""
+        that column's data.
+
+        Rename/drop aware: the merged rename log (disk's, then local entries
+        disk hasn't seen) is replayed over BOTH schemas before the union, so
+        a stale handle adopts concurrent renames instead of duplicating the
+        column under its old name; dropped-column tombstones from either side
+        are removed after the union so a drop is never resurrected by an
+        older handle's copy of the field."""
         try:
             with open(os.path.join(self.base, PROPS_FILE)) as f:
-                disk = StructType.fromJson(json.load(f)["schema"])
+                d = json.load(f)
+            disk = StructType.fromJson(d["schema"])
+            disk_cfg = d.get("config", {})
         except (OSError, KeyError, ValueError):
             return False
-        merged = list(self.schema.fields)
+        disk_renames = [list(r) for r in disk_cfg.get("renames", [])]
+        log = disk_renames + [r for r in self.config.renames if list(r) not in disk_renames]
+        dropped = set(disk_cfg.get("dropped_cols", [])) | set(self.config.dropped_cols)
+        mine, changed = self._apply_renames(self.schema, log)
+        disk, _ = self._apply_renames(disk, log)
+        merged = list(mine.fields)
         names = {f_.name: i for i, f_ in enumerate(merged)}
-        changed = False
         for f_ in disk.fields:
             i = names.get(f_.name)
             if i is None:
@@ -1993,8 +2138,13 @@ class Table:
                 # type widens; OUR declared nullability for the field is kept
                 merged[i] = StructField(f_.name, f_.dataType, merged[i].nullable)
                 changed = True
+        if dropped and any(f_.name in dropped for f_ in merged):
+            merged = [f_ for f_ in merged if f_.name not in dropped]
+            changed = True
         if changed:
             self.schema = StructType(merged)
+        self.config.renames = log
+        self.config.dropped_cols = sorted(dropped)
         return changed
 
 

@@ -132,3 +132,88 @@ def test_stale_handle_write_preserves_concurrent_evolution_data(spark, tmp_path)
     rows = {r["k"]: r for r in Table(spark, base).read().collect()}
     assert rows["a"]["x"] == 7.5, "concurrent evolution's data survives the stale rewrite"
     assert rows["b"]["ts"] == 3 and rows["b"]["x"] is None
+
+
+# ---------------------------------------------------------------- drop/rename
+
+
+def test_drop_column_metadata_only(spark, tbl):
+    tbl.drop_columns(["fare"])
+    assert "fare" not in tbl.schema.names
+    rows = {r["uuid"]: r.asDict() for r in tbl.read().collect()}
+    assert set(rows) == {"a", "b"} and "fare" not in rows["a"]
+    # later writes simply don't carry the column
+    tbl.upsert(spark.createDataFrame([(3, "c")], "ts BIGINT, uuid STRING"))
+    assert tbl.count() == 3
+
+
+def test_drop_column_not_resurrected(spark, tbl):
+    tbl.drop_columns(["fare"])
+    # explicit re-add of the dropped name is rejected (old bytes would leak back)
+    with pytest.raises(ValueError, match="dropped"):
+        tbl.add_columns("fare DOUBLE")
+    # auto-evolution must not resurrect it either: a batch carrying the old
+    # name writes every OTHER column, silently shedding the tombstoned one
+    tbl.upsert(
+        spark.createDataFrame([(3, "c", 99.0)], "ts BIGINT, uuid STRING, fare DOUBLE")
+    )
+    assert "fare" not in tbl.schema.names
+    assert "fare" not in tbl.read().columns
+    # a stale handle re-opening also sees the drop
+    again = Table(spark, tbl.base)
+    assert "fare" not in again.schema.names
+
+
+def test_drop_protected_column_rejected(tbl):
+    with pytest.raises(ValueError, match="key/precombine/partition"):
+        tbl.drop_columns(["uuid"])
+    with pytest.raises(ValueError, match="key/precombine/partition"):
+        tbl.drop_columns(["ts"])
+
+
+def test_rename_column_preserves_old_files(spark, tbl):
+    tbl.rename_column("fare", "amount")
+    got = {r["uuid"]: r["amount"] for r in tbl.read().collect()}
+    assert got == {"a": 10.0, "b": 20.0}  # pre-rename files read via the chain
+    # new writes use the new name; both generations coalesce in one read
+    tbl.upsert(spark.createDataFrame([(3, "c", 30.0)], "ts BIGINT, uuid STRING, amount DOUBLE"))
+    got = {r["uuid"]: r["amount"] for r in tbl.read().collect()}
+    assert got == {"a": 10.0, "b": 20.0, "c": 30.0}
+    # chained rename keeps walking the history
+    tbl.rename_column("amount", "total")
+    got = {r["uuid"]: r["total"] for r in tbl.read().collect()}
+    assert got == {"a": 10.0, "b": 20.0, "c": 30.0}
+    assert "fare" not in tbl.read().columns and "amount" not in tbl.read().columns
+
+
+def test_rename_rejected_cases(tbl):
+    with pytest.raises(ValueError, match="does not exist"):
+        tbl.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        tbl.rename_column("fare", "ts")
+    with pytest.raises(ValueError, match="key/precombine/partition"):
+        tbl.rename_column("uuid", "uuid2")
+
+
+def test_stale_handle_adopts_concurrent_rename(spark, tbl):
+    stale = Table(spark, tbl.base)  # opened before the rename
+    tbl.rename_column("fare", "amount")
+    # the stale handle's next write adopts the rename instead of duplicating
+    # the column under its old name
+    stale.upsert(spark.createDataFrame([(5, "a", 11.0)], "ts BIGINT, uuid STRING, fare DOUBLE"))
+    assert "amount" in stale.schema.names and "fare" not in stale.schema.names
+    got = {r["uuid"]: r["amount"] for r in Table(spark, tbl.base).read().collect()}
+    assert got == {"a": 11.0, "b": 20.0}
+
+
+def test_rename_and_drop_sql_frontdoor(spark, tmp_path):
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql(
+        "CREATE TABLE t (ts BIGINT, uuid STRING, fare DOUBLE, note STRING) USING hudi "
+        "TBLPROPERTIES (primaryKey = 'uuid', preCombineField = 'ts')"
+    )
+    eng.sql("INSERT INTO t VALUES (1, 'a', 10.0, 'hi')")
+    eng.sql("ALTER TABLE t RENAME COLUMN fare TO amount")
+    assert {r["amount"] for r in eng.sql("SELECT amount FROM t").collect()} == {10.0}
+    eng.sql("ALTER TABLE t DROP COLUMN note")
+    assert "note" not in eng.sql("SELECT * FROM t").columns
