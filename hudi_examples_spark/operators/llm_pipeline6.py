@@ -1,0 +1,174 @@
+"""Sixth LLM-pipeline battery: unigram-LM quality scoring and curriculum
+ordering — the two corpus-preparation steps between "scored corpus" and
+"training order".
+
+- ``text_unigram_lm_score`` — CCNet-shape model-based filtering: score each
+  document by how typical its tokens are of the corpus (documents full of
+  common words score high, gibberish/rare-token documents score low). The
+  canonical form averages unigram log-probabilities (perplexity filtering);
+  this implementation keeps the exact-integer analogue — per-token corpus
+  frequency plus add-one smoothing — so the driver gate hashes exact BIGINTs
+  instead of boundary-roundable logs. Same ranking direction, same pipeline
+  role.
+- ``pipe_curriculum_order`` — quality-curriculum training order: all ``high``
+  band documents first, then ``mid``, then ``low``, seeded-shuffled within
+  each band (md5 hash order, no RNG) — deterministic, resumable, and
+  expressible in any engine.
+
+Scale notes per-op; nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hudi_examples_spark.functions.text import words
+from hudi_examples_spark.operators.llm_pipeline5 import (
+    _docs,
+    quality_sql,
+    with_quality_columns,
+)
+from hudi_examples_spark.operators.spec import QuerySpec
+
+#: vocabulary cap: at corpus scale the frequency table must stay broadcastable,
+#: so only the TOP_V most frequent tokens carry their own count (deterministic
+#: cut: count desc, token asc); everything else is OOV with add-one smoothing.
+#: At test scale the vocabulary is far below the cap, so the cut never bites.
+TOP_V = 65536
+
+CURRICULUM_SEED = "cur42"
+
+
+def text_unigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram corpus-frequency score per document.
+
+    Shape: one token-count aggregation (map-side combined shuffle on the
+    token), the TOP_V vocabulary broadcast back onto the token stream (no
+    second fact shuffle), then a per-doc aggregation — at 100 TB the
+    frequency table is the only global state and it is capped and broadcast,
+    exactly how distributed LM-filtering pipelines ship their unigram tables.
+    Output is exact integer math: ``score_num = Σ (count(w) + 1)`` over the
+    doc's tokens (OOV → 1) and ``avg_freq_milli = (1000·score_num) DIV
+    n_tokens``. Documents with no tokens are excluded on both sides."""
+    d = _docs(spark, sf).select("doc_id", words("text").alias("__ws"))
+    toks = d.select("doc_id", F.explode("__ws").alias("w"))
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(TOP_V)
+    )
+    scored = toks.join(F.broadcast(vocab), "w", "left")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("c"), F.lit(0)) + 1).alias("score_num"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("score_num").cast("long").alias("score_num"),
+            F.expr("(1000 * score_num) DIV n_tokens").alias("avg_freq_milli"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_UNIGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(str_split(trim(text), ' '), w -> w <> '')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w, count(*) AS c FROM toks GROUP BY w ORDER BY c DESC, w ASC LIMIT {TOP_V}
+), scored AS (
+  SELECT t.doc_id, coalesce(v.c, 0) + 1 AS s
+  FROM toks t LEFT JOIN vocab v USING (w)
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_tokens,
+       sum(s)::BIGINT AS score_num,
+       ((1000 * sum(s)) // count(*))::BIGINT AS avg_freq_milli
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def pipe_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-curriculum training order: high band → mid → low, seeded
+    md5-shuffle within each band.
+
+    Shape: one window per band key (3 partitions — band_rank), a 3-row count
+    table joined back for the band offsets, giving every document a global
+    ``curriculum_pos`` WITHOUT a global sort: position = band offset +
+    within-band rank. The within-band window keys on only 3 values, so at
+    100 TB this would salt the band key into (band, shard) and emit per-shard
+    files the way pipe_shuffle_order does; the band offsets stay a 3-row
+    broadcast either way."""
+    q = with_quality_columns(_docs(spark, sf).select("doc_id", "text")).select(
+        "doc_id", "band"
+    )
+    band_idx = (
+        F.when(F.col("band") == "high", F.lit(0))
+        .when(F.col("band") == "mid", F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    h = F.md5(F.concat(F.lit(CURRICULUM_SEED + ":"), F.col("doc_id").cast("string")))
+    d = q.select("doc_id", "band", band_idx.alias("bi"), h.alias("h"))
+    w = Window.partitionBy("bi").orderBy("h", "doc_id")
+    ranked = d.withColumn("band_rank", F.row_number().over(w))
+    counts = ranked.groupBy("bi").agg(F.count(F.lit(1)).alias("n"))
+    offsets = counts.select(
+        "bi",
+        (
+            F.sum("n").over(
+                Window.orderBy("bi").rowsBetween(Window.unboundedPreceding, -1)
+            )
+        ).alias("off"),
+    ).select("bi", F.coalesce("off", F.lit(0)).alias("off"))
+    return (
+        ranked.join(F.broadcast(offsets), "bi")
+        .select(
+            "doc_id",
+            "band",
+            F.col("band_rank").cast("long").alias("band_rank"),
+            (F.col("off") + F.col("band_rank")).cast("long").alias("curriculum_pos"),
+        )
+        .orderBy("curriculum_pos")
+    )
+
+
+PIPE_CURRICULUM_ORACLE = f"""
+WITH q AS (
+  {quality_sql("doc_id")}
+), d AS (
+  SELECT doc_id, band,
+         CASE band WHEN 'high' THEN 0 WHEN 'mid' THEN 1 ELSE 2 END AS bi,
+         md5('{CURRICULUM_SEED}:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM q
+), ranked AS (
+  SELECT doc_id, band, bi,
+         row_number() OVER (PARTITION BY bi ORDER BY h, doc_id) AS band_rank
+  FROM d
+), offs AS (
+  SELECT bi, coalesce(sum(n) OVER (ORDER BY bi
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM (SELECT bi, count(*) AS n FROM ranked GROUP BY bi)
+)
+SELECT r.doc_id, r.band,
+       r.band_rank::BIGINT AS band_rank,
+       (o.off + r.band_rank)::BIGINT AS curriculum_pos
+FROM ranked r JOIN offs o USING (bi)
+ORDER BY curriculum_pos
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "text_unigram_lm_score", text_unigram_lm_score, TEXT_UNIGRAM_ORACLE, "LLM:quality-lm"
+    ),
+    QuerySpec(
+        "pipe_curriculum_order", pipe_curriculum_order, PIPE_CURRICULUM_ORACLE, "LLM:ordering"
+    ),
+]

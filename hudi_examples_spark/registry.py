@@ -12,6 +12,7 @@ def all_specs() -> list[QuerySpec]:
         llm_pipeline3,
         llm_pipeline4,
         llm_pipeline5,
+        llm_pipeline6,
         multimodal,
         relational,
         relational_ext,
@@ -36,6 +37,7 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(llm_pipeline3.SPECS)
     specs.extend(llm_pipeline4.SPECS)
     specs.extend(llm_pipeline5.SPECS)
+    specs.extend(llm_pipeline6.SPECS)
     specs.extend(scale_ops.SPECS)
     specs.extend(streaming_gate.SPECS)
     specs.extend(multimodal.SPECS)
@@ -49,10 +51,12 @@ def all_specs() -> list[QuerySpec]:
     # (fn_array_battery stringified its array column; a_sketch_profile gained a
     # within-bounds oracle), the new reference-schedule spec
     # (tbl_batch_schedule), all 42 queries whose latest green driver row dates
-    # from round 1 (oldest evidence), 3 round-2-evidence LLM-ops, and the two
-    # r4 debut ops (stream_corpus_ingest, dedup_keep_best) — exactly 50. The
-    # 12 tbl_* lifecycle specs and the r3-green LLM battery rotate out (fresh
-    # r3 evidence, age ≤2 at r5 when they rotate back in).
+    # from round 1 (oldest evidence), 1 round-2-evidence refresh, and the four
+    # r4 debut ops — exactly 50. The 12 tbl_* lifecycle specs and the r3-green
+    # LLM battery rotate out (fresh r3 evidence). NOTE the steady-state
+    # arithmetic: with >100 registered queries and 50 driver rows per round,
+    # the achievable max evidence age is ceil(N/50) rounds; rotation
+    # prioritizes (1) debut ops, (2) oldest evidence.
     r4_prefix = [
         # new + fixed
         "tbl_batch_schedule",
@@ -102,14 +106,13 @@ def all_specs() -> list[QuerySpec]:
         "a_cube_order_mix",
         "a_pivot_event_types",
         "a_percentile_values",
-        # r2-evidence LLM/scale ops refreshed a round early
-        "pipe_dataset_mixture",
-        "text_tfidf_topterms",
+        # r2-evidence multimodal op refreshed a round early
         "mm_frame_sample",
-        # new r4 ops: streaming ingestion under the hash gate + cluster
-        # canonical selection — certify under the driver in their debut round
+        # new r4 ops — certify under the driver in their debut round
         "stream_corpus_ingest",
         "dedup_keep_best",
+        "text_unigram_lm_score",
+        "pipe_curriculum_order",
     ]
     assert len(r4_prefix) == 50 and len(set(r4_prefix)) == 50, "prefix must be 50 unique names"
     by_name = {s.name: s for s in specs}

@@ -1,0 +1,65 @@
+"""Unigram-LM scoring and curriculum ordering semantics."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from hudi_examples_spark.operators.llm_pipeline5 import with_quality_columns
+from hudi_examples_spark.operators.llm_pipeline6 import (
+    pipe_curriculum_order,
+    text_unigram_lm_score,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_unigram_score_matches_hand_computation(spark):
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    }
+    counts: dict[str, int] = {}
+    toks: dict[int, list[str]] = {}
+    for did, text in docs.items():
+        ws = [w for w in text.strip().split(" ") if w]
+        toks[did] = ws
+        for w in ws:
+            counts[w] = counts.get(w, 0) + 1
+    got = {r["doc_id"]: r for r in text_unigram_lm_score(spark, SF_SMALL).collect()}
+    assert set(got) == {d for d, ws in toks.items() if ws}
+    for did, r in got.items():
+        ws = toks[did]
+        expect = sum(counts[w] + 1 for w in ws)
+        assert r["n_tokens"] == len(ws)
+        assert r["score_num"] == expect
+        assert r["avg_freq_milli"] == (1000 * expect) // len(ws)
+
+
+def test_curriculum_order_is_banded_permutation(spark):
+    out = pipe_curriculum_order(spark, SF_SMALL).collect()
+    n = len(out)
+    assert sorted(r["curriculum_pos"] for r in out) == list(range(1, n + 1))
+    # every high doc precedes every mid doc precedes every low doc
+    order = {"high": 0, "mid": 1, "low": 2}
+    seq = [order[r["band"]] for r in sorted(out, key=lambda r: r["curriculum_pos"])]
+    assert seq == sorted(seq)
+    # within a band the order is the seeded md5 order (no RNG involved)
+    for band in ("high", "mid", "low"):
+        rows = sorted(
+            (r for r in out if r["band"] == band), key=lambda r: r["band_rank"]
+        )
+        hashes = [
+            hashlib.md5(f"cur42:{r['doc_id']}".encode()).hexdigest() for r in rows
+        ]
+        assert hashes == sorted(hashes)
+
+
+def test_curriculum_bands_agree_with_quality_columns(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select("doc_id", "text")
+    bands = {
+        r["doc_id"]: r["band"]
+        for r in with_quality_columns(docs).select("doc_id", "band").collect()
+    }
+    for r in pipe_curriculum_order(spark, SF_SMALL).collect():
+        assert bands[r["doc_id"]] == r["band"]
