@@ -327,24 +327,46 @@ ORDER BY priority, status
 """
 
 
-def a_sketch_profile(spark: SparkSession, sf: str) -> DataFrame:
+def a_sketch_profile(
+    spark: SparkSession, sf: str, oracle_mode: bool = False
+) -> DataFrame:
     """Sketch-based profile per order priority: HyperLogLog++ distinct
     customers and approximate total-price quantiles. The 100 TB shape for
     distinct-count/quantile reporting: sketches merge associatively in
     partial aggregation (fixed-size state per group), so no exact
-    distinct-shuffle of the full key set ever happens.
+    distinct-shuffle of the full key set ever happens. The default
+    (production) form is sketch-only — one aggregation pass, no exact
+    distinct, no second scan.
 
-    Oracle-certifiable form: DuckDB's approx algorithms differ, so the sketch
-    values themselves can never hash-match.  Instead this emits the exact
-    distinct count / row count (hashable) plus `within_bounds` booleans that
-    assert the sketch landed inside its published error bound — HLL++ rsd
-    (0.02, checked at 3×rsd) and percentile_approx rank error (1/accuracy,
-    checked at ±0.01 rank).  The oracle computes the exact columns and
-    literal TRUEs; a sketch gone wrong flips a boolean and fails the hash.
-    The exact columns are gate instrumentation (5 groups); at 100 TB only
-    the sketch path runs.  Tighter error-bound assertions live in
-    tests/test_sketches.py."""
+    ``oracle_mode=True`` (the registered QuerySpec) is the gate-certifiable
+    form: DuckDB's approx algorithms differ, so the sketch values themselves
+    can never hash-match.  Instead it emits the exact distinct count / row
+    count (hashable) plus `within_bounds` booleans asserting the sketch
+    landed inside its published error bound — HLL++ rsd (0.02, checked at
+    3×rsd) and percentile_approx rank error (checked at ±0.01 rank).  The
+    oracle computes the exact columns and literal TRUEs; a sketch gone wrong
+    flips a boolean and fails the hash.  The exact columns and the rank-check
+    pass are gate instrumentation only — production never pays them (same
+    gate/production split as dedup_minhash_lsh's hash families).  Tighter
+    error-bound assertions live in tests/test_sketches.py."""
     o = t(spark, sf, "orders")
+    if not oracle_mode:
+        return (
+            o.groupBy("o_orderpriority")
+            .agg(
+                F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+                F.percentile_approx("o_totalprice", [0.5, 0.95], 10000).alias("price_q"),
+                F.count(F.lit(1)).alias("n_orders"),
+            )
+            .select(
+                "o_orderpriority",
+                "approx_customers",
+                F.round(F.col("price_q")[0], 2).alias("p50_price"),
+                F.round(F.col("price_q")[1], 2).alias("p95_price"),
+                "n_orders",
+            )
+            .orderBy("o_orderpriority")
+        )
     prof = (
         o.groupBy("o_orderpriority")
         .agg(
@@ -409,6 +431,12 @@ def a_sketch_profile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _a_sketch_profile_oracle_mode(spark: SparkSession, sf: str) -> DataFrame:
+    """The registered (driver-gated) variant: exact columns + within-bounds
+    booleans; production default stays sketch-only."""
+    return a_sketch_profile(spark, sf, oracle_mode=True)
+
+
 A_SKETCH_ORACLE = """
 SELECT o_orderpriority,
        count(DISTINCT o_custkey) AS exact_customers,
@@ -433,5 +461,5 @@ SPECS: list[QuerySpec] = [
     QuerySpec("s_csv_roundtrip", s_csv_roundtrip, S_CSV_ORACLE, "S5"),
     QuerySpec("s_orc_roundtrip", s_orc_roundtrip, S_ORC_ORACLE, "S5+"),
     QuerySpec("a_grouping_sets", a_grouping_sets, A_GROUPING_SETS_ORACLE, "A3+,rollup"),
-    QuerySpec("a_sketch_profile", a_sketch_profile, A_SKETCH_ORACLE, "A:sketches"),
+    QuerySpec("a_sketch_profile", _a_sketch_profile_oracle_mode, A_SKETCH_ORACLE, "A:sketches"),
 ]

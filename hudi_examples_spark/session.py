@@ -53,6 +53,14 @@ def get_spark(
         .config("spark.sql.parquet.enableVectorizedReader", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Pin BLAS/OpenMP to one thread inside Python workers: the numpy paths
+        # (blocked-matmul dedup, multimodal batches) run one task per core, so
+        # a multithreaded BLAS oversubscribes CPUs N_tasks × N_blas_threads —
+        # measured as 2-3× run-to-run variance on the blocked matmul. One
+        # BLAS thread per task is the standard Spark+numpy deployment shape.
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -166,13 +166,14 @@ class Engine:
             if m:
                 self.table(m.group(1)).add_columns(m.group(2))
                 return None
-            m = re.match(
-                r"ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMNS?\s*\(?\s*([\w\s,]+?)\s*\)?\s*$",
+            m = re.match(  # parenthesized or bare column list, parens balanced
+                r"ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMNS?"
+                r"(?:\s*\(\s*([\w\s,]+?)\s*\)|\s+([\w\s,]+?))\s*$",
                 s,
                 re.I,
             )
             if m:
-                cols = [c.strip() for c in m.group(2).split(",") if c.strip()]
+                cols = [c.strip() for c in (m.group(2) or m.group(3)).split(",") if c.strip()]
                 self.table(m.group(1)).drop_columns(cols)
                 return None
             m = re.match(

@@ -599,9 +599,17 @@ class Table:
         """Sort-based clustering (Hudi clustering sort strategy): rewrite live
         files range-partitioned + sorted on ``cols`` so their min/max ranges
         become disjoint and ``scan`` pruning turns selective predicates into
-        O(files_touched) IO. View-preserving replacecommit, like ``cluster``."""
+        O(files_touched) IO. View-preserving replacecommit, like ``cluster``.
+
+        The layout signature includes the resolved target file count, so
+        re-clustering with a different ``n_files`` is a real rewrite, not an
+        incremental no-op (passing None resolves against the current
+        parallelism — a changed cluster size then legitimately re-lays-out)."""
+        n = n_files or max(self.spark.sparkContext.defaultParallelism, 8)
         return self._cluster_rewrite(
-            [F.col(c) for c in cols], n_files, {"operation": "cluster_sort", "sort_cols": cols}
+            [F.col(c) for c in cols],
+            n,
+            {"operation": "cluster_sort", "sort_cols": cols, "target_files": n},
         )
 
     def cluster_zorder(self, cols: list[str], n_files: int | None = None, bits: int = 8) -> str | None:
@@ -628,8 +636,13 @@ class Table:
                 z = z + F.shiftleft(
                     F.shiftright(b, bit).bitwiseAND(F.lit(1)), bit * len(cols) + ci
                 ).cast("bigint")
+        n = n_files or max(self.spark.sparkContext.defaultParallelism, 8)
         return self._cluster_rewrite(
-            [z], n_files, {"operation": "cluster_zorder", "zorder_cols": cols}
+            [z],
+            n,
+            # bits is part of the layout identity: a different quantization
+            # granularity is a different layout, never an incremental no-op
+            {"operation": "cluster_zorder", "zorder_cols": cols, "zorder_bits": bits, "target_files": n},
         )
 
     def _cluster_rewrite(self, sort_exprs: list, n_files: int | None, meta: dict) -> str | None:
@@ -799,11 +812,11 @@ class Table:
                 for h in self._historical_names(f_.name):
                     if h in df.columns and f_.name not in df.columns:
                         df = df.withColumnRenamed(h, f_.name)
-        extra = [
-            c
-            for c in df.columns
-            if c not in self.schema.names and c not in self.config.dropped_cols
-        ]  # dropped names are tombstoned: auto-evolution must not resurrect them
+        # dropped names are tombstoned and rename-log 'from' names are
+        # reserved: auto-evolution must resurrect neither (a batch carrying
+        # BOTH an old and new name of a chain sheds the old one here)
+        blocked = set(self.config.dropped_cols) | self._historical_reserved()
+        extra = [c for c in df.columns if c not in self.schema.names and c not in blocked]
         widened = bool(extra)
         for c in extra:
             self.schema = self.schema.add(c, df.schema[c].dataType, True)
@@ -850,6 +863,7 @@ class Table:
         string or a StructType (DDL parsing needs an active SparkContext;
         Spark-less admin handles pass the StructType)."""
         new = ddl if isinstance(ddl, StructType) else StructType.fromDDL(ddl)
+        reserved = self._historical_reserved()
         for f_ in new.fields:
             if f_.name in self.schema.names:
                 raise ValueError(f"column {f_.name} already exists")
@@ -861,6 +875,15 @@ class Table:
                     f"column {f_.name} was dropped; pick a new name (old files still "
                     "hold its bytes under this name)"
                 )
+            if f_.name in reserved:
+                # a rename-log 'from' name: old files still hold the RENAMED
+                # column's data under this name — re-adding it would both leak
+                # those bytes into the new column and break the read-side
+                # chain coalesce of the renamed column
+                raise ValueError(
+                    f"column {f_.name} is a historical name of a renamed column; "
+                    "pick a new name"
+                )
         for f_ in new.fields:
             self.schema = self.schema.add(f_.name, f_.dataType, True)
         self.config.schema_version += 1
@@ -871,6 +894,12 @@ class Table:
         if self.config.precombine:
             out.add(self.config.precombine)
         return out
+
+    def _historical_reserved(self) -> set[str]:
+        """Every rename-log 'from' name: reserved forever — old files still
+        hold renamed-column data under these names, so they may never be
+        (re)introduced as fresh columns."""
+        return {frm for frm, _to in self.config.renames}
 
     def drop_columns(self, cols: list[str]) -> None:
         """Schema evolution: ALTER TABLE DROP COLUMN(S) — metadata-only (Hudi
@@ -887,9 +916,15 @@ class Table:
             if c in protected:
                 raise ValueError(f"column {c} is a key/precombine/partition column")
         drop = set(cols)
+        # tombstone the whole rename chain, not just the logical name: old
+        # files hold the dropped column's data under every historical name,
+        # and any of them could otherwise be re-added (explicitly or by batch
+        # auto-evolution) and resurrect those bytes. The rename log itself is
+        # kept — merge replay must stay consistent across stale handles.
+        for c in cols:
+            drop.update(self._historical_names(c))
         self.schema = StructType([f for f in self.schema.fields if f.name not in drop])
         self.config.stats_cols = [c for c in self.config.stats_cols if c not in drop]
-        self.config.renames = [r for r in self.config.renames if r[1] not in drop]
         self.config.dropped_cols = sorted(set(self.config.dropped_cols) | drop)
         self.config.schema_version += 1
         self._save_props()
@@ -906,6 +941,12 @@ class Table:
             raise ValueError(f"column {old} does not exist")
         if new in self.schema.names:
             raise ValueError(f"column {new} already exists")
+        if new in self.config.dropped_cols:
+            raise ValueError(f"column {new} was dropped; its name is tombstoned")
+        if new in self._historical_reserved():
+            raise ValueError(
+                f"column {new} is a historical name of a renamed column; pick a new name"
+            )
         if old in self._protected_cols():
             raise ValueError(f"column {old} is a key/precombine/partition column")
         self.schema = StructType(
@@ -2072,6 +2113,18 @@ class Table:
                     {"config": asdict(self.config), "schema": self.schema.jsonValue()},
                     f,
                     indent=1,
+                )
+            # same displacement re-check as _publish_occ: if a stale-lock
+            # breaker renamed our lock away while we merged, another writer
+            # may have published a newer schema — replacing props now would
+            # silently erase their evolution
+            try:
+                displaced = os.fstat(fd).st_ino != os.stat(lock).st_ino
+            except OSError:
+                displaced = True
+            if displaced:
+                raise ConcurrentWriteConflict(
+                    "props lock displaced by a stale-lock breaker; retry"
                 )
             os.replace(tmp, path)
         finally:

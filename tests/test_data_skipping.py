@@ -235,3 +235,23 @@ def test_cluster_incremental_falls_back_to_full_on_mor_logs(spark, tmp_path):
     assert inst.meta["numPartitionsRewritten"] == -1  # full fallback
     got = {(r["k"], r["v"]) for r in tbl.read().collect()}
     assert (7, 777.0) in got and len(got) == 200
+
+
+def test_recluster_with_different_target_is_not_a_noop(spark, tmp_path):
+    """The layout signature includes the target file count (and zorder bits):
+    asking for a different layout must rewrite, never silently no-op."""
+    tbl = Table.create(
+        spark,
+        str(tmp_path / "re"),
+        "k BIGINT, v DOUBLE",
+        TableConfig(stats_cols=["k"]),
+    )
+    tbl.insert(
+        spark.createDataFrame([(i, float(i)) for i in range(1000)], "k BIGINT, v DOUBLE")
+    )
+    assert tbl.cluster_sort(["k"], n_files=4) is not None
+    assert tbl.cluster_sort(["k"], n_files=4) is None  # same layout: no-op
+    assert tbl.cluster_sort(["k"], n_files=8) is not None  # different target: rewrite
+    assert tbl.cluster_zorder(["k", "v"], n_files=8) is not None
+    assert tbl.cluster_zorder(["k", "v"], n_files=8) is None
+    assert tbl.cluster_zorder(["k", "v"], n_files=8, bits=4) is not None  # new bits

@@ -217,3 +217,60 @@ def test_rename_and_drop_sql_frontdoor(spark, tmp_path):
     assert {r["amount"] for r in eng.sql("SELECT amount FROM t").collect()} == {10.0}
     eng.sql("ALTER TABLE t DROP COLUMN note")
     assert "note" not in eng.sql("SELECT * FROM t").columns
+
+
+def test_historical_name_cannot_be_readded(spark, tbl):
+    """Re-adding a rename-log 'from' name would leak old file bytes into the
+    new column and break the chain coalesce — rejected everywhere."""
+    tbl.rename_column("fare", "amount")
+    with pytest.raises(ValueError, match="historical name"):
+        tbl.add_columns("fare DOUBLE")
+    # auto-evolution sheds it too (batch carrying BOTH names: old one ignored)
+    tbl.upsert(
+        spark.createDataFrame(
+            [(9, "a", 55.0, 1.0)], "ts BIGINT, uuid STRING, amount DOUBLE, fare DOUBLE"
+        )
+    )
+    assert "fare" not in tbl.schema.names
+    got = {r["uuid"]: r["amount"] for r in tbl.read().collect()}
+    assert got == {"a": 55.0, "b": 20.0}  # amount kept its chain data
+    # renaming another column ONTO a historical name is rejected as well
+    tbl.add_columns("extra DOUBLE")
+    with pytest.raises(ValueError, match="historical name"):
+        tbl.rename_column("extra", "fare")
+
+
+def test_rename_then_drop_tombstones_whole_chain(spark, tbl):
+    """After rename fare→amount then drop amount, neither name may return —
+    and a write carrying the original name must not silently write data that
+    the tombstone then makes unreadable."""
+    tbl.rename_column("fare", "amount")
+    tbl.drop_columns(["amount"])
+    assert "amount" not in tbl.schema.names
+    with pytest.raises(ValueError, match="dropped"):
+        tbl.add_columns("amount DOUBLE")
+    with pytest.raises(ValueError, match="dropped"):
+        tbl.add_columns("fare DOUBLE")
+    # auto-evolution sheds the historical name instead of resurrect-then-strip
+    tbl.upsert(spark.createDataFrame([(9, "z", 1.0)], "ts BIGINT, uuid STRING, fare DOUBLE"))
+    assert "fare" not in tbl.schema.names and "amount" not in tbl.schema.names
+    assert {r["uuid"] for r in tbl.read().collect()} == {"a", "b", "z"}
+    # a re-opened handle agrees (tombstones survive the props round-trip)
+    again = Table(spark, tbl.base)
+    assert "fare" not in again.schema.names and "amount" not in again.schema.names
+
+
+def test_drop_sql_rejects_malformed_statements(spark, tmp_path):
+    eng = Engine(spark, str(tmp_path / "wh2"))
+    eng.sql(
+        "CREATE TABLE t2 (ts BIGINT, uuid STRING, note STRING) USING hudi "
+        "TBLPROPERTIES (primaryKey = 'uuid', preCombineField = 'ts')"
+    )
+    for bad in (
+        "ALTER TABLE t2 DROP COLUMNSnote",
+        "ALTER TABLE t2 DROP COLUMN (note",
+        "ALTER TABLE t2 DROP COLUMN note)",
+    ):
+        with pytest.raises(ValueError, match="supported"):
+            eng.sql(bad)
+    assert "note" in eng.sql("SELECT * FROM t2").columns

@@ -17,8 +17,23 @@ from hudi_examples_spark.sources.readers import load_sf_table as t
 from tests.conftest import SF_MED
 
 
+def test_sketch_profile_production_form_is_sketch_only(spark):
+    out = a_sketch_profile(spark, SF_MED)
+    assert out.columns == [
+        "o_orderpriority",
+        "approx_customers",
+        "p50_price",
+        "p95_price",
+        "n_orders",
+    ]
+    assert out.count() == 5
+
+
 def test_sketch_profile_bounds_and_exact_columns(spark):
-    rows = {r["o_orderpriority"]: r for r in a_sketch_profile(spark, SF_MED).collect()}
+    rows = {
+        r["o_orderpriority"]: r
+        for r in a_sketch_profile(spark, SF_MED, oracle_mode=True).collect()
+    }
     exact = {
         r["o_orderpriority"]: r
         for r in t(spark, SF_MED, "orders")
