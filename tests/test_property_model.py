@@ -51,6 +51,7 @@ op_st = st.one_of(
     st.builds(Op, st.just("merge_partial"), st.lists(row_st, min_size=1, max_size=3)),
     st.builds(Op, st.just("update_where"), st.just([])),
     st.builds(Op, st.just("cluster_sort"), st.just([])),
+    st.builds(Op, st.just("rename_val"), st.just([])),
     st.builds(Op, st.just("savepoint"), st.just([])),
     st.builds(Op, st.just("restore"), st.just([])),
     st.builds(Op, st.just("archive"), st.just([])),
@@ -130,7 +131,14 @@ def apply_ops(spark, tbl: Table, model: Model, ops: list[Op]):
     model state right after that op; rollback discards its checkpoint)."""
 
     def df(rows):
+        # DELIBERATELY the original schema (val), even after rename_val ops:
+        # conforming writes (upsert/insert/overwrite) must map the historical
+        # name onto the current column — the stale-writer path under stress
         return spark.createDataFrame(rows, SCHEMA)
+
+    def vname() -> str:
+        """Current logical name of the val column (rename chain tip)."""
+        return [c for c in tbl.data_cols if c not in ("ts", "uuid", "part")][0]
 
     checkpoints: list[tuple[str, dict]] = []
     saved: list = [None]  # latest savepoint: (instant, history_len, state, ckpt_len)
@@ -160,16 +168,23 @@ def apply_ops(spark, tbl: Table, model: Model, ops: list[Op]):
             ckpt()
         elif op.kind == "merge_partial":
             rows = _key_unique(op.rows)
+            v = vname()
+            # merge addresses the CURRENT schema (its partial-update map sets
+            # target columns by name), so the source uses the renamed column
+            src = spark.createDataFrame(
+                rows, f"ts BIGINT, uuid STRING, {v} DOUBLE, part STRING"
+            )
             tbl.merge(
-                df(rows),
+                src,
                 on={"uuid": "uuid"},
-                when_matched={"ts": "__src_ts", "val": "__src_val"},
+                when_matched={"ts": "__src_ts", v: f"__src_{v}"},
                 when_not_matched="insert_all",
             )
             model.merge_partial(rows)
             ckpt()
         elif op.kind == "update_where":
-            tbl.update_where("val >= 500.0", {"val": "val + 1000.0"})
+            v = vname()
+            tbl.update_where(f"{v} >= 500.0", {v: f"{v} + 1000.0"})
             model.update_where(500.0, 1000.0)
             ckpt()
         elif op.kind == "rollback":
@@ -189,6 +204,12 @@ def apply_ops(spark, tbl: Table, model: Model, ops: list[Op]):
                 if inst is not None:  # fully in layout → no-op, no commit
                     model._snapshot()  # view-preserving rewrite, like compaction
                     ckpt()
+        elif op.kind == "rename_val":
+            # metadata-only rename of the one non-protected column; chains
+            # naturally (val → val_r → val_r_r). No commit, no checkpoint —
+            # the MODEL is untouched because comparisons are positional and
+            # reads must coalesce every historical generation losslessly.
+            tbl.rename_column(vname(), vname() + "_r")
         elif op.kind == "savepoint":
             if tbl.latest_instant() is not None:
                 sp = tbl.savepoint()
@@ -245,17 +266,17 @@ def test_random_dml_sequences_match_model(spark, tmp_path_factory, ops, table_ty
     tbl = Table.create(spark, str(tmp_path / "t"), SCHEMA, TableConfig(**cfg))
     model = Model()
     checkpoints = apply_ops(spark, tbl, model, ops)
-    got = sorted((r["ts"], r["uuid"], r["val"], r["part"]) for r in tbl.read().collect())
+    # positional tuples: rename_val may change the val column's NAME, but
+    # field order is stable, so tuples line up with the model regardless
+    cols = tbl.data_cols
+    got = sorted(tuple(r) for r in tbl.read().select(*cols).collect())
     assert got == model.rows(), f"ops={ops}\nengine={got}\nmodel={model.rows()}"
     # time-travel invariant: read(as_of=instant_i) reproduces the model state
     # right after op i (sample first/middle/last to bound test cost)
     sample = {0, len(checkpoints) // 2, len(checkpoints) - 1} if checkpoints else set()
     for i in sorted(sample):
         instant, state = checkpoints[i]
-        tt = sorted(
-            (r["ts"], r["uuid"], r["val"], r["part"])
-            for r in tbl.read(as_of=instant).collect()
-        )
+        tt = sorted(tuple(r) for r in tbl.read(as_of=instant).select(*cols).collect())
         expect = sorted(state.values())
         assert tt == expect, (
             f"time-travel divergence at ckpt {i} (instant {instant}):\n"
