@@ -106,3 +106,62 @@ def test_topic_feeds_keyed_table(spark, tmp_path):
     assert tbl.read().count() == 7  # 7 distinct keys, precombine keeps max v
     top = {r["k"]: r["v"] for r in tbl.read().collect()}
     assert top["k0"] == 35 and top["k6"] == 34
+
+
+def _producer_proc(base: str, lo: int, out) -> None:
+    from pyspark.sql import SparkSession
+
+    from hudi_examples_spark.streaming.topic import FileTopic
+
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName(f"topic-producer-{lo}")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+    )
+    try:
+        t = FileTopic(spark, base, DDL, n_partitions=4)
+        for b in range(3):
+            rows = [(f"k{i % 7}", i) for i in range(lo + b * 20, lo + b * 20 + 20)]
+            t.produce(spark.createDataFrame(rows, DDL), key_col="k")
+        out.put(("ok", lo))
+    finally:
+        spark.stop()
+
+
+def test_concurrent_producers_lose_nothing(spark, tmp_path):
+    """Two real producer processes interleave produce() calls into one topic:
+    the produce lock must serialize the meta read-modify-write so every batch
+    gets a unique seq, the ends add up, and every record survives."""
+    import multiprocessing as mp
+
+    base = str(tmp_path / "multi")
+    FileTopic(spark, base, DDL, n_partitions=4)  # create the topic
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_producer_proc, args=(base, 0, q)),
+        ctx.Process(target=_producer_proc, args=(base, 1000, q)),
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=300)
+        assert p.exitcode == 0
+    assert {q.get()[0] for _ in range(2)} == {"ok"}
+
+    t = FileTopic(spark, base, DDL, n_partitions=4)
+    seqs = [b["seq"] for b in t.meta["batches"]]
+    assert len(seqs) == 6 and len(set(seqs)) == 6, seqs  # no lost/duplicate batches
+    assert sum(t.end_offsets().values()) == 120  # every record accounted for
+    df, _end = t.consume("g-all")
+    rows = df.collect()
+    assert len(rows) == 120
+    assert {r["v"] for r in rows} == set(range(0, 60)) | set(range(1000, 1060))
+    # dense offsets per partition even under interleaved producers
+    by_part: dict[int, list[int]] = {}
+    for r in rows:
+        by_part.setdefault(r["partition"], []).append(r["offset"])
+    for p_, offs in by_part.items():
+        assert sorted(offs) == list(range(len(offs))), f"partition {p_} offsets dense"
