@@ -164,6 +164,48 @@ ORDER BY curriculum_pos
 """
 
 
+def corpus_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(lang, source) corpus summary — the dataset-card report: document
+    counts, token totals, char-length min/max/median/mean. One map-side-
+    combined groupBy over low-cardinality keys; the median uses the exact
+    interpolated percentile at 0.5 (midpoint of two integers — exactly
+    representable, so it hashes identically cross-engine; higher quantiles
+    would interpolate at non-dyadic fractions and belong to the sketch
+    profile instead)."""
+    d = _docs(spark, sf).select(
+        "lang", "source", "n_chars", F.size(words("text")).alias("n_toks")
+    )
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.expr("percentile(n_chars, 0.5)").alias("p50_chars"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+CORPUS_REPORT_ORACLE = """
+WITH d AS (
+  SELECT lang, source, n_chars,
+         len(list_filter(str_split(trim(text), ' '), w -> w <> '')) AS n_toks
+  FROM documents
+)
+SELECT lang, source,
+       count(*) AS n_docs,
+       sum(n_toks)::BIGINT AS total_tokens,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       quantile_cont(n_chars, 0.5) AS p50_chars,
+       round(avg(n_chars), 2) AS avg_chars
+FROM d GROUP BY lang, source ORDER BY lang, source
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "text_unigram_lm_score", text_unigram_lm_score, TEXT_UNIGRAM_ORACLE, "LLM:quality-lm"
@@ -171,4 +213,5 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "pipe_curriculum_order", pipe_curriculum_order, PIPE_CURRICULUM_ORACLE, "LLM:ordering"
     ),
+    QuerySpec("corpus_report", corpus_report, CORPUS_REPORT_ORACLE, "LLM:reporting"),
 ]
