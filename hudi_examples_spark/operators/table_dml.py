@@ -498,6 +498,61 @@ def tbl_batch_schedule(spark: SparkSession, sf: str) -> DataFrame:
     return tbl.read().select("uuid", "ts", "fare", "part").orderBy("uuid")
 
 
+def tbl_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """M18+ full schema-evolution lifecycle under the driver gate: explicit
+    ADD COLUMN (tier), batch AUTO-evolution (tmp_note arrives only in a
+    batch), RENAME acctbal→balance, a post-rename upsert addressed via the
+    HISTORICAL column name (the stale-writer path: it must land in the
+    renamed column), and DROP of the auto-added column. The final snapshot —
+    old-generation files read through the rename chain, three interleaved
+    key cohorts, the dropped column gone — must hash-match plain SQL over
+    the source table."""
+    tbl = _lifecycle_table(spark, sf, "tbl_schema_evolution", "cow")
+    tbl.add_columns("tier STRING")
+    c = _cust_df(spark, sf)
+    b1 = (
+        c.filter(F.col("c_custkey") % 3 == 0)
+        .withColumn("acctbal", F.col("acctbal") + 50.0)
+        .withColumn("v", F.lit(2))
+        .withColumn("tier", F.lit("gold"))
+        .withColumn("tmp_note", F.lit("x"))  # auto-evolves into the schema
+    )
+    tbl.upsert(b1)
+    tbl.rename_column("acctbal", "balance")
+    # stale-writer batch: still uses the OLD name; must write `balance`
+    b2 = (
+        c.filter(F.col("c_custkey") % 5 == 0)
+        .withColumn("acctbal", F.col("acctbal") + 7.0)
+        .withColumn("v", F.lit(3))
+    )
+    tbl.upsert(b2)
+    tbl.drop_columns(["tmp_note"])
+    return (
+        tbl.read()
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("balance", 2).alias("balance"),
+            "seg",
+            "v",
+            "tier",
+        )
+        .orderBy("c_custkey")
+    )
+
+
+TBL_SCHEMA_EVOLUTION_ORACLE = """
+SELECT c_custkey, c_name,
+       round(c_acctbal + CASE WHEN c_custkey % 5 = 0 THEN 7.0
+                              WHEN c_custkey % 3 = 0 THEN 50.0 ELSE 0 END, 2) AS balance,
+       c_mktsegment AS seg,
+       CASE WHEN c_custkey % 5 = 0 THEN 3 WHEN c_custkey % 3 = 0 THEN 2 ELSE 1 END AS v,
+       CASE WHEN c_custkey % 5 <> 0 AND c_custkey % 3 = 0 THEN 'gold' END AS tier
+FROM customer
+ORDER BY c_custkey
+"""
+
+
 def tbl_savepoint_restore(spark: SparkSession, sf: str) -> DataFrame:
     """M16/M17 savepoint + restore under the driver gate: insert → savepoint →
     two mutating commits (upsert + delete) → restore to the savepoint. The
@@ -549,6 +604,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("tbl_join_view_incremental", tbl_join_view_incremental, TBL_JOIN_VIEW_ORACLE, "incremental join view (CDC IVM)"),
     QuerySpec("tbl_batch_schedule", tbl_batch_schedule, TBL_BATCH_SCHEDULE_ORACLE, "reference compat schedule: M2,M7,M9,M14,M17"),
     QuerySpec("tbl_savepoint_restore", tbl_savepoint_restore, TBL_SAVEPOINT_ORACLE, "M16/M17 savepoint+restore"),
+    QuerySpec("tbl_schema_evolution", tbl_schema_evolution, TBL_SCHEMA_EVOLUTION_ORACLE, "M18+ add/auto/rename/drop lifecycle"),
 ]
 
 
