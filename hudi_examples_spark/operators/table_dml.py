@@ -589,6 +589,74 @@ ORDER BY uuid
 """
 
 
+def tbl_bloom_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """BLOOM-index lifecycle (``hoodie.index.type=BLOOM``, the reference
+    quickstart's default index): record keys are md5 hex — uniformly RANDOM, so
+    every file's [min, max] key range spans the space and the range index alone
+    can't prune the upsert's location scan or scope its rewrite; only the
+    per-file bloom sidecars can. Three inserts build overlapping file groups,
+    then one upsert batch updates %21 keys and inserts %13 keys. The emitted
+    ``bloom_scoped_ok`` literal certifies under the driver hash that the bloom
+    actually pruned the COW rewrite set (candidates < total at plan time);
+    the rest of the row is the ordinary final-state differential."""
+    base = os.path.join(_workdir("tbl_bloom_upsert", sf), "tbl")
+    tbl = Table.create(
+        spark,
+        base,
+        "id STRING, c_custkey BIGINT, name STRING, acctbal DOUBLE, v INT",
+        TableConfig(record_key=["id"], precombine="v", bloom_index=True),
+    )
+    c = t(spark, sf, "customer").select(
+        F.md5(F.col("c_custkey").cast("string")).alias("id"),
+        "c_custkey",
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit(1).alias("v"),
+    )
+    for m in range(3):  # three bulk loads of disjoint random-key files (plain
+        # insert would route through the precombine merge and re-merge to one
+        # file group per commit — bulk_insert is Hudi's raw no-lookup load)
+        tbl.bulk_insert(c.filter(F.col("c_custkey") % 3 == m))
+    # update keys drawn from commit 0 only (%3==0): the batch's files all live
+    # in one commit, so a correctly-scoped rewrite must leave the other
+    # commits' files out of the candidate set — that is what the emitted
+    # bloom_scoped_ok literal certifies
+    updates = c.filter(
+        (F.col("c_custkey") % 3 == 0) & (F.col("c_custkey") % 7 == 0)
+    ).withColumns({"acctbal": F.col("acctbal") + 100.0, "v": F.lit(2)})
+    inserts = (
+        c.filter(F.col("c_custkey") % 13 == 0)
+        .withColumn("c_custkey", F.col("c_custkey") + 1000000)
+        .withColumns(
+            {"id": F.md5(F.col("c_custkey").cast("string")), "v": F.lit(2)}
+        )
+    )
+    tbl.upsert(updates.unionByName(inserts))
+    prune = getattr(tbl, "last_key_prune", None) or {}
+    scoped = bool(prune.get("candidates", 0) < prune.get("total", 0))
+    return tbl.read().select(
+        "id",
+        "c_custkey",
+        "name",
+        F.round("acctbal", 2).alias("acctbal"),
+        "v",
+        F.lit(scoped).alias("bloom_scoped_ok"),
+    )
+
+
+TBL_BLOOM_ORACLE = """
+SELECT md5(CAST(c_custkey AS VARCHAR)) AS id, c_custkey, c_name AS name,
+       round(c_acctbal + CASE WHEN c_custkey % 21 = 0 THEN 100.0 ELSE 0 END, 2) AS acctbal,
+       CASE WHEN c_custkey % 21 = 0 THEN 2 ELSE 1 END AS v,
+       TRUE AS bloom_scoped_ok
+FROM customer
+UNION ALL
+SELECT md5(CAST(c_custkey + 1000000 AS VARCHAR)), c_custkey + 1000000, c_name,
+       round(c_acctbal, 2), 2, TRUE
+FROM customer WHERE c_custkey % 13 = 0
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("tbl_upsert_cow", tbl_upsert_cow, UPSERT_FINAL_ORACLE, "M1,M2,M7"),
     QuerySpec("tbl_upsert_mor", tbl_upsert_mor, UPSERT_FINAL_ORACLE, "M7,MOR"),
@@ -605,6 +673,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("tbl_batch_schedule", tbl_batch_schedule, TBL_BATCH_SCHEDULE_ORACLE, "reference compat schedule: M2,M7,M9,M14,M17"),
     QuerySpec("tbl_savepoint_restore", tbl_savepoint_restore, TBL_SAVEPOINT_ORACLE, "M16/M17 savepoint+restore"),
     QuerySpec("tbl_schema_evolution", tbl_schema_evolution, TBL_SCHEMA_EVOLUTION_ORACLE, "M18+ add/auto/rename/drop lifecycle"),
+    QuerySpec("tbl_bloom_upsert", tbl_bloom_upsert, TBL_BLOOM_ORACLE, "J4 BLOOM index + file-group-scoped COW rewrite"),
 ]
 
 

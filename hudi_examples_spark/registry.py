@@ -106,8 +106,9 @@ def all_specs() -> list[QuerySpec]:
         "a_cube_order_mix",
         "a_pivot_event_types",
         "a_percentile_values",
-        # r2-evidence multimodal op refreshed a round early
-        "mm_frame_sample",
+        # r4 debut: BLOOM index + file-group-scoped COW rewrite (took the slot
+        # of the mm_frame_sample early refresh — debut ops outrank refreshes)
+        "tbl_bloom_upsert",
         # new r4 ops — certify under the driver in their debut round
         "stream_corpus_ingest",
         "dedup_keep_best",

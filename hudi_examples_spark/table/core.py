@@ -35,6 +35,7 @@ import os
 import shutil
 from contextlib import contextmanager
 from dataclasses import asdict, dataclass, field
+from dataclasses import fields as dataclass_fields
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -248,6 +249,14 @@ class TableConfig:
     #: O(batch) planning, but a partition-changing upsert leaves the old row
     #: in place (exactly Hudi's non-global index contract).
     index_type: str = "global"
+    #: per-file record-key bloom filters (the filter phase of Hudi's BLOOM
+    #: index, ``hoodie.index.type=BLOOM`` — the default the reference
+    #: quickstart writes with). The range index above prunes clustered keys;
+    #: blooms prune when keys are uniformly random (UUIDs) and every file's
+    #: [min, max] spans the key space. Sidecars in ``_blooms/``, probed via a
+    #: broadcast + mapPartitions over the incoming keys (never collected).
+    bloom_index: bool = False
+    bloom_fpp: float = 1e-4
     #: bumped on every schema evolution; while 0 every live file shares the
     #: declared schema, so reads skip parquet mergeSchema (whose footer-merge
     #: costs a Spark job per read) — evolved tables pay it, fresh ones don't
@@ -294,7 +303,14 @@ class Table:
         self.timeline = Timeline(base)
         with open(os.path.join(base, PROPS_FILE)) as f:
             d = json.load(f)
-        self.config = TableConfig(**d["config"])
+        # forward-compat: a handle built from older code must still open a
+        # table whose props a NEWER writer rewrote with config keys this
+        # version doesn't know (rolling upgrades; mixed-version writers under
+        # OCC). Unknown keys are index/layout hints by design contract — every
+        # feature they gate degrades to "don't prune / don't optimize", never
+        # to wrong data — so dropping them is safe where crashing is not.
+        known = {f.name for f in dataclass_fields(TableConfig)}
+        self.config = TableConfig(**{k: v for k, v in d["config"].items() if k in known})
         self.schema = StructType.fromJson(d["schema"])
 
     # ------------------------------------------------------------------ create
@@ -436,6 +452,8 @@ class Table:
         rels = sorted(rels)
         if self._stat_cols():
             self._write_file_stats(instant, rels)
+        if self.config.bloom_index and self.config.record_key:
+            self._write_bloom_filters(instant, rels)
         return rels
 
     # -------------------------------------------------------- col-stats index
@@ -507,6 +525,85 @@ class Table:
                     out.update(json.load(f))
         return out
 
+    BLOOMS_DIR = "_blooms"
+
+    def _write_bloom_filters(self, instant: str, rels: list[str]) -> None:
+        """Build one record-key bloom per file just written (the filter phase
+        of Hudi's BLOOM index; the sidecar plays the role of the
+        ``org.apache.hudi.bloomfilter`` parquet-footer blob). Reads ONLY the
+        key column of the commit's own files via pyarrow, thread-parallel —
+        cost is O(commit), never a table scan."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow.parquet as pq
+
+        from hudi_examples_spark.table.bloom import build_bloom
+
+        fpp = self.config.bloom_fpp
+
+        def file_bloom(rel: str) -> tuple[str, dict | None]:
+            path = os.path.join(self.base, rel)
+            try:
+                col = pq.read_table(path, columns=[META_KEY]).column(META_KEY)
+            except Exception:
+                return rel, None  # no key column (shouldn't happen on keyed tables)
+            keys = [k for k in col.to_pylist() if k is not None]
+            return rel, build_bloom(keys, fpp)
+
+        with ThreadPoolExecutor(max_workers=min(16, max(len(rels), 1))) as ex:
+            results = list(ex.map(file_bloom, rels))
+        blooms = {rel: b for rel, b in results if b is not None}
+        if not blooms:
+            return
+        d = os.path.join(self.base, self.BLOOMS_DIR)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".{instant}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(blooms, f)
+        os.replace(tmp, os.path.join(d, f"{instant}.json"))
+
+    def _load_blooms(self) -> dict[str, dict]:
+        d = os.path.join(self.base, self.BLOOMS_DIR)
+        if not os.path.isdir(d):
+            return {}
+        out: dict[str, dict] = {}
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".json"):
+                with open(os.path.join(d, fn)) as f:
+                    out.update(json.load(f))
+        return out
+
+    def _bloom_prune(self, rels: list[str], keys_df: DataFrame) -> list[str]:
+        """Drop files whose bloom filter definitely contains NONE of the keys.
+
+        The bounded filter metadata is broadcast; the key DataFrame is probed
+        per-partition executor-side (vectorized numpy batch against each
+        candidate bloom) and only matched FILE NAMES return to the driver —
+        the keys themselves are never collected. Files without a bloom (written
+        before the index was enabled) are always kept: pruning is never lossy.
+        """
+        blooms = self._load_blooms()
+        cand = {r: blooms[r] for r in rels if r in blooms}
+        if not cand:
+            return list(rels)
+        unknown = [r for r in rels if r not in blooms]
+        bc = self.spark.sparkContext.broadcast(cand)
+
+        def probe(rows):
+            from hudi_examples_spark.table.bloom import bloom_any_contains, key_hashes
+
+            keys = [r["__k"] for r in rows if r["__k"] is not None]
+            if not keys:
+                return
+            h1, h2 = key_hashes(keys)
+            for rel, bl in bc.value.items():
+                if bloom_any_contains(bl, h1, h2):
+                    yield rel
+
+        keys = keys_df.select(F.col(META_KEY).cast("string").alias("__k")).distinct()
+        hit = set(keys.rdd.mapPartitions(probe).distinct().collect())
+        return sorted(hit | set(unknown))
+
     def _prune_files_by_keys(self, rels: list[str], keys_df: DataFrame) -> list[str]:
         """Drop files whose recorded record-key [min, max] range cannot contain
         any key in ``keys_df`` (a DataFrame with a ``_hoodie_record_key``
@@ -530,8 +627,15 @@ class Table:
             else:
                 unknown.append(r)
         if not ranged:
-            self.last_key_prune = {"total": len(rels), "candidates": len(rels)}
-            return list(rels)
+            kept = list(rels)
+            if self.config.bloom_index:
+                kept = self._bloom_prune(kept, keys_df)
+            self.last_key_prune = {
+                "total": len(rels),
+                "candidates": len(kept),
+                **({"bloom_pruned": len(rels) - len(kept)} if self.config.bloom_index else {}),
+            }
+            return kept
         rng = self.spark.createDataFrame(ranged, "rel STRING, lo STRING, hi STRING")
         keys = keys_df.select(F.col(META_KEY).cast("string").alias("__k")).distinct()
         with _no_aqe(self.spark):
@@ -545,7 +649,16 @@ class Table:
                 .collect()
             )
         kept = sorted({r["rel"] for r in hit} | set(unknown))
-        self.last_key_prune = {"total": len(rels), "candidates": len(kept)}
+        n_range = len(kept)
+        if self.config.bloom_index:
+            # filter phase: range-survivors whose bloom rules every key out drop
+            # too — the index that works when keys are random, not clustered
+            kept = self._bloom_prune(kept, keys_df)
+        self.last_key_prune = {
+            "total": len(rels),
+            "candidates": len(kept),
+            **({"bloom_pruned": n_range - len(kept)} if self.config.bloom_index else {}),
+        }
         return kept
 
     def scan(self, filters: list[tuple] | None = None, as_of: str | None = None) -> DataFrame:
@@ -1515,6 +1628,31 @@ class Table:
                 )
                 in touched
             ]
+        # File-group scoping (Hudi COW upsert granularity): within the touched
+        # partitions, only files that may HOLD an incoming or deleted key need
+        # rewriting — pure inserts land in new files, and file groups whose key
+        # range/bloom excludes the whole batch stay live untouched. This is the
+        # difference between rewriting a 1 TB partition and rewriting the 3
+        # files a 1000-row upsert actually hits; pruning is lossless (files
+        # without stats are always kept), so the merge still sees every
+        # version of every incoming key.
+        if self.config.record_key and len(touched_rels) > 1:
+            keys = None
+            for df in (upserts, deletes):
+                if df is None:
+                    continue
+                if all(c in df.columns for c in self.config.record_key):
+                    k = df.select(self._key_expr().alias(META_KEY))
+                elif META_KEY in df.columns:
+                    k = df.select(META_KEY)
+                else:
+                    keys = None
+                    break
+                keys = k if keys is None else keys.unionByName(k)
+            if keys is not None:
+                touched_rels = self._prune_files_by_keys(
+                    sorted(touched_rels), keys.distinct()
+                )
         existing = self._read_files(touched_rels, with_deleted=False)
 
         survivors = existing
@@ -1992,26 +2130,28 @@ class Table:
         """Drop stats-sidecar entries for physically deleted files so the
         key-range index stays O(live files). Safe by construction: pruning
         treats a missing stats entry as 'keep the file', so over-deleting an
-        entry can only cost IO, never correctness."""
-        d = os.path.join(self.base, self.STATS_DIR)
-        if not os.path.isdir(d):
-            return
-        for fn in sorted(os.listdir(d)):
-            if not fn.endswith(".json"):
+        entry can only cost IO, never correctness. Bloom sidecars follow the
+        same contract (missing bloom ⇒ keep) and are GC'd alongside."""
+        for sub in (self.STATS_DIR, self.BLOOMS_DIR):
+            d = os.path.join(self.base, sub)
+            if not os.path.isdir(d):
                 continue
-            p = os.path.join(d, fn)
-            with open(p) as f:
-                stats = json.load(f)
-            kept = {rel: v for rel, v in stats.items() if rel not in dead}
-            if len(kept) == len(stats):
-                continue
-            if kept:
-                tmp = p + ".tmp"
-                with open(tmp, "w") as f:
-                    json.dump(kept, f)
-                os.replace(tmp, p)
-            else:
-                os.remove(p)
+            for fn in sorted(os.listdir(d)):
+                if not fn.endswith(".json"):
+                    continue
+                p = os.path.join(d, fn)
+                with open(p) as f:
+                    stats = json.load(f)
+                kept = {rel: v for rel, v in stats.items() if rel not in dead}
+                if len(kept) == len(stats):
+                    continue
+                if kept:
+                    tmp = p + ".tmp"
+                    with open(tmp, "w") as f:
+                        json.dump(kept, f)
+                    os.replace(tmp, p)
+                else:
+                    os.remove(p)
 
     def archive_timeline(self, retain_instants: int = 20) -> int:
         """Timeline archival (Hudi ``hoodie.archive.*`` / ``hoodie.keep.*``):

@@ -51,9 +51,31 @@ def _values_equal(a, b, tol: float) -> bool:
     return repr(a) == repr(b)
 
 
+def _driver_hashable(df: pd.DataFrame) -> list[str]:
+    """Columns the DRIVER's canonicalizer would choke on. The driver sorts rows
+    with pandas ``sort_values`` (Categorical factorize), which raises
+    ``TypeError: unhashable type`` on list/dict/ndarray cells — exactly how
+    ``fn_array_battery`` burned a red row for three rounds while this harness's
+    repr-based sort sailed past it. Flagging here makes the local sweep strictly
+    stronger than the driver gate, not weaker."""
+    bad = []
+    for col in df.columns:
+        if df[col].dtype == object and len(df):
+            v = df[col].iloc[0]
+            if isinstance(v, (list, dict, set)) or type(v).__name__ == "ndarray":
+                bad.append(col)
+    return bad
+
+
 def compare(name: str, spark_df, oracle_pdf: pd.DataFrame, tol: float = 1e-9) -> CompareResult:
     spdf = spark_df.toPandas()
     issues: list[str] = []
+    unhashable = _driver_hashable(spdf)
+    if unhashable:
+        issues.append(
+            f"driver-unhashable column(s) {unhashable}: stringify (array_join) before registering"
+        )
+        return CompareResult(name, False, (len(spdf), len(oracle_pdf)), issues)
     if sorted(spdf.columns) != sorted(oracle_pdf.columns):
         issues.append(f"columns differ: spark={sorted(spdf.columns)} duck={sorted(oracle_pdf.columns)}")
         return CompareResult(name, False, (len(spdf), len(oracle_pdf)), issues)
