@@ -140,6 +140,11 @@ def main() -> None:
                     extras["cluster_incremental"] = dict(
                         getattr(state, "last_cluster_meta", {}) or {}
                     )
+                elif name == "tbl_point_lookup":
+                    # prove the secondary-index read scanned a file subset
+                    extras["index_lookup_files"] = dict(
+                        getattr(state[0], "last_index_lookup", {}) or {}
+                    )
             elif name in spec_fns:
                 t0 = time.perf_counter()
                 spec_fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -25,12 +25,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hudi_examples_spark.functions.text import words
+from hudi_examples_spark.functions.vectors import cosine_similarity
 from hudi_examples_spark.operators.llm_pipeline5 import (
     _docs,
     quality_sql,
     with_quality_columns,
 )
 from hudi_examples_spark.operators.spec import QuerySpec
+from hudi_examples_spark.sources.readers import load_sf_table as t
 
 #: vocabulary cap: at corpus scale the frequency table must stay broadcastable,
 #: so only the TOP_V most frequent tokens carry their own count (deterministic
@@ -206,6 +208,68 @@ FROM d GROUP BY lang, source ORDER BY lang, source
 """
 
 
+def dedup_semantic(spark: SparkSession, sf: str, threshold: float = 0.92) -> DataFrame:
+    """SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): pairwise cosine is computed only WITHIN a cluster —
+    here the embeddings' ``label`` column plays the k-means assignment — and
+    of every near-dup pair the lower ``vec_id`` is kept. Emits one row per
+    vector with its keep/drop verdict and how many same-cluster near-dups it
+    has, so the driver hash certifies the full verdict set.
+
+    Scale shape: the self-join key is the cluster id, so the pair space is
+    O(Σ c_i²) ≈ O(n²/k) instead of O(n²) — the whole point of SemDeDup; a
+    skewed giant cluster is the known failure mode and would be re-chunked by
+    the block-pair pattern of ``dedup_embed_cosine``. No driver collects;
+    exact cosine, rounded identically to the DuckDB oracle before the
+    threshold test.
+    """
+    e = t(spark, sf, "embeddings")
+    a = e.select("label", F.col("vec_id").alias("d1"), F.col("embedding").alias("emb1"))
+    b = e.select("label", F.col("vec_id").alias("d2"), F.col("embedding").alias("emb2"))
+    dups = (
+        a.join(b, "label")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "d1", "d2", F.round(cosine_similarity("emb1", "emb2"), 6).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    dup_counts = (
+        dups.select(F.col("d1").alias("vec_id"))
+        .unionAll(dups.select(F.col("d2").alias("vec_id")))
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("n_near_dups"))
+    )
+    dropped = dups.select(F.col("d2").alias("vec_id")).distinct().withColumn("__drop", F.lit(True))
+    return (
+        e.select("vec_id", "label")
+        .join(dup_counts, "vec_id", "left")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            F.coalesce("n_near_dups", F.lit(0)).alias("n_near_dups"),
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+DEDUP_SEMANTIC_ORACLE = """
+WITH dups AS (
+  SELECT a.vec_id AS d1, b.vec_id AS d2
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.92
+)
+SELECT e.vec_id, e.label,
+       (SELECT count(*) FROM dups d WHERE d.d1 = e.vec_id OR d.d2 = e.vec_id) AS n_near_dups,
+       e.vec_id NOT IN (SELECT d2 FROM dups) AS kept
+FROM embeddings e
+ORDER BY e.vec_id
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "text_unigram_lm_score", text_unigram_lm_score, TEXT_UNIGRAM_ORACLE, "LLM:quality-lm"
@@ -214,4 +278,5 @@ SPECS: list[QuerySpec] = [
         "pipe_curriculum_order", pipe_curriculum_order, PIPE_CURRICULUM_ORACLE, "LLM:ordering"
     ),
     QuerySpec("corpus_report", corpus_report, CORPUS_REPORT_ORACLE, "LLM:reporting"),
+    QuerySpec("dedup_semantic", dedup_semantic, DEDUP_SEMANTIC_ORACLE, "LLM:dedup SemDeDup cluster-scoped"),
 ]

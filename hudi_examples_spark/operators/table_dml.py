@@ -657,6 +657,68 @@ FROM customer WHERE c_custkey % 13 = 0
 """
 
 
+def tbl_secondary_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """Secondary-index point lookup (Hudi 1.0 secondary index / metadata
+    indexer): a table keyed on the zero-padded customer name (clustered key
+    ranges), with a secondary index on the NON-key phone column. After three
+    bulk loads and an index-maintaining upsert, an equality lookup on a phone
+    value resolves via the index to record keys and rides the key-range prune
+    to a subset file read. ``index_pruned_ok`` certifies under the driver hash
+    that the lookup scanned fewer files than the table holds; the row set is
+    the ordinary differential (all customers sharing the target phone)."""
+    base = os.path.join(_workdir("tbl_secondary_lookup", sf), "tbl")
+    tbl = Table.create(
+        spark,
+        base,
+        "name STRING, custkey BIGINT, phone STRING, acctbal DOUBLE, v INT",
+        TableConfig(record_key=["name"], precombine="v"),
+    )
+    c = t(spark, sf, "customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_custkey").alias("custkey"),
+        # the sf customer table carries no phone column: derive a unique
+        # synthetic one (identically in the oracle) to play the indexed
+        # high-cardinality non-key attribute
+        F.md5(F.concat(F.lit("ph"), F.col("c_custkey").cast("string"))).alias("phone"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit(1).alias("v"),
+    )
+    n = c.count()
+    for m in range(3):  # thirds by custkey ⇒ zero-padded names cluster per file
+        tbl.bulk_insert(c.filter(F.floor((F.col("custkey") - 1) * 3 / n) == m))
+    tbl.create_secondary_index("phone")
+    tbl.upsert(
+        c.filter(F.col("custkey") % 11 == 0).withColumns(
+            {"acctbal": F.col("acctbal") + 50.0, "v": F.lit(2)}
+        )
+    )
+    import hashlib
+
+    target = hashlib.md5(b"ph7").hexdigest()  # custkey 7's derived phone
+    out = tbl.lookup("phone", target)
+    ev = getattr(tbl, "last_index_lookup", None) or {}
+    pruned_ok = bool(ev.get("scanned", 0) < ev.get("total", 0))
+    return out.select(
+        "name",
+        "custkey",
+        "phone",
+        F.round("acctbal", 2).alias("acctbal"),
+        "v",
+        F.lit(pruned_ok).alias("index_pruned_ok"),
+    )
+
+
+TBL_SECONDARY_ORACLE = """
+SELECT c_name AS name, c_custkey AS custkey,
+       md5('ph' || CAST(c_custkey AS VARCHAR)) AS phone,
+       round(c_acctbal + CASE WHEN c_custkey % 11 = 0 THEN 50.0 ELSE 0 END, 2) AS acctbal,
+       CASE WHEN c_custkey % 11 = 0 THEN 2 ELSE 1 END AS v,
+       TRUE AS index_pruned_ok
+FROM customer
+WHERE md5('ph' || CAST(c_custkey AS VARCHAR)) = md5('ph7')
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("tbl_upsert_cow", tbl_upsert_cow, UPSERT_FINAL_ORACLE, "M1,M2,M7"),
     QuerySpec("tbl_upsert_mor", tbl_upsert_mor, UPSERT_FINAL_ORACLE, "M7,MOR"),
@@ -674,6 +736,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("tbl_savepoint_restore", tbl_savepoint_restore, TBL_SAVEPOINT_ORACLE, "M16/M17 savepoint+restore"),
     QuerySpec("tbl_schema_evolution", tbl_schema_evolution, TBL_SCHEMA_EVOLUTION_ORACLE, "M18+ add/auto/rename/drop lifecycle"),
     QuerySpec("tbl_bloom_upsert", tbl_bloom_upsert, TBL_BLOOM_ORACLE, "J4 BLOOM index + file-group-scoped COW rewrite"),
+    QuerySpec("tbl_secondary_lookup", tbl_secondary_lookup, TBL_SECONDARY_ORACLE, "Hudi 1.0 secondary index point lookup"),
 ]
 
 
@@ -798,10 +861,41 @@ def bench_phases():
             [(inst, meta.get("numPartitionsRewritten"))], "instant STRING, parts_rewritten INT"
         )
 
+    def point_lookup_build(spark, sf):
+        """Fixture for the secondary-index point read: the tbl_secondary_lookup
+        layout (3 clustered bulk loads + phone index + maintaining upsert)."""
+        import hashlib
+
+        base = os.path.join(_workdir("bench_point_lookup", sf), "tbl")
+        tbl = Table.create(
+            spark,
+            base,
+            "name STRING, custkey BIGINT, phone STRING, acctbal DOUBLE, v INT",
+            TableConfig(record_key=["name"], precombine="v"),
+        )
+        c = t(spark, sf, "customer").select(
+            F.col("c_name").alias("name"),
+            F.col("c_custkey").alias("custkey"),
+            F.md5(F.concat(F.lit("ph"), F.col("c_custkey").cast("string"))).alias("phone"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.lit(1).alias("v"),
+        )
+        n = c.count()
+        for m in range(3):
+            tbl.bulk_insert(c.filter(F.floor((F.col("custkey") - 1) * 3 / n) == m))
+        tbl.create_secondary_index("phone")
+        return (tbl, hashlib.md5(b"ph7").hexdigest())
+
+    def point_lookup_op(spark, sf, st):
+        tbl, target = st
+        out = tbl.lookup("phone", target)
+        return out.select("name", "custkey", "phone")
+
     return {
         "tbl_upsert_cow": (upsert_build("tbl_upsert_cow", "cow"), upsert_op),
         "tbl_upsert_mor": (upsert_build("tbl_upsert_mor", "mor"), upsert_op),
         "tbl_cdc_query": (cdc_build, cdc_op),
         "tbl_cdc_query_pruned": (_cdc_pruned_build, cdc_pruned_op),
         "tbl_cluster_incremental": (cluster_inc_build, cluster_inc_op),
+        "tbl_point_lookup": (point_lookup_build, point_lookup_op),
     }

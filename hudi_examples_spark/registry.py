@@ -99,13 +99,17 @@ def all_specs() -> list[QuerySpec]:
         "q15_top_supplier",
         "q16_supplier_part_types",
         "q17_small_quantity_revenue",
-        "q20_excess_suppliers",
+        # r4 debut: SemDeDup cluster-scoped embedding dedup (took
+        # q20_excess_suppliers's refresh slot; it stays sweep-covered)
+        "dedup_semantic",
         "q21_sole_supplier_orders",
         "q22_idle_customers",
         "a_rollup_revenue",
         "a_cube_order_mix",
         "a_pivot_event_types",
-        "a_percentile_values",
+        # r4 debut: secondary-index point lookup (took a_percentile_values's
+        # refresh slot — debut ops outrank refreshes; it stays sweep-covered)
+        "tbl_secondary_lookup",
         # r4 debut: BLOOM index + file-group-scoped COW rewrite (took the slot
         # of the mm_frame_sample early refresh — debut ops outrank refreshes)
         "tbl_bloom_upsert",

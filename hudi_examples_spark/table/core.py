@@ -391,7 +391,13 @@ class Table:
             df = df.withColumn(META_DELETED, F.lit(False))
         return df
 
-    def _write_files(self, df: DataFrame, instant: str, preserve_layout: bool = False) -> list[str]:
+    def _write_files(
+        self,
+        df: DataFrame,
+        instant: str,
+        preserve_layout: bool = False,
+        range_key_layout: int | None = None,
+    ) -> list[str]:
         """Write one commit's files into hive-style partition dirs:
         ``{base}/{col=val}/{instant}_{n}.parquet`` (Hudi's own layout shape).
 
@@ -426,6 +432,22 @@ class Table:
             df = df.withColumn(BUCKET_COL, bucket)
             write_parts.append(BUCKET_COL)
             df = df.repartition(*[F.col(c) for c in write_parts])
+        elif range_key_layout is not None and self.config.record_key and META_KEY in df.columns:
+            # COW-rewrite layout preservation: a merged rewrite hash-scattered
+            # across tasks would give every output file a key range spanning
+            # the whole space — one upsert would permanently blind the range
+            # index (and inflate every later rewrite's candidate set). Range-
+            # partitioning on (hive partition, record key) and sorting within
+            # tasks keeps file key ranges disjoint — Hudi's GLOBAL_SORT /
+            # per-file-group rewrite discipline — at the cost of one ranged
+            # exchange of the (already key-scoped) rewrite set. Width = the
+            # candidate-file count, so file counts stay stable across
+            # rewrites; maxRecordsPerFile rolls a sorted task into sequential
+            # chunks, so even rolled files keep disjoint ranges.
+            exprs = [F.col(c) for c in parts] + [F.col(META_KEY)]
+            df = df.repartitionByRange(max(range_key_layout, 1), *exprs).sortWithinPartitions(
+                *exprs
+            )
         elif parts:
             df = df.repartition(*[F.col(c) for c in parts])
         staging = os.path.join(self.base, ".staging", instant)
@@ -600,9 +622,136 @@ class Table:
                 if bloom_any_contains(bl, h1, h2):
                     yield rel
 
-        keys = keys_df.select(F.col(META_KEY).cast("string").alias("__k")).distinct()
+        # duplicates only cost re-hashing inside the vectorized probe — cheaper
+        # than a distinct exchange of the batch
+        keys = keys_df.select(F.col(META_KEY).cast("string").alias("__k"))
         hit = set(keys.rdd.mapPartitions(probe).distinct().collect())
         return sorted(hit | set(unknown))
+
+    # ------------------------------------------------------- secondary index
+
+    INDEX_DIR = "_index"
+
+    def create_secondary_index(self, col: str) -> None:
+        """Hudi 1.0 secondary index: a (value → record key) mapping for a
+        NON-key column, so an equality lookup on it resolves to candidate
+        record keys first and then rides the key indexes (range + bloom) to a
+        pruned file read — instead of scanning the table or relying on col
+        stats that only help clustered columns.
+
+        The index is itself a parquet dataset under ``_index/{col}/data``,
+        range-partitioned and sorted on the value so the LOOKUP of the index
+        is min/max-prunable too. Built with one column-pruned snapshot scan;
+        every subsequent data commit appends its own (value, key) pairs
+        (``_maintain_indexes`` — O(commit), distributed). The index is
+        maintained as a COMPLETE SUPERSET: updates append their new mapping
+        and stale entries are never removed eagerly (deletes/overwrites/
+        rollbacks only ever remove rows), which is safe because ``lookup``
+        re-applies the predicate to the fetched rows — a stale entry costs
+        bounded extra IO, never a wrong result. ``rebuild_index`` compacts
+        the superset back to the exact mapping (Hudi's async indexer)."""
+        if not self.config.record_key:
+            raise ValueError("secondary index requires a record key")
+        if col not in self.schema.names:
+            raise ValueError(f"no such column: {col}")
+        d = os.path.join(self.base, self.INDEX_DIR, col)
+        self._write_index_data(col, os.path.join(d, "data"))
+        with open(os.path.join(d, "meta.json"), "w") as f:
+            json.dump({"col": col, "built_as_of": self.latest_instant() or ""}, f)
+
+    def _write_index_data(self, col: str, data_dir: str) -> None:
+        entries = (
+            self.read(with_meta=True)
+            .select(F.col(col).alias("val"), F.col(META_KEY).alias("key"))
+            .where(F.col("val").isNotNull())
+        )
+        n = max(self.spark.sparkContext.defaultParallelism // 4, 1)
+        (
+            entries.repartitionByRange(n, "val")
+            .sortWithinPartitions("val")
+            .write.mode("overwrite")
+            .parquet(data_dir)
+        )
+
+    def secondary_index_cols(self) -> list[str]:
+        d = os.path.join(self.base, self.INDEX_DIR)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            c for c in os.listdir(d) if os.path.exists(os.path.join(d, c, "meta.json"))
+        )
+
+    def drop_secondary_index(self, col: str) -> None:
+        shutil.rmtree(os.path.join(self.base, self.INDEX_DIR, col), ignore_errors=True)
+
+    def rebuild_index(self, col: str) -> None:
+        """Compact the append-only superset back to the exact current mapping
+        (drops stale values of updated rows and entries of deleted rows).
+        Table-maintenance op, same single-maintainer contract as compaction."""
+        d = os.path.join(self.base, self.INDEX_DIR, col)
+        if not os.path.exists(os.path.join(d, "meta.json")):
+            raise ValueError(f"no secondary index on {col}")
+        fresh = os.path.join(d, "data__rebuild")
+        self._write_index_data(col, fresh)
+        live = os.path.join(d, "data")
+        shutil.rmtree(live, ignore_errors=True)
+        os.rename(fresh, live)
+
+    def _maintain_indexes(self, rels: list[str]) -> None:
+        """Append the (value, key) pairs of files just written to every
+        secondary index — one distributed column-pruned job per index over
+        ONLY the commit's files. Runs before the commit publishes: a crash in
+        between leaves superset entries (harmless), never a missing mapping."""
+        cols = self.secondary_index_cols()
+        if not cols or not rels:
+            return
+        df = self._read_files(rels, with_deleted=False)
+        for col in cols:
+            if col not in df.columns:
+                continue
+            (
+                df.select(F.col(col).alias("val"), F.col(META_KEY).alias("key"))
+                .where(F.col("val").isNotNull())
+                .write.mode("append")
+                .parquet(os.path.join(self.base, self.INDEX_DIR, col, "data"))
+            )
+
+    def lookup(self, col: str, value) -> DataFrame:
+        """Index-backed equality point read on a non-key column.
+
+        Plan shape: filter the index on the value (min/max-pruned parquet
+        read — the index is value-sorted), map to candidate record keys,
+        prune live base files through the key range/bloom indexes, and read
+        only the survivors (plus MOR logs, with the same
+        key-window-closure guard as ``scan``). The final predicate re-apply
+        makes superset index entries invisible. Without an index on ``col``
+        this degrades to ``scan``'s col-stats path. Pruning evidence at
+        ``last_index_lookup``."""
+        d = os.path.join(self.base, self.INDEX_DIR, col)
+        if not os.path.exists(os.path.join(d, "meta.json")):
+            return self.scan([(col, "=", value)])
+        idx = self.spark.read.parquet(os.path.join(d, "data"))
+        keys = (
+            idx.filter(F.col("val") == value)
+            .select(F.col("key").alias(META_KEY))
+            .distinct()
+        )
+        files, _ = self.timeline.live_files()
+        log_rels = sorted(r for r, (_, a) in files.items() if a == "deltacommit")
+        base_rels = sorted(r for r in files if r not in set(log_rels))
+        cand = self._prune_files_by_keys(base_rels, keys)
+        if log_rels:
+            dropped = [r for r in base_rels if r not in set(cand)]
+            log_keys = self._read_files(log_rels, with_deleted=True).select(META_KEY)
+            cand = sorted(set(cand) | set(self._prune_files_by_keys(dropped, log_keys)))
+        rels = sorted(set(cand) | set(log_rels))
+        self.last_index_lookup = {
+            "total": len(files),
+            "scanned": len(rels),
+            "pruned": len(files) - len(rels),
+        }
+        df = self._snapshot_of(files, rels).drop(*META_COLS) if rels else self.read().limit(0)
+        return df.filter(F.col(col) == value)
 
     def _prune_files_by_keys(self, rels: list[str], keys_df: DataFrame) -> list[str]:
         """Drop files whose recorded record-key [min, max] range cannot contain
@@ -637,7 +786,10 @@ class Table:
             }
             return kept
         rng = self.spark.createDataFrame(ranged, "rel STRING, lo STRING, hi STRING")
-        keys = keys_df.select(F.col(META_KEY).cast("string").alias("__k")).distinct()
+        # no pre-join distinct: the broadcast range join tolerates duplicate
+        # keys and the post-join file-name distinct is tiny — skipping it saves
+        # one full exchange of the batch on EVERY keyed write's planning pass
+        keys = keys_df.select(F.col(META_KEY).cast("string").alias("__k"))
         with _no_aqe(self.spark):
             hit = (
                 keys.join(
@@ -1393,6 +1545,7 @@ class Table:
         if dedup and self.config.record_key:
             out = self._latest_wins(out)
         rels = self._write_files(out, instant)
+        self._maintain_indexes(rels)
         self.timeline.write(
             Instant(instant, "commit", rels, [], {"operation": "insert"})
         )
@@ -1404,6 +1557,7 @@ class Table:
         out = self._with_meta(self._conform(df), instant)
         files, latest = self.timeline.live_files()
         rels = self._write_files(out, instant)
+        self._maintain_indexes(rels)
         self._publish_occ(
             Instant(instant, "replacecommit", rels, list(files.keys()), {"operation": "insert_overwrite"}),
             since=latest,
@@ -1533,6 +1687,36 @@ class Table:
         # a full-row anti-join rewrite is the only correct form)
         return self._apply_cow(instant, upserts, deletes, op, extra_meta)
 
+    def _batch_keys(self, *dfs: DataFrame) -> DataFrame | None:
+        """Distinct ``_hoodie_record_key`` values across the incoming batches,
+        or None when any batch can't yield keys (pk-less table, missing key
+        columns) — callers then fall back to partition-scope planning."""
+        if not self.config.record_key:
+            return None
+        keys = None
+        for df in dfs:
+            if df is None:
+                continue
+            if all(c in df.columns for c in self.config.record_key):
+                k = df.select(self._key_expr().alias(META_KEY))
+            elif META_KEY in df.columns:
+                k = df.select(META_KEY)
+            else:
+                return None
+            keys = k if keys is None else keys.unionByName(k)
+        # not distinct-ed: every consumer (range/bloom prune) tolerates
+        # duplicates, and the exchange would cost more than the re-tests
+        return keys
+
+    def _partition_path_of(self, rel: str) -> str:
+        """Hive partition path of a file (``seg=A`` / ``a=1/b=2``), ignoring
+        ``__bucket`` routing dirs — driver-side string work, no jobs."""
+        return "/".join(
+            f"{k}={v}"
+            for k, v in self._partition_of_relpath(rel).items()
+            if k in self.config.partition_by
+        )
+
     def _touched_partition_filter(self, *dfs: DataFrame):
         """Distinct partition paths of the incoming batches → predicate over live
         files. The only collect in the write path (bounded by partition count).
@@ -1611,48 +1795,95 @@ class Table:
         extra_meta: dict | None = None,
     ) -> str:
         files, _latest = self.timeline.live_files()
-        # Empty table: nothing to locate or rewrite — skip the partition-location
-        # jobs and publish with the conservative full-table OCC footprint (None),
-        # so a concurrent first writer still conflicts instead of duplicating keys.
-        touched = self._touched_partition_filter(upserts, deletes) if files else None
-        if touched is None:
-            touched_rels = list(files.keys())
+        keys_df = self._batch_keys(upserts, deletes)
+        if files and keys_df is not None:
+            # Key-first planning (Hudi COW upsert granularity): ONE range/bloom
+            # prune finds the file groups that may HOLD an incoming or deleted
+            # key — they are exactly the rewrite set. Pure inserts land in new
+            # files; every other file group stays live untouched. This replaces
+            # the partition-location SCAN (which had to open candidate files to
+            # find key partitions) with pure planning metadata: the difference
+            # between rewriting a 1 TB partition and rewriting the 3 files a
+            # 1000-row upsert actually hits. Pruning is lossless (files without
+            # stats are always kept), so the merge still sees every version of
+            # every incoming key — including rows MOVING partitions under the
+            # global index (their old-partition file is in the candidate set).
+            batch_parts = None
+            if self.config.partition_by:
+                dfs = [d for d in (upserts, deletes) if d is not None]
+                if all(
+                    all(c in d.columns for c in self.config.partition_by) for d in dfs
+                ):
+                    with _no_aqe(self.spark):
+                        batch_parts = {
+                            r["p"]
+                            for d in dfs
+                            for r in d.select(self._partition_expr().alias("p"))
+                            .distinct()
+                            .collect()
+                        }
+            if self.config.index_type == "partition" and batch_parts is not None:
+                # non-global index: trust the batch's own partition values and
+                # never look elsewhere (Hudi SIMPLE contract — a partition-
+                # changing upsert leaves the old row in place)
+                scope = [
+                    r for r in files if self._partition_path_of(r) in batch_parts
+                ]
+            else:
+                scope = sorted(files)
+            touched_rels = (
+                self._prune_files_by_keys(sorted(scope), keys_df)
+                if len(scope) > 1
+                else list(scope)
+            )
+            if batch_parts is not None:
+                # Range/bloom candidates OUTSIDE the batch's own partitions are
+                # usually lexicographic false positives of the string key range
+                # (a numeric key "5" overlaps ranges in every partition), and a
+                # needless rewrite both costs IO and marks a clustered
+                # partition dirty. Verify them with a key-column-pruned read —
+                # a moved row's real holder file survives, FP files drop.
+                outside = [
+                    r
+                    for r in touched_rels
+                    if self._partition_path_of(r) not in batch_parts
+                ]
+                if outside:
+                    hits = (
+                        self._read_files(outside, with_deleted=False)
+                        .select(META_KEY, F.input_file_name().alias("__f"))
+                        .join(keys_df, META_KEY, "leftsemi")
+                        .select("__f")
+                        .distinct()
+                        .collect()
+                    )
+                    confirmed = {
+                        r for r in outside for h in hits if h["__f"].endswith(r)
+                    }
+                    touched_rels = [
+                        r
+                        for r in touched_rels
+                        if r not in set(outside) or r in confirmed
+                    ]
+            if self.config.partition_by:
+                # OCC footprint: the batch's own partitions plus the partitions
+                # of every candidate file (a superset of the partitions that
+                # hold the keys — derived from file paths, zero extra jobs)
+                touched = (batch_parts or set()) | {
+                    self._partition_path_of(r) for r in touched_rels
+                }
+            else:
+                touched = None  # unpartitioned: conservative full-table footprint
         else:
-            touched_rels = [
-                r
-                for r in files
-                if "/".join(
-                    f"{k}={v}"
-                    for k, v in self._partition_of_relpath(r).items()
-                    if k in self.config.partition_by  # ignore __bucket dirs
-                )
-                in touched
-            ]
-        # File-group scoping (Hudi COW upsert granularity): within the touched
-        # partitions, only files that may HOLD an incoming or deleted key need
-        # rewriting — pure inserts land in new files, and file groups whose key
-        # range/bloom excludes the whole batch stay live untouched. This is the
-        # difference between rewriting a 1 TB partition and rewriting the 3
-        # files a 1000-row upsert actually hits; pruning is lossless (files
-        # without stats are always kept), so the merge still sees every
-        # version of every incoming key.
-        if self.config.record_key and len(touched_rels) > 1:
-            keys = None
-            for df in (upserts, deletes):
-                if df is None:
-                    continue
-                if all(c in df.columns for c in self.config.record_key):
-                    k = df.select(self._key_expr().alias(META_KEY))
-                elif META_KEY in df.columns:
-                    k = df.select(META_KEY)
-                else:
-                    keys = None
-                    break
-                keys = k if keys is None else keys.unionByName(k)
-            if keys is not None:
-                touched_rels = self._prune_files_by_keys(
-                    sorted(touched_rels), keys.distinct()
-                )
+            # pk-less batches (or no derivable keys): partition-scope via the
+            # legacy location filter, full rewrite within touched partitions
+            touched = self._touched_partition_filter(upserts, deletes) if files else None
+            if touched is None:
+                touched_rels = list(files.keys())
+            else:
+                touched_rels = [
+                    r for r in files if self._partition_path_of(r) in touched
+                ]
         existing = self._read_files(touched_rels, with_deleted=False)
 
         survivors = existing
@@ -1674,7 +1905,14 @@ class Table:
         else:
             merged = survivors
 
-        rels = self._write_files(merged, instant)
+        rels = self._write_files(
+            merged,
+            instant,
+            range_key_layout=(
+                len(touched_rels) or self.spark.sparkContext.defaultParallelism
+            ),
+        )
+        self._maintain_indexes(rels)
         self._publish_occ(
             Instant(instant, "commit", rels, touched_rels, {"operation": op, **(extra_meta or {})}),
             since=_latest,
@@ -1704,6 +1942,7 @@ class Table:
         if not live and upserts is not None and deletes is None:
             out = self._latest_wins(self._with_meta(upserts, instant))
             rels = self._write_files(out, instant)
+            self._maintain_indexes(rels)
             self.timeline.write(Instant(instant, "commit", rels, [], meta))
             return instant
         parts = []
@@ -1719,6 +1958,7 @@ class Table:
             return instant
         out = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
         rels = self._write_files(out, instant)
+        self._maintain_indexes(rels)
         self.timeline.write(Instant(instant, "deltacommit", rels, [], meta))
         return instant
 
@@ -1827,7 +2067,12 @@ class Table:
         base = self._read_files(merge_base, with_deleted=True)
         logs = self._read_files(log_rels, with_deleted=True)
         merged = self._merge_mor(base.unionByName(logs)).drop(META_DELETED)
-        rels = self._write_files(merged, instant)
+        # same layout discipline as the COW rewrite: range-partition + sort the
+        # merged output on (partition, key) so compaction REPAIRS key locality
+        # (log appends arrive in arrival order) instead of scattering it
+        rels = self._write_files(
+            merged, instant, range_key_layout=max(len(merge_base), 1)
+        )
         self._publish_occ(
             Instant(
                 instant,

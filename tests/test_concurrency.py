@@ -33,8 +33,8 @@ def _interleave(writer_a: Table, action_during_write):
     right before A publishes — i.e. inside A's commit window."""
     orig = writer_a._write_files
 
-    def hooked(df_, instant, preserve_layout=False):
-        rels = orig(df_, instant, preserve_layout)
+    def hooked(df_, instant, *args, **kwargs):
+        rels = orig(df_, instant, *args, **kwargs)
         if not hooked.fired:
             hooked.fired = True
             action_during_write()

@@ -63,3 +63,32 @@ def test_curriculum_bands_agree_with_quality_columns(spark):
     }
     for r in pipe_curriculum_order(spark, SF_SMALL).collect():
         assert bands[r["doc_id"]] == r["band"]
+
+
+def test_semantic_dedup_drops_planted_cluster_dup(spark, tmp_path):
+    """Planted near-identical pair in the SAME cluster is deduped (higher id
+    dropped); the identical vector in a DIFFERENT cluster survives — cluster
+    blindness is SemDeDup's documented contract, not a bug."""
+    import numpy as np
+
+    from hudi_examples_spark.operators.llm_pipeline6 import dedup_semantic
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(60):
+        v = rng.standard_normal(8)
+        rows.append((i, (v / np.linalg.norm(v)).tolist(), i % 3))
+    base = np.array(rows[0][1])
+    near = base + 1e-4 * rng.standard_normal(8)
+    rows.append((100, (near / np.linalg.norm(near)).tolist(), 0))  # same cluster as 0
+    rows.append((101, base.tolist(), 1))  # identical but other cluster
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+    p = str(tmp_path / "embeddings.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "emb"))
+    import shutil, glob, os
+    shutil.copy(glob.glob(str(tmp_path / "emb" / "*.parquet"))[0], p)
+
+    out = {r["vec_id"]: r for r in dedup_semantic(spark, str(tmp_path)).collect()}
+    assert out[0]["kept"] and out[0]["n_near_dups"] >= 1
+    assert not out[100]["kept"]  # same-cluster near-dup, higher id -> dropped
+    assert out[101]["kept"] and out[101]["n_near_dups"] == 0  # other cluster: blind

@@ -101,12 +101,20 @@ def test_upsert_location_scan_prunes_by_key_range(spark, tmp_path):
 
 
 def test_partition_scoped_index_skips_location_scan(spark, tmp_path):
+    """Non-global index: planning must stay METADATA-only and inside the
+    batch's own partitions. Round 4's key-first planner still range-prunes
+    (that's sidecar metadata, not a file read — exactly Hudi SIMPLE's
+    partition-local key join), but its scope must exclude other partitions."""
     tbl = make(spark, tmp_path, table_type="cow", index_type="partition")
     for part in range(3):
         tbl.insert(rows_df(spark, part, range(10)))
+    files, _ = tbl.timeline.live_files()
+    n_all = len(files)
+    n_p1 = sum("p=1" in r for r in files)
     tbl.last_key_prune = None
     tbl.upsert(rows_df(spark, 1, range(2), ts=2, v=5.0))
-    assert tbl.last_key_prune is None  # no key-location scan ran at all
+    # the prune's universe was partition p=1's files only, never the table
+    assert tbl.last_key_prune["total"] <= n_p1 < n_all
     assert tbl.read().filter("p=1 and v=5.0").count() == 2
     # documented non-global contract: a partition-changing upsert does NOT
     # move the record — the old row stays (Hudi SIMPLE index behavior)

@@ -202,19 +202,39 @@ def test_pkless_table_appends(spark, tmp_path):
 
 
 def test_partition_pruned_rewrite(spark, tmp_path):
-    """COW upsert must rewrite ONLY touched partitions — untouched files survive."""
+    """COW upsert rewrites ONLY the file groups holding affected keys.
+
+    Untouched partitions survive, and — file-group scoping, round 4 — a pure
+    INSERT of a brand-new key doesn't rewrite anything either: the key-range/
+    bloom prune proves no live file holds it, so the batch lands in a new file
+    and every existing file (including the target partition's) stays live.
+    An UPDATE of an existing key, by contrast, must replace its holder file."""
     tbl = make_table(spark, tmp_path)
-    first = tbl.insert(trips_df(spark))
+    tbl.insert(trips_df(spark))
     files_before, _ = tbl.timeline.live_files()
     sp_files = {f for f in files_before if "city=sao_paulo" in f}
-    import os
+    ch_files = {f for f in files_before if "city=chennai" in f}
 
-    tbl.upsert(trips_df(spark, [(9999999999999, "3eeb61f7", "rider-I", "driver-S", 3.0, "chennai")]))
+    # new key OUTSIDE every file's key range -> append-only: nothing rewritten
+    # (a key inside a range would legitimately rewrite that file — the range
+    # index can't see inside the file; that's the bloom index's job)
+    tbl.upsert(trips_df(spark, [(9999999999999, "zz-new-key", "rider-NEW", "driver-S", 3.0, "chennai")]))
     files_after, _ = tbl.timeline.live_files()
-    assert sp_files <= set(files_after), "untouched partition files were rewritten"
-    assert not any(
-        "city=chennai" in f and os.path.basename(f).startswith(first) for f in files_after
-    ), "touched partition should have been replaced"
+    assert set(files_before) <= set(files_after), "pure insert must not rewrite any file group"
+    assert tbl.read().filter("rider = 'rider-NEW'").count() == 1
+
+    # existing chennai key updated -> its holder file group is replaced,
+    # sao_paulo still untouched
+    chen = tbl.read().filter("uuid = 'c8abbe79'").first()  # a seed chennai row
+    tbl.upsert(
+        trips_df(spark, [(chen["ts"] + 1, chen["uuid"], chen["rider"], chen["driver"], 99.0, "chennai")])
+    )
+    files_final, _ = tbl.timeline.live_files()
+    assert sp_files <= set(files_final), "untouched partition files were rewritten"
+    # only the HOLDER file group is replaced; a chennai file holding other
+    # keys may survive (that's the per-file-group granularity working)
+    assert ch_files - set(files_final), "updated key's holder file group must be replaced"
+    assert tbl.read().filter(f"uuid = '{chen['uuid']}'").first()["fare"] == 99.0
 
 
 def test_cdc_write(spark, tmp_path):
