@@ -661,17 +661,21 @@ def tbl_secondary_lookup(spark: SparkSession, sf: str) -> DataFrame:
     """Secondary-index point lookup (Hudi 1.0 secondary index / metadata
     indexer): a table keyed on the zero-padded customer name (clustered key
     ranges), with a secondary index on the NON-key phone column. After three
-    bulk loads and an index-maintaining upsert, an equality lookup on a phone
-    value resolves via the index to record keys and rides the key-range prune
-    to a subset file read. ``index_pruned_ok`` certifies under the driver hash
+    bulk loads and an index-maintaining insert commit, an equality lookup on a
+    phone value resolves via the index to record keys and rides the key
+    range/bloom prune to a subset file read. ``index_pruned_ok`` certifies under the driver hash
     that the lookup scanned fewer files than the table holds; the row set is
     the ordinary differential (all customers sharing the target phone)."""
     base = os.path.join(_workdir("tbl_secondary_lookup", sf), "tbl")
+    # bloom_index: rewrites hash-scatter rows, so after the maintaining upsert
+    # the rewritten files' key RANGES span the space — the bloom sidecars are
+    # what keep the lookup's file pruning sharp (exactly Hudi's design: bloom
+    # for random access, clustering to restore sort order)
     tbl = Table.create(
         spark,
         base,
         "name STRING, custkey BIGINT, phone STRING, acctbal DOUBLE, v INT",
-        TableConfig(record_key=["name"], precombine="v"),
+        TableConfig(record_key=["name"], precombine="v", bloom_index=True),
     )
     c = t(spark, sf, "customer").select(
         F.col("c_name").alias("name"),
@@ -687,11 +691,22 @@ def tbl_secondary_lookup(spark: SparkSession, sf: str) -> DataFrame:
     for m in range(3):  # thirds by custkey ⇒ zero-padded names cluster per file
         tbl.bulk_insert(c.filter(F.floor((F.col("custkey") - 1) * 3 / n) == m))
     tbl.create_secondary_index("phone")
-    tbl.upsert(
-        c.filter(F.col("custkey") % 11 == 0).withColumns(
-            {"acctbal": F.col("acctbal") + 50.0, "v": F.lit(2)}
+    # index-maintaining commit: NEW keys only, so they land in a fresh file
+    # group and the three clustered loads keep their disjoint name ranges —
+    # the lookup then has >1 file group to prune (a broad update batch would
+    # rewrite-and-merge everything into one file at small scales)
+    inserts = (
+        c.filter(F.col("custkey") % 13 == 0)
+        .withColumn("custkey", F.col("custkey") + 1000000)
+        .withColumns(
+            {
+                "name": F.concat(F.lit("Customer#"), F.lpad(F.col("custkey").cast("string"), 9, "0")),
+                "phone": F.md5(F.concat(F.lit("ph"), F.col("custkey").cast("string"))),
+                "v": F.lit(2),
+            }
         )
     )
+    tbl.upsert(inserts)
     import hashlib
 
     target = hashlib.md5(b"ph7").hexdigest()  # custkey 7's derived phone
@@ -709,13 +724,20 @@ def tbl_secondary_lookup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 TBL_SECONDARY_ORACLE = """
-SELECT c_name AS name, c_custkey AS custkey,
-       md5('ph' || CAST(c_custkey AS VARCHAR)) AS phone,
-       round(c_acctbal + CASE WHEN c_custkey % 11 = 0 THEN 50.0 ELSE 0 END, 2) AS acctbal,
-       CASE WHEN c_custkey % 11 = 0 THEN 2 ELSE 1 END AS v,
-       TRUE AS index_pruned_ok
-FROM customer
-WHERE md5('ph' || CAST(c_custkey AS VARCHAR)) = md5('ph7')
+WITH final AS (
+  SELECT c_name AS name, c_custkey AS custkey,
+         md5('ph' || CAST(c_custkey AS VARCHAR)) AS phone,
+         round(c_acctbal, 2) AS acctbal, 1 AS v
+  FROM customer
+  UNION ALL
+  SELECT 'Customer#' || lpad(CAST(c_custkey + 1000000 AS VARCHAR), 9, '0'),
+         c_custkey + 1000000,
+         md5('ph' || CAST(c_custkey + 1000000 AS VARCHAR)),
+         round(c_acctbal, 2), 2
+  FROM customer WHERE c_custkey % 13 = 0
+)
+SELECT name, custkey, phone, acctbal, v, TRUE AS index_pruned_ok
+FROM final WHERE phone = md5('ph7')
 """
 
 
@@ -871,7 +893,7 @@ def bench_phases():
             spark,
             base,
             "name STRING, custkey BIGINT, phone STRING, acctbal DOUBLE, v INT",
-            TableConfig(record_key=["name"], precombine="v"),
+            TableConfig(record_key=["name"], precombine="v", bloom_index=True),
         )
         c = t(spark, sf, "customer").select(
             F.col("c_name").alias("name"),

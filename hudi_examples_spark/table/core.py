@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import re as _re
 import shutil
 from contextlib import contextmanager
 from dataclasses import asdict, dataclass, field
@@ -216,6 +217,8 @@ META_DELETED = "_hoodie_is_deleted"
 META_COLS = (META_COMMIT, META_KEY, META_PARTITION)
 
 PROPS_FILE = "_props.json"
+#: index dir names double as filesystem paths — keep them shell/FS-safe
+_INDEX_NAME_RE = _re.compile(r"^[A-Za-z0-9_]+$")
 BUCKET_COL = "__bucket"
 #: hash ring size for consistent-hash (range) bucket routing
 BUCKET_RING = 1 << 32
@@ -413,6 +416,7 @@ class Table:
             df = df.withColumn(META_DELETED, F.lit(False))
         parts = self.config.partition_by
         write_parts = list(parts)
+        unpersist_after_write = None
         if preserve_layout:
             # caller (sort clustering) planned the partitioning itself — keep it
             pass
@@ -432,18 +436,20 @@ class Table:
             df = df.withColumn(BUCKET_COL, bucket)
             write_parts.append(BUCKET_COL)
             df = df.repartition(*[F.col(c) for c in write_parts])
-        elif range_key_layout is not None and self.config.record_key and META_KEY in df.columns:
-            # COW-rewrite layout preservation: a merged rewrite hash-scattered
-            # across tasks would give every output file a key range spanning
-            # the whole space — one upsert would permanently blind the range
-            # index (and inflate every later rewrite's candidate set). Range-
-            # partitioning on (hive partition, record key) and sorting within
-            # tasks keeps file key ranges disjoint — Hudi's GLOBAL_SORT /
-            # per-file-group rewrite discipline — at the cost of one ranged
-            # exchange of the (already key-scoped) rewrite set. Width = the
-            # candidate-file count, so file counts stay stable across
-            # rewrites; maxRecordsPerFile rolls a sorted task into sequential
-            # chunks, so even rolled files keep disjoint ranges.
+        elif range_key_layout and self.config.record_key and META_KEY in df.columns:
+            # OPT-IN key-sorted layout (range-partition + in-task sort on
+            # (hive partition, record key)): keeps file key ranges disjoint so
+            # the range index prunes sharply. NOT applied on the regular write
+            # path — RangePartitioner samples its child (re-executing the
+            # merge plan) and the ranged exchange costs ~1s per write at bench
+            # scale, which is why Hudi's own answer for random access after
+            # rewrites is the BLOOM index (layout-independent) plus periodic
+            # clustering to restore sort order. ``cluster_sort`` and bulk
+            # loads are the intended callers.
+            from pyspark import StorageLevel
+
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            unpersist_after_write = df
             exprs = [F.col(c) for c in parts] + [F.col(META_KEY)]
             df = df.repartitionByRange(max(range_key_layout, 1), *exprs).sortWithinPartitions(
                 *exprs
@@ -456,7 +462,11 @@ class Table:
             writer = writer.option("maxRecordsPerFile", self.config.max_records_per_file)
         if write_parts:
             writer = writer.partitionBy(*write_parts)
-        writer.parquet(staging)
+        try:
+            writer.parquet(staging)
+        finally:
+            if unpersist_after_write is not None:
+                unpersist_after_write.unpersist()
         rels: list[str] = []
         n = 0
         for root, _dirs, fns in os.walk(staging):
@@ -650,19 +660,46 @@ class Table:
         re-applies the predicate to the fetched rows — a stale entry costs
         bounded extra IO, never a wrong result. ``rebuild_index`` compacts
         the superset back to the exact mapping (Hudi's async indexer)."""
-        if not self.config.record_key:
-            raise ValueError("secondary index requires a record key")
         if col not in self.schema.names:
             raise ValueError(f"no such column: {col}")
-        d = os.path.join(self.base, self.INDEX_DIR, col)
-        self._write_index_data(col, os.path.join(d, "data"))
-        with open(os.path.join(d, "meta.json"), "w") as f:
-            json.dump({"col": col, "built_as_of": self.latest_instant() or ""}, f)
+        self.create_expression_index(col, col)
 
-    def _write_index_data(self, col: str, data_dir: str) -> None:
+    def create_expression_index(self, name: str, expr: str) -> None:
+        """Hudi 1.0 expression (functional) index: the indexed value is an
+        arbitrary deterministic SQL EXPRESSION over the row (``lower(name)``,
+        ``substr(phone, 1, 3)``, ``year(ts)``) instead of a raw column —
+        ``CREATE INDEX idx ON t USING column_stats(col) / bloom_filters`` with
+        a function, per the Hudi 1.0 SQL surface. Same maintenance/lookup
+        machinery as the plain secondary index (which is just ``expr = col``):
+        a complete-superset (value → record key) dataset, compacted by
+        ``rebuild_index``, queried via ``lookup_indexed``."""
+        if not self.config.record_key:
+            raise ValueError("secondary index requires a record key")
+        if not _INDEX_NAME_RE.match(name):
+            raise ValueError(f"index name must be alnum/underscore, got {name!r}")
+        d = os.path.join(self.base, self.INDEX_DIR, name)
+        os.makedirs(d, exist_ok=True)
+        self._write_index_data(expr, os.path.join(d, "data"))
+        with open(os.path.join(d, "meta.json"), "w") as f:
+            json.dump(
+                {"name": name, "expr": expr, "built_as_of": self.latest_instant() or ""},
+                f,
+            )
+
+    def _index_meta(self, name: str) -> dict | None:
+        p = os.path.join(self.base, self.INDEX_DIR, name, "meta.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            meta = json.load(f)
+        # plain pre-expression metas carry only "col"
+        meta.setdefault("expr", meta.get("col", name))
+        return meta
+
+    def _write_index_data(self, expr: str, data_dir: str) -> None:
         entries = (
             self.read(with_meta=True)
-            .select(F.col(col).alias("val"), F.col(META_KEY).alias("key"))
+            .select(F.expr(expr).alias("val"), F.col(META_KEY).alias("key"))
             .where(F.col("val").isNotNull())
         )
         n = max(self.spark.sparkContext.defaultParallelism // 4, 1)
@@ -684,36 +721,44 @@ class Table:
     def drop_secondary_index(self, col: str) -> None:
         shutil.rmtree(os.path.join(self.base, self.INDEX_DIR, col), ignore_errors=True)
 
-    def rebuild_index(self, col: str) -> None:
+    def rebuild_index(self, name: str) -> None:
         """Compact the append-only superset back to the exact current mapping
         (drops stale values of updated rows and entries of deleted rows).
         Table-maintenance op, same single-maintainer contract as compaction."""
-        d = os.path.join(self.base, self.INDEX_DIR, col)
-        if not os.path.exists(os.path.join(d, "meta.json")):
-            raise ValueError(f"no secondary index on {col}")
+        meta = self._index_meta(name)
+        if meta is None:
+            raise ValueError(f"no secondary index {name}")
+        d = os.path.join(self.base, self.INDEX_DIR, name)
         fresh = os.path.join(d, "data__rebuild")
-        self._write_index_data(col, fresh)
+        self._write_index_data(meta["expr"], fresh)
         live = os.path.join(d, "data")
         shutil.rmtree(live, ignore_errors=True)
         os.rename(fresh, live)
 
     def _maintain_indexes(self, rels: list[str]) -> None:
         """Append the (value, key) pairs of files just written to every
-        secondary index — one distributed column-pruned job per index over
-        ONLY the commit's files. Runs before the commit publishes: a crash in
-        between leaves superset entries (harmless), never a missing mapping."""
-        cols = self.secondary_index_cols()
-        if not cols or not rels:
+        secondary/expression index — one distributed column-pruned job per
+        index over ONLY the commit's files. Runs before the commit publishes:
+        a crash in between leaves superset entries (harmless), never a missing
+        mapping."""
+        names = self.secondary_index_cols()
+        if not names or not rels:
             return
         df = self._read_files(rels, with_deleted=False)
-        for col in cols:
-            if col not in df.columns:
+        for name in names:
+            meta = self._index_meta(name)
+            if meta is None:
                 continue
+            try:
+                entries = df.select(
+                    F.expr(meta["expr"]).alias("val"), F.col(META_KEY).alias("key")
+                )
+            except Exception:
+                continue  # expression no longer analyzes (e.g. column dropped)
             (
-                df.select(F.col(col).alias("val"), F.col(META_KEY).alias("key"))
-                .where(F.col("val").isNotNull())
+                entries.where(F.col("val").isNotNull())
                 .write.mode("append")
-                .parquet(os.path.join(self.base, self.INDEX_DIR, col, "data"))
+                .parquet(os.path.join(self.base, self.INDEX_DIR, name, "data"))
             )
 
     def lookup(self, col: str, value) -> DataFrame:
@@ -727,9 +772,20 @@ class Table:
         makes superset index entries invisible. Without an index on ``col``
         this degrades to ``scan``'s col-stats path. Pruning evidence at
         ``last_index_lookup``."""
-        d = os.path.join(self.base, self.INDEX_DIR, col)
-        if not os.path.exists(os.path.join(d, "meta.json")):
+        if self._index_meta(col) is None:
             return self.scan([(col, "=", value)])
+        return self.lookup_indexed(col, value)
+
+    def lookup_indexed(self, name: str, value) -> DataFrame:
+        """Equality point read through a named secondary/expression index:
+        ``lookup_indexed("name_lower", "x")`` answers
+        ``WHERE lower(name) = 'x'`` with O(matching file groups) IO. Same
+        plan shape and superset semantics as ``lookup`` (which delegates
+        here); the re-applied predicate is the index's defining expression."""
+        meta = self._index_meta(name)
+        if meta is None:
+            raise ValueError(f"no secondary index {name}")
+        d = os.path.join(self.base, self.INDEX_DIR, name)
         idx = self.spark.read.parquet(os.path.join(d, "data"))
         keys = (
             idx.filter(F.col("val") == value)
@@ -751,7 +807,7 @@ class Table:
             "pruned": len(files) - len(rels),
         }
         df = self._snapshot_of(files, rels).drop(*META_COLS) if rels else self.read().limit(0)
-        return df.filter(F.col(col) == value)
+        return df.filter(F.expr(meta["expr"]) == F.lit(value))
 
     def _prune_files_by_keys(self, rels: list[str], keys_df: DataFrame) -> list[str]:
         """Drop files whose recorded record-key [min, max] range cannot contain
@@ -1905,13 +1961,7 @@ class Table:
         else:
             merged = survivors
 
-        rels = self._write_files(
-            merged,
-            instant,
-            range_key_layout=(
-                len(touched_rels) or self.spark.sparkContext.defaultParallelism
-            ),
-        )
+        rels = self._write_files(merged, instant)
         self._maintain_indexes(rels)
         self._publish_occ(
             Instant(instant, "commit", rels, touched_rels, {"operation": op, **(extra_meta or {})}),
@@ -2067,9 +2117,9 @@ class Table:
         base = self._read_files(merge_base, with_deleted=True)
         logs = self._read_files(log_rels, with_deleted=True)
         merged = self._merge_mor(base.unionByName(logs)).drop(META_DELETED)
-        # same layout discipline as the COW rewrite: range-partition + sort the
-        # merged output on (partition, key) so compaction REPAIRS key locality
-        # (log appends arrive in arrival order) instead of scattering it
+        # compaction REPAIRS key locality while it merges (log appends arrive
+        # in arrival order): the opt-in key-sorted layout costs one ranged
+        # exchange of exactly the bytes compaction is rewriting anyway
         rels = self._write_files(
             merged, instant, range_key_layout=max(len(merge_base), 1)
         )

@@ -120,3 +120,32 @@ def test_drop_index(indexed_table):
     indexed_table.drop_secondary_index("cat")
     assert indexed_table.secondary_index_cols() == []
     assert indexed_table.lookup("cat", "c7").count() == 100  # scan fallback
+
+
+def test_expression_index_lookup(spark, tmp_path):
+    """Hudi 1.0 expression (functional) index: the indexed value is a SQL
+    expression over the row — lookups answer WHERE expr = v via the index."""
+    tbl = Table.create(
+        spark, str(tmp_path / "t"), SCHEMA, TableConfig(record_key=["id"], precombine="v")
+    )
+    for b in range(3):
+        tbl.bulk_insert(_df(spark, b * 300, (b + 1) * 300))
+    tbl.create_expression_index("cat_upper", "upper(cat)")
+    got = tbl.lookup_indexed("cat_upper", "C4")
+    want = tbl.read().filter(F.expr("upper(cat)") == "C4")
+    assert _rows(got) == _rows(want)
+    assert got.count() == 100
+    ev = tbl.last_index_lookup
+    assert ev["pruned"] >= 1
+    # maintained by later commits like any index
+    tbl.upsert(_df(spark, 5000, 5010, cat="zz"))
+    assert tbl.lookup_indexed("cat_upper", "ZZ").count() == 10
+
+
+def test_expression_index_bad_name_rejected(spark, tmp_path):
+    tbl = Table.create(
+        spark, str(tmp_path / "t2"), SCHEMA, TableConfig(record_key=["id"])
+    )
+    tbl.bulk_insert(_df(spark, 0, 10))
+    with pytest.raises(ValueError):
+        tbl.create_expression_index("../escape", "cat")
