@@ -741,6 +741,44 @@ FROM final WHERE phone = md5('ph7')
 """
 
 
+def tbl_partial_update(spark: SparkSession, sf: str) -> DataFrame:
+    """MOR partial updates (Hudi 1.0 partial update payloads): two partial
+    log commits each carry ONE data column — acctbal for %5 keys, then seg
+    for %7 keys — and the merged read resolves column-by-column. A %35 key
+    proves the semantics: its acctbal comes from the first partial, its seg
+    from the second, its v from the newest setter; no full-row write ever
+    happened after the load."""
+    base = os.path.join(_workdir("tbl_partial_update", sf), "tbl")
+    tbl = Table.create(
+        spark,
+        base,
+        CUST_SCHEMA,
+        TableConfig(record_key=["c_custkey"], precombine="v", table_type="mor"),
+    )
+    tbl.insert(_cust_df(spark, sf))
+    c = _cust_df(spark, sf)
+    tbl.update_partial(
+        c.filter(F.col("c_custkey") % 5 == 0).select(
+            "c_custkey", (F.col("acctbal") + 200.0).alias("acctbal"), F.lit(2).alias("v")
+        )
+    )
+    tbl.update_partial(
+        c.filter(F.col("c_custkey") % 7 == 0).select(
+            "c_custkey", F.lit("PARTIAL").alias("seg"), F.lit(3).alias("v")
+        )
+    )
+    return _final_snapshot(tbl)
+
+
+TBL_PARTIAL_ORACLE = """
+SELECT c_custkey, c_name,
+       round(CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 200.0 ELSE c_acctbal END, 2) AS acctbal,
+       CASE WHEN c_custkey % 7 = 0 THEN 'PARTIAL' ELSE c_mktsegment END AS seg,
+       CASE WHEN c_custkey % 7 = 0 THEN 3 WHEN c_custkey % 5 = 0 THEN 2 ELSE 1 END AS v
+FROM customer
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("tbl_upsert_cow", tbl_upsert_cow, UPSERT_FINAL_ORACLE, "M1,M2,M7"),
     QuerySpec("tbl_upsert_mor", tbl_upsert_mor, UPSERT_FINAL_ORACLE, "M7,MOR"),
@@ -759,6 +797,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("tbl_schema_evolution", tbl_schema_evolution, TBL_SCHEMA_EVOLUTION_ORACLE, "M18+ add/auto/rename/drop lifecycle"),
     QuerySpec("tbl_bloom_upsert", tbl_bloom_upsert, TBL_BLOOM_ORACLE, "J4 BLOOM index + file-group-scoped COW rewrite"),
     QuerySpec("tbl_secondary_lookup", tbl_secondary_lookup, TBL_SECONDARY_ORACLE, "Hudi 1.0 secondary index point lookup"),
+    QuerySpec("tbl_partial_update", tbl_partial_update, TBL_PARTIAL_ORACLE, "Hudi 1.0 MOR partial update payloads"),
 ]
 
 

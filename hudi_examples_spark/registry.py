@@ -106,7 +106,9 @@ def all_specs() -> list[QuerySpec]:
         "q22_idle_customers",
         "a_rollup_revenue",
         "a_cube_order_mix",
-        "a_pivot_event_types",
+        # r4 debut: MOR partial-update payloads (took a_pivot_event_types's
+        # refresh slot; it stays sweep-covered)
+        "tbl_partial_update",
         # r4 debut: secondary-index point lookup (took a_percentile_values's
         # refresh slot — debut ops outrank refreshes; it stays sweep-covered)
         "tbl_secondary_lookup",

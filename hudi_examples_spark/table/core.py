@@ -40,7 +40,7 @@ from dataclasses import fields as dataclass_fields
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType, StructField, StructType
+from pyspark.sql.types import ArrayType, BooleanType, StringType, StructField, StructType
 
 
 @contextmanager
@@ -214,6 +214,9 @@ META_COMMIT = "_hoodie_commit_time"
 META_KEY = "_hoodie_record_key"
 META_PARTITION = "_hoodie_partition_path"
 META_DELETED = "_hoodie_is_deleted"
+#: column list carried by PARTIAL-update log rows (null ⇒ full row). Lets the
+#: column-level merge distinguish "column not provided" from "set to null".
+META_PARTIAL = "_hoodie_partial_cols"
 META_COLS = (META_COMMIT, META_KEY, META_PARTITION)
 
 PROPS_FILE = "_props.json"
@@ -385,14 +388,34 @@ class Table:
             *self.data_cols,
         )
 
-    def _empty(self, with_deleted: bool = False) -> DataFrame:
+    def _empty(self, with_deleted: bool = False, with_partial: bool = False) -> DataFrame:
         schema = StructType(
             [f for f in _meta_struct().fields] + list(self.schema.fields)
         )
         df = self.spark.createDataFrame([], schema)
         if with_deleted:
             df = df.withColumn(META_DELETED, F.lit(False))
+        if with_partial:
+            df = df.withColumn(META_PARTIAL, F.lit(None).cast(ArrayType(StringType())))
         return df
+
+    def _partial_instants(self) -> set[str]:
+        """Instants written by ``update_partial`` — live log files from these
+        carry the META_PARTIAL column and require the column-level merge.
+        Once compaction resolves them the flag drops back and full tables
+        keep the cheap row-level merge path."""
+        return {
+            i.instant
+            for i in self.timeline.completed_data_instants()
+            if i.meta.get("operation") == "update_partial"
+        }
+
+    def _partial_in(self, files: dict, rels: list[str] | None = None) -> bool:
+        pinst = self._partial_instants()
+        if not pinst:
+            return False
+        scope = rels if rels is not None else list(files)
+        return any(files[r][0] in pinst for r in scope if r in files)
 
     def _write_files(
         self,
@@ -1044,9 +1067,11 @@ class Table:
                 vals[k] = v
         return vals
 
-    def _read_files(self, rels: list[str], with_deleted: bool) -> DataFrame:
+    def _read_files(
+        self, rels: list[str], with_deleted: bool, with_partial: bool = False
+    ) -> DataFrame:
         if not rels:
-            return self._empty(with_deleted)
+            return self._empty(with_deleted, with_partial)
         paths = [os.path.join(self.base, r) for r in rels]
         # the read schema is DECLARED, never inferred: the table knows its own
         # schema, so footer inference (a Spark job per read) and mergeSchema
@@ -1069,6 +1094,11 @@ class Table:
         read_schema = StructType(
             list(_meta_struct().fields)
             + ([StructField(META_DELETED, BooleanType())] if with_deleted else [])
+            + (
+                [StructField(META_PARTIAL, ArrayType(StringType()), True)]
+                if with_partial
+                else []
+            )
             + list(self.schema.fields)
             + hist_fields
         )
@@ -1090,6 +1120,8 @@ class Table:
             cols = [META_DELETED, *META_COLS, *self.data_cols]
         else:
             cols = [*META_COLS, *self.data_cols]
+        if with_partial:
+            cols = [META_PARTIAL, *cols]
         # tolerate mixed file schemas (logs carry the tombstone flag, bases don't;
         # pre-evolution files miss later columns) — null-fill with declared types
         have = set(df.columns)
@@ -1311,7 +1343,9 @@ class Table:
         """MOR base+log resolution with delete epochs: a tombstone invalidates all
         versions committed at-or-before it (delete-by-key wins regardless of
         precombine — Hudi EmptyPayload semantics), while later commits resurrect the
-        key. Two window expressions over one key-shuffle.
+        key. Two window expressions over one key-shuffle. When the input carries
+        the META_PARTIAL column (live partial-update logs) the resolution is
+        COLUMN-level instead of row-level — same shuffle shape.
         """
         if not self.config.record_key:
             return df.filter(~F.col(META_DELETED))
@@ -1323,7 +1357,118 @@ class Table:
             (~F.col(META_DELETED))
             & (F.col("__last_del").isNull() | (F.col(META_COMMIT) > F.col("__last_del")))
         ).drop("__last_del")
+        if META_PARTIAL in df.columns:
+            return self._merge_partial(alive)
         return self._latest_wins(alive)
+
+    def _merge_partial(self, alive: DataFrame) -> DataFrame:
+        """Column-level merge (Hudi 1.0 partial updates): per key, each data
+        column resolves to the value of the NEWEST version that SET it — full
+        rows set every column, partial rows only the ones listed in their
+        META_PARTIAL array. Wrapping candidate values in a struct keeps
+        "set to null by a row that listed the column" distinct from "column
+        not provided", so ``first(..., ignorenulls)`` walks versions newest-
+        first per column. A key whose alive versions are all partial has no
+        base row to patch — partial updates of absent/deleted keys are
+        dropped (Hudi's partial payload contract). One key-shuffle, same as
+        the row-level path; O(columns) window expressions, all codegen."""
+        order = []
+        if self.config.precombine:
+            order.append(F.desc_nulls_last(self.config.precombine))
+        order.append(F.desc(META_COMMIT))
+        w = (
+            Window.partitionBy(META_KEY)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        out_cols = {}
+        for c in self.data_cols:
+            setter = F.when(
+                F.col(META_PARTIAL).isNull() | F.array_contains(META_PARTIAL, c),
+                F.struct(F.col(c).alias("v")),
+            )
+            out_cols[c] = F.first(setter, ignorenulls=True).over(w).getField("v")
+        has_full = F.max(
+            F.when(F.col(META_PARTIAL).isNull(), F.lit(1)).otherwise(F.lit(0))
+        ).over(Window.partitionBy(META_KEY))
+        rn_w = Window.partitionBy(META_KEY).orderBy(*order)
+        return (
+            alive.withColumns(out_cols)
+            .withColumn("__has_full", has_full)
+            .withColumn("__rn", F.row_number().over(rn_w))
+            .filter((F.col("__rn") == 1) & (F.col("__has_full") == 1))
+            .drop("__rn", "__has_full", META_PARTIAL)
+        )
+
+    def update_partial(self, df: DataFrame) -> str:
+        """Hudi 1.0 partial update: a log commit carrying ONLY the provided
+        columns (plus keys and precombine) — the write-amplification answer
+        for wide tables where a stream touches 2 of 200 columns. Absent
+        columns are recorded in the row's META_PARTIAL list and resolved
+        column-by-column at read/compaction time (``_merge_partial``); a
+        partial update can therefore also SET a column to null, but cannot
+        create a new key (no base row to patch — such rows are dropped).
+        MOR-only by construction: COW would have to read-modify-write anyway,
+        which is exactly ``merge``."""
+        if self.config.table_type != "mor" or not self.config.record_key:
+            raise ValueError("update_partial requires a MOR table with a record key")
+        missing_keys = [k for k in self.config.record_key if k not in df.columns]
+        if missing_keys:
+            raise ValueError(f"partial update batch missing key columns {missing_keys}")
+        if self.config.precombine and self.config.precombine not in df.columns:
+            raise ValueError(
+                f"partial update batch must carry the precombine field "
+                f"{self.config.precombine!r} (it orders the column-level merge)"
+            )
+        self._merge_disk_schema()
+        provided = [c for c in self.schema.names if c in df.columns]
+        partial_cols = [
+            c
+            for c in provided
+            if c not in self.config.record_key and c != self.config.precombine
+        ]
+        if not partial_cols:
+            raise ValueError("partial update batch provides no data columns")
+        casts = {
+            c: F.col(c).cast(self.schema[c].dataType)
+            for c in provided
+            if df.schema[c].dataType != self.schema[c].dataType
+        }
+        if casts:
+            df = df.withColumns(casts)
+        out = df.select(*provided)
+        for c in self.schema.names:
+            if c not in provided:
+                out = out.withColumn(c, F.lit(None).cast(self.schema[c].dataType))
+        instant = new_instant()
+        out = (
+            self._with_meta(out.select(*self.schema.names), instant)
+            .withColumn(META_DELETED, F.lit(False))
+            .withColumn(
+                META_PARTIAL,
+                F.array(
+                    *[
+                        F.lit(c)
+                        for c in sorted(
+                            set(partial_cols)
+                            | ({self.config.precombine} if self.config.precombine else set())
+                        )
+                    ]
+                ),
+            )
+        )
+        rels = self._write_files(out, instant)
+        self._maintain_indexes(rels)
+        self.timeline.write(
+            Instant(
+                instant,
+                "deltacommit",
+                rels,
+                [],
+                {"operation": "update_partial", "partial_cols": partial_cols},
+            )
+        )
+        return instant
 
     #: above this many live log bytes the distinct log-key set stops being
     #: safely broadcastable and the MOR merge falls back to one global
@@ -1349,7 +1494,9 @@ class Table:
     #: for itself once the table has real file counts
     KEY_PRUNE_MIN_FILES = 32
 
-    def _merge_mor_pruned(self, base_rels: list[str], log_rels: list[str]) -> DataFrame:
+    def _merge_mor_pruned(
+        self, base_rels: list[str], log_rels: list[str], with_partial: bool = False
+    ) -> DataFrame:
         """MOR snapshot merge whose shuffle is sized to the LOGS, not the table:
         base rows whose key no log touches stream through with NO exchange
         (broadcast anti-join against the distinct log keys); only rows of
@@ -1362,8 +1509,8 @@ class Table:
         when live log bytes exceed MOR_BROADCAST_LOG_BYTES. Base files never
         carry live tombstones (initial loads and compaction outputs are merged
         views), so untouched base rows are final as-is."""
-        base = self._read_files(base_rels, with_deleted=True)
-        logs = self._read_files(log_rels, with_deleted=True)
+        base = self._read_files(base_rels, with_deleted=True, with_partial=with_partial)
+        logs = self._read_files(log_rels, with_deleted=True, with_partial=with_partial)
         log_bytes = sum(
             os.path.getsize(p)
             for r in log_rels
@@ -1375,7 +1522,11 @@ class Table:
         untouched = base.join(keys, META_KEY, "left_anti").filter(~F.col(META_DELETED))
         touched = base.join(keys, META_KEY, "left_semi")
         resolved = self._merge_mor(touched.unionByName(logs))
-        return untouched.drop(META_DELETED).unionByName(resolved.drop(META_DELETED))
+        # drop() of an absent column is a no-op: the partial-merge path strips
+        # META_PARTIAL from `resolved`, so strip it from `untouched` too
+        return untouched.drop(META_DELETED, META_PARTIAL).unionByName(
+            resolved.drop(META_DELETED, META_PARTIAL)
+        )
 
     # ------------------------------------------------------------------ reads
 
@@ -1388,7 +1539,9 @@ class Table:
         if self.config.table_type == "cow" or not log_rels:
             df = self._read_files(base_rels, with_deleted=False)
         else:
-            df = self._merge_mor_pruned(base_rels, log_rels)
+            df = self._merge_mor_pruned(
+                base_rels, log_rels, with_partial=self._partial_in(files, log_rels)
+            )
         return df if with_meta else df.drop(*META_COLS)
 
     def _snapshot_of(self, files: dict, rels: list[str]) -> DataFrame:
@@ -1402,8 +1555,9 @@ class Table:
         log_rels = sorted(r for r in rels if files[r][1] == "deltacommit")
         if self.config.table_type == "cow" or not log_rels:
             return self._read_files(base_rels, with_deleted=False)
-        base = self._read_files(base_rels, with_deleted=True)
-        logs = self._read_files(log_rels, with_deleted=True)
+        wp = self._partial_in(files, log_rels)
+        base = self._read_files(base_rels, with_deleted=True, with_partial=wp)
+        logs = self._read_files(log_rels, with_deleted=True, with_partial=wp)
         return self._merge_mor(base.unionByName(logs)).drop(META_DELETED)
 
     def read_point(self, **key_vals) -> DataFrame:
@@ -2114,8 +2268,9 @@ class Table:
         merge_base = sorted(set(in_dirs) | set(moved))
         touched = sorted(set(merge_base) | set(log_rels))
         instant = new_instant()
-        base = self._read_files(merge_base, with_deleted=True)
-        logs = self._read_files(log_rels, with_deleted=True)
+        wp = self._partial_in(files, log_rels)
+        base = self._read_files(merge_base, with_deleted=True, with_partial=wp)
+        logs = self._read_files(log_rels, with_deleted=True, with_partial=wp)
         merged = self._merge_mor(base.unionByName(logs)).drop(META_DELETED)
         # compaction REPAIRS key locality while it merges (log appends arrive
         # in arrival order): the opt-in key-sorted layout costs one ranged

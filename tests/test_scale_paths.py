@@ -106,8 +106,11 @@ def test_partition_scoped_index_skips_location_scan(spark, tmp_path):
     (that's sidecar metadata, not a file read — exactly Hudi SIMPLE's
     partition-local key join), but its scope must exclude other partitions."""
     tbl = make(spark, tmp_path, table_type="cow", index_type="partition")
-    for part in range(3):
-        tbl.insert(rows_df(spark, part, range(10)))
+    for part in range(3):  # two BULK loads per partition -> >1 file group each,
+        # so the planner actually plans (a 1-file partition skips the prune;
+        # plain insert would merge through precombine back to one file)
+        tbl.bulk_insert(rows_df(spark, part, range(10)))
+        tbl.bulk_insert(rows_df(spark, part, range(10, 20)))
     files, _ = tbl.timeline.live_files()
     n_all = len(files)
     n_p1 = sum("p=1" in r for r in files)
