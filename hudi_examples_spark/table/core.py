@@ -758,12 +758,25 @@ class Table:
         shutil.rmtree(live, ignore_errors=True)
         os.rename(fresh, live)
 
-    def _maintain_indexes(self, rels: list[str]) -> None:
+    def _index_expr_refs(self, expr: str) -> set[str]:
+        """Schema columns an index expression references (identifier match)."""
+        return {
+            c for c in self.schema.names if _re.search(rf"\b{_re.escape(c)}\b", expr)
+        }
+
+    def _maintain_indexes(self, rels: list[str], partial_cols: list[str] | None = None) -> None:
         """Append the (value, key) pairs of files just written to every
         secondary/expression index — one distributed column-pruned job per
         index over ONLY the commit's files. Runs before the commit publishes:
         a crash in between leaves superset entries (harmless), never a missing
-        mapping."""
+        mapping.
+
+        Partial-update commits (``partial_cols`` set) maintain an index only
+        when its expression's referenced columns are ALL provided (entries
+        computable from the log rows) — an all-absent index needs nothing
+        (values unchanged, existing entries stay complete). A MIXED expression
+        (some provided, some absent) cannot be maintained from either side;
+        ``update_partial`` rejects that combination up front."""
         names = self.secondary_index_cols()
         if not names or not rels:
             return
@@ -772,6 +785,10 @@ class Table:
             meta = self._index_meta(name)
             if meta is None:
                 continue
+            if partial_cols is not None:
+                refs = self._index_expr_refs(meta["expr"])
+                if not refs <= set(partial_cols):
+                    continue  # all-absent: values unchanged, index still complete
             try:
                 entries = df.select(
                     F.expr(meta["expr"]).alias("val"), F.col(META_KEY).alias("key")
@@ -1429,6 +1446,18 @@ class Table:
         ]
         if not partial_cols:
             raise ValueError("partial update batch provides no data columns")
+        # a mixed-reference expression index (some referenced columns provided,
+        # some absent) can't be maintained from the log rows (absent cols are
+        # null there) NOR left alone (its value changed): reject up front
+        # rather than silently go incomplete
+        for name in self.secondary_index_cols():
+            meta = self._index_meta(name)
+            refs = self._index_expr_refs(meta["expr"]) if meta else set()
+            if refs & set(provided) and refs - set(provided):
+                raise ValueError(
+                    f"index {name!r} mixes provided and absent columns "
+                    f"({sorted(refs)}); provide them all or drop/rebuild the index"
+                )
         casts = {
             c: F.col(c).cast(self.schema[c].dataType)
             for c in provided
@@ -1458,7 +1487,7 @@ class Table:
             )
         )
         rels = self._write_files(out, instant)
-        self._maintain_indexes(rels)
+        self._maintain_indexes(rels, partial_cols=provided)
         self.timeline.write(
             Instant(
                 instant,

@@ -128,3 +128,31 @@ def test_partial_requires_mor_key_and_precombine(spark, tmp_path):
     )
     with pytest.raises(ValueError):
         mor.update_partial(spark.createDataFrame([("k", 1)], "id STRING, b BIGINT"))  # no ts
+
+
+def test_partial_maintains_indexes_correctly(spark, mor):
+    """Index completeness under partials: a plain index on the PROVIDED column
+    gets the new mapping; an index on an ABSENT column stays complete without
+    appends (values unchanged); a mixed-reference expression index is
+    rejected up front rather than silently going stale."""
+    mor.create_secondary_index("a")  # absent in the partial below
+    mor.create_secondary_index("b")  # provided
+    mor.update_partial(
+        spark.createDataFrame([("k002", 555, 2)], "id STRING, b BIGINT, ts BIGINT")
+    )
+    got = mor.lookup("b", 555)
+    assert [r["id"] for r in got.collect()] == ["k002"]
+    assert _row(mor, "k002")["a"] == "a2"
+    assert [r["id"] for r in mor.lookup("a", "a2").collect()] == ["k002"]
+    mor.create_expression_index("mix", "concat(a, cast(b as string))")
+    with pytest.raises(ValueError, match="mixes provided and absent"):
+        mor.update_partial(
+            spark.createDataFrame([("k002", 556, 3)], "id STRING, b BIGINT, ts BIGINT")
+        )
+    # providing every referenced column makes the same batch acceptable
+    mor.update_partial(
+        spark.createDataFrame(
+            [("k002", "az", 556, 3)], "id STRING, a STRING, b BIGINT, ts BIGINT"
+        )
+    )
+    assert [r["id"] for r in mor.lookup_indexed("mix", "az556").collect()] == ["k002"]
