@@ -32,6 +32,7 @@ def make_batch_handler(
     op_col: str | None = None,
     compact_every: int | None = 5,
     pre_commit_validator: Callable[[DataFrame], None] | None = None,
+    partial: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """Build the foreachBatch handler (exposed separately so tests and non-streaming
     micro-batch loops can drive it directly).
@@ -39,6 +40,11 @@ def make_batch_handler(
     ``compact_every``: MOR inline-compaction cadence in delta commits — the
     NUM_COMMITS trigger of ``DeltaStreamerExample.scala:52-55``.
     ``pre_commit_validator``: M21 hook — raise to abort the batch before commit.
+    ``partial``: route batches through ``Table.update_partial`` — the stream
+    carries only (keys + precombine + changed columns), the column-level MOR
+    merge composes them, and inline compaction periodically resolves the
+    partial chains back to full rows. The streaming shape for CDC feeds that
+    publish per-column deltas of wide tables.
     """
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -46,7 +52,9 @@ def make_batch_handler(
             return
         if pre_commit_validator is not None:
             pre_commit_validator(batch_df)
-        if op_col is not None and op_col in batch_df.columns:
+        if partial:
+            instant = table.update_partial(batch_df)
+        elif op_col is not None and op_col in batch_df.columns:
             instant = table.write_cdc(batch_df, op_col)
         else:
             instant = table.upsert(batch_df)

@@ -93,3 +93,21 @@ def test_overwrite_conflicts_with_any_concurrent_commit(spark, tmp_path):
         a.insert_overwrite(df(spark, [(5, "k5", 5.0, "pa")]))  # full replace racing b
     # b's concurrent write survived the rejected overwrite
     assert {r["uuid"] for r in a.read().collect()} == {"k1", "k9"}
+
+
+def test_concurrent_writers_keep_secondary_index_complete(spark, tmp_path):
+    """Two writers committing to disjoint partitions both append their index
+    entries (the index dir is append-only parquet — concurrent part files
+    can't clobber each other), so lookups see BOTH commits' mappings without
+    any rebuild."""
+    a = make(spark, tmp_path)
+    a.insert(df(spark, [(1, "k1", 1.0, "pa"), (1, "k2", 1.0, "pb")]))
+    a.create_secondary_index("val")
+    b = Table(spark, a.base)
+    _interleave(a, lambda: b.upsert(df(spark, [(2, "k2", 22.0, "pb")])))
+    a.upsert(df(spark, [(2, "k1", 11.0, "pa")]))
+    got_a = {r["uuid"] for r in a.lookup("val", 11.0).collect()}
+    got_b = {r["uuid"] for r in a.lookup("val", 22.0).collect()}
+    assert got_a == {"k1"} and got_b == {"k2"}
+    # stale pre-update entries are superset-only: filtered by the predicate
+    assert a.lookup("val", 1.0).count() == 0

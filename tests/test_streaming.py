@@ -217,3 +217,35 @@ def test_stream_corpus_quality_equals_batch(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert len(tbl.timeline.completed_data_instants()) == n_instants
+
+
+def test_partial_update_stream_handler(spark, tmp_path):
+    """Streaming partial updates: per-column delta batches compose through the
+    column-level MOR merge, replayed batch ids are skipped (exactly-once),
+    and inline compaction resolves the partial chains."""
+    from hudi_examples_spark.table import Table, TableConfig
+
+    tbl = Table.create(
+        spark,
+        str(tmp_path / "pt"),
+        "id STRING, a STRING, b BIGINT, ts BIGINT",
+        TableConfig(record_key=["id"], precombine="ts", table_type="mor"),
+    )
+    tbl.insert(
+        spark.createDataFrame(
+            [(f"k{i}", f"a{i}", i, 1) for i in range(10)],
+            "id STRING, a STRING, b BIGINT, ts BIGINT",
+        )
+    )
+    handler = make_batch_handler(tbl, sink_name="pstream", partial=True, compact_every=2)
+    handler(spark.createDataFrame([("k1", 100, 2)], "id STRING, b BIGINT, ts BIGINT"), 0)
+    handler(spark.createDataFrame([("k1", "AA", 3)], "id STRING, a STRING, ts BIGINT"), 1)
+    handler(spark.createDataFrame([("k1", 100, 2)], "id STRING, b BIGINT, ts BIGINT"), 0)  # replay
+    r = tbl.read().filter("id = 'k1'").first()
+    assert (r["a"], r["b"], r["ts"]) == ("AA", 100, 3)
+    assert tbl.read().count() == 10
+    # the replayed batch 0 must not have produced a fourth data instant
+    assert (
+        sum(1 for i in tbl.timeline.completed_data_instants() if i.meta.get("sink_name") == "pstream")
+        == 2
+    )
