@@ -150,6 +150,21 @@ class Engine:
         head = s.split(None, 3)
         verb = head[0].upper() if head else ""
         if verb == "CREATE":
+            # Hudi 1.0 index DDL: CREATE INDEX name ON t USING
+            # secondary_index(col | expr(col)) — a bare in-schema identifier
+            # makes a plain secondary index, anything else a functional one
+            m = re.match(
+                r"CREATE\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s+USING\s+secondary_index\s*\((.+)\)\s*$",
+                s,
+                re.I,
+            )
+            if m:
+                name, tname, target = m.group(1), m.group(2), m.group(3).strip()
+                # always keyed by the index NAME (so DROP INDEX name works);
+                # Table.lookup(col, v) still finds a plain index by resolving
+                # its defining expression
+                self.table(tname).create_expression_index(name, target)
+                return None
             return self._create(s)
         if verb == "INSERT":
             return self._insert(s)
@@ -187,6 +202,10 @@ class Engine:
                 f"RENAME COLUMN a TO b are supported: {s[:120]}"
             )
         if verb == "DROP":
+            m = re.match(r"DROP\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*$", s, re.I)
+            if m:
+                self.table(m.group(2)).drop_secondary_index(m.group(1))
+                return None
             m = re.match(r"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)", s, re.I)
             if m:
                 name = m.group(1)
@@ -214,7 +233,8 @@ class Engine:
         CALL run_compaction('t') | run_clustering('t'[, buckets]) |
         run_clustering_sort('t', 'c1'[, 'c2', ...]) |
         run_clustering_zorder('t', 'c1', 'c2'[, ...]) |
-        run_clean('t'[, retain]) | rollback_to_instant('t'[, instant]) |
+        run_clean('t'[, retain]) | rebuild_index('t', 'name') |
+        rollback_to_instant('t'[, instant]) |
         create_savepoint('t') | restore_to_savepoint('t', instant) |
         show_commits('t') | show_savepoints('t') |
         run_archival('t'[, retain]) | split_bucket('t', lower) |
@@ -243,6 +263,11 @@ class Engine:
             return None
         if proc == "run_clean":
             tbl.clean(retain_commits=int(arg) if arg else 10)
+            return None
+        if proc == "rebuild_index":
+            if not arg:
+                raise ValueError("rebuild_index requires the index name")
+            tbl.rebuild_index(arg.strip().strip("'"))
             return None
         if proc == "run_archival":
             tbl.archive_timeline(retain_instants=int(arg) if arg else 20)

@@ -812,9 +812,15 @@ class Table:
         makes superset index entries invisible. Without an index on ``col``
         this degrades to ``scan``'s col-stats path. Pruning evidence at
         ``last_index_lookup``."""
-        if self._index_meta(col) is None:
-            return self.scan([(col, "=", value)])
-        return self.lookup_indexed(col, value)
+        if self._index_meta(col) is not None:
+            return self.lookup_indexed(col, value)
+        # an index created under a different NAME still serves the column if
+        # its defining expression IS the column (SQL DDL names indexes freely)
+        for name in self.secondary_index_cols():
+            meta = self._index_meta(name)
+            if meta and meta["expr"].strip() == col:
+                return self.lookup_indexed(name, value)
+        return self.scan([(col, "=", value)])
 
     def lookup_indexed(self, name: str, value) -> DataFrame:
         """Equality point read through a named secondary/expression index:

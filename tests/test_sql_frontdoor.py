@@ -310,3 +310,25 @@ def test_call_clustering_sort_procedures(engine):
         for r in engine.sql("SELECT rider, fare FROM hudi_table").collect()
     }
     assert final == before
+
+
+def test_create_index_ddl(engine):
+    """Hudi 1.0 index DDL through the SQL front-door: CREATE INDEX ... USING
+    secondary_index(col | expr), CALL rebuild_index, DROP INDEX."""
+    engine.sql(
+        "CREATE TABLE idx_t (id STRING, cat STRING, v BIGINT) USING hudi "
+        "TBLPROPERTIES (primaryKey = 'id', preCombineField = 'v')"
+    )
+    engine.sql(
+        "INSERT INTO idx_t VALUES ('a', 'x', 1), ('b', 'y', 2), ('c', 'x', 3)"
+    )
+    tbl = engine.table("idx_t")
+    engine.sql("CREATE INDEX cat_idx ON idx_t USING secondary_index(cat)")
+    assert "cat_idx" in tbl.secondary_index_cols()
+    assert {r["id"] for r in tbl.lookup("cat", "x").collect()} == {"a", "c"}
+    engine.sql("CREATE INDEX cat_up ON idx_t USING secondary_index(upper(cat))")
+    assert {r["id"] for r in tbl.lookup_indexed("cat_up", "Y").collect()} == {"b"}
+    engine.sql("CALL rebuild_index('idx_t', 'cat_up')")
+    assert {r["id"] for r in tbl.lookup_indexed("cat_up", "Y").collect()} == {"b"}
+    engine.sql("DROP INDEX cat_idx ON idx_t")
+    assert "cat_idx" not in tbl.secondary_index_cols()
