@@ -812,15 +812,22 @@ class Table:
         makes superset index entries invisible. Without an index on ``col``
         this degrades to ``scan``'s col-stats path. Pruning evidence at
         ``last_index_lookup``."""
+        name = self._index_for(col)
+        if name is not None:
+            return self.lookup_indexed(name, value)
+        return self.scan([(col, "=", value)])
+
+    def _index_for(self, col: str) -> str | None:
+        """Index name serving equality predicates on ``col``: a same-named
+        index, or any index whose defining expression IS the column (SQL DDL
+        names indexes freely)."""
         if self._index_meta(col) is not None:
-            return self.lookup_indexed(col, value)
-        # an index created under a different NAME still serves the column if
-        # its defining expression IS the column (SQL DDL names indexes freely)
+            return col
         for name in self.secondary_index_cols():
             meta = self._index_meta(name)
             if meta and meta["expr"].strip() == col:
-                return self.lookup_indexed(name, value)
-        return self.scan([(col, "=", value)])
+                return name
+        return None
 
     def lookup_indexed(self, name: str, value) -> DataFrame:
         """Equality point read through a named secondary/expression index:
@@ -928,7 +935,40 @@ class Table:
         outputs guarantee this; blind ``bulk_insert`` duplicates are the
         documented exception). Pruned file count is observable at
         ``last_scan`` for IO accounting/tests.
+
+        Index routing: when a CURRENT-snapshot scan (``as_of=None``) carries
+        an equality predicate on an indexed column, the file set comes from
+        the secondary index (value → keys → range/bloom prune) instead of the
+        col-stats bounds — exact candidates for high-cardinality columns
+        whose per-file min/max spans everything. The remaining predicates are
+        re-applied to the index-pruned rows. Time-travel scans never route
+        through indexes (an entry for a key deleted before the index was
+        built is legitimately absent, so historical completeness isn't
+        guaranteed — current-snapshot completeness is).
         """
+        if as_of is None and filters:
+            for col, op, val in filters:
+                if op != "=":
+                    continue
+                name = self._index_for(col)
+                if name is None:
+                    continue
+                out = self.lookup_indexed(name, val)
+                self.last_scan = dict(self.last_index_lookup)
+                rest = None
+                for c2, op2, v2 in filters:
+                    if (c2, op2, v2) == (col, op, val):
+                        continue
+                    cc = F.col(c2)
+                    cond = {
+                        "=": cc == v2,
+                        "<": cc < v2,
+                        "<=": cc <= v2,
+                        ">": cc > v2,
+                        ">=": cc >= v2,
+                    }[op2]
+                    rest = cond if rest is None else (rest & cond)
+                return out.filter(rest) if rest is not None else out
         conds = None
         for col, op, val in filters or []:
             c = F.col(col)

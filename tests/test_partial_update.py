@@ -156,3 +156,21 @@ def test_partial_maintains_indexes_correctly(spark, mor):
         )
     )
     assert [r["id"] for r in mor.lookup_indexed("mix", "az556").collect()] == ["k002"]
+
+
+def test_incremental_and_cdc_resolve_partials(spark, mor):
+    """Changes queries are built on MERGED snapshots, so a partial commit's
+    rows come out fully resolved — never with nulls for absent columns."""
+    t0 = mor.latest_instant()
+    mor.update_partial(
+        spark.createDataFrame([("k006", 606, 2)], "id STRING, b BIGINT, ts BIGINT")
+    )
+    inc = mor.table_changes(start=t0).collect()
+    assert len(inc) == 1
+    r = inc[0]
+    assert (r["id"], r["a"], r["b"], r["c"], r["ts"]) == ("k006", "a6", 606, 6.0, 2)
+    cdc = mor.table_changes_cdc(start=t0).collect()
+    assert len(cdc) == 1
+    assert cdc[0]["op"] == "U"
+    assert cdc[0]["after"]["a"] == "a6" and cdc[0]["after"]["b"] == 606
+    assert cdc[0]["before"]["b"] == 6

@@ -149,3 +149,17 @@ def test_expression_index_bad_name_rejected(spark, tmp_path):
     tbl.bulk_insert(_df(spark, 0, 10))
     with pytest.raises(ValueError):
         tbl.create_expression_index("../escape", "cat")
+
+
+def test_scan_routes_equality_through_index(spark, indexed_table):
+    """A current-snapshot scan with an equality predicate on an indexed column
+    rides the index (exact candidates) and re-applies the other predicates."""
+    got = indexed_table.scan([("cat", "=", "c7"), ("v", ">=", 750)])
+    want = indexed_table.read().filter("cat = 'c7' AND v >= 750")
+    assert _rows(got) == _rows(want)
+    ev = indexed_table.last_scan
+    assert ev["pruned"] >= 1 and ev["scanned"] < ev["total"]
+    # time travel never routes through the index (historical completeness)
+    t0 = indexed_table.latest_instant()
+    asof = indexed_table.scan([("cat", "=", "c7")], as_of=t0)
+    assert _rows(asof) == _rows(indexed_table.read(as_of=t0).filter("cat = 'c7'"))
