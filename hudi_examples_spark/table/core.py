@@ -2366,6 +2366,61 @@ class Table:
         )
         return instant
 
+    def run_services(
+        self,
+        compact_after: int = 5,
+        clean_retain: int = 10,
+        archive_retain: int = 20,
+        index_bloat_ratio: float = 3.0,
+        split_threshold_bytes: int = 128 * 1024 * 1024,
+    ) -> dict:
+        """Hudi's async table services as one policy-driven maintenance pass
+        (the standalone compactor/cleaner/clustering jobs of
+        ``clusteringjob.properties`` / DeltaStreamer's inline services, rolled
+        into the call a scheduler would run per table per cadence).
+
+        Order is deliberate: heal first (roll back partial commits so the
+        services see only durable state), compaction next (resolves logs —
+        including partial-update chains — into base files), bucket resize
+        after (splits judge post-compaction sizes), then cleaning (older
+        versions freed by compaction become deletable), index rebuild (the
+        superset compacts against the merged view; triggered when entries
+        exceed ``index_bloat_ratio`` × live rows), and timeline archival last.
+        Every step tolerates losing an OCC race to a concurrent writer —
+        services are best-effort maintenance, never a correctness event.
+        Returns a report of what each service did.
+        """
+        report: dict = {}
+        report["healed"] = self.heal()
+        if self.config.table_type == "mor" and self.should_compact(compact_after):
+            try:
+                report["compacted"] = self.compact()
+            except ConcurrentWriteConflict:
+                report["compacted"] = None
+        if self.config.bucket_ranges or self.config.n_buckets:
+            try:
+                report["bucket_split"] = self.maybe_split_buckets(
+                    split_threshold_bytes=split_threshold_bytes
+                )
+            except ConcurrentWriteConflict:
+                report["bucket_split"] = None
+        report["cleaned"] = self.clean(retain_commits=clean_retain)
+        rebuilt = []
+        if self.secondary_index_cols():
+            live_rows = self.read().count()
+            for name in self.secondary_index_cols():
+                d = os.path.join(self.base, self.INDEX_DIR, name, "data")
+                try:
+                    n_entries = self.spark.read.parquet(d).count()
+                except Exception:
+                    continue
+                if live_rows and n_entries > index_bloat_ratio * live_rows:
+                    self.rebuild_index(name)
+                    rebuilt.append(name)
+        report["indexes_rebuilt"] = rebuilt
+        report["archived"] = self.archive_timeline(retain_instants=archive_retain)
+        return report
+
     def should_compact(
         self, max_delta_commits: int = 5, max_delta_seconds: float | None = None
     ) -> bool:
@@ -2731,7 +2786,14 @@ class Table:
                 shutil.rmtree(os.path.join(staging_root, d), ignore_errors=True)
                 removed.append(os.path.join(".staging", d))
         for root, dirs, fns in os.walk(self.base):
-            dirs[:] = [d for d in dirs if d not in ("_timeline", ".staging")]
+            # engine sidecar dirs hold parquet/json the TIMELINE doesn't
+            # reference by design (the secondary-index datasets especially) —
+            # they are not orphans and must never be swept
+            dirs[:] = [
+                d
+                for d in dirs
+                if d not in ("_timeline", ".staging", self.INDEX_DIR, self.STATS_DIR, self.BLOOMS_DIR)
+            ]
             for fn in fns:
                 if not fn.endswith(".parquet"):
                     continue
