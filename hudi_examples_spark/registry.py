@@ -46,87 +46,83 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(relational_tpch3.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names in registry"
-    # Prefix rotation (round 4): the driver gate samples a 50-query prefix.
-    # This round's prefix = the two formerly-red rows now fixed
-    # (fn_array_battery stringified its array column; a_sketch_profile gained a
-    # within-bounds oracle), the new reference-schedule spec
-    # (tbl_batch_schedule), all 42 queries whose latest green driver row dates
-    # from round 1 (oldest evidence), 1 round-2-evidence refresh, and the four
-    # r4 debut ops — exactly 50. The 12 tbl_* lifecycle specs and the r3-green
-    # LLM battery rotate out (fresh r3 evidence). NOTE the steady-state
-    # arithmetic: with >100 registered queries and 50 driver rows per round,
-    # the achievable max evidence age is ceil(N/50) rounds; rotation
-    # prioritizes (1) debut ops, (2) oldest evidence.
-    r4_prefix = [
-        # new + fixed
-        "tbl_batch_schedule",
-        "fn_array_battery",
-        "a_sketch_profile",
-        # r1-evidence (oldest): core relational battery
-        "p_json_extract",
-        "p_range_predicate",
-        "p_arithmetic_projection",
-        "a_count_star",
-        "a_group_count_sort",
-        "a_topk_two_keys",
-        "a_interval_counts",
-        "w_latest_per_key",
-        "j_merge_full_outer",
-        "j_delete_anti",
-        "j_semi_join",
-        "j_bucket_assignment",
-        "e_except_diff",
-        "e_intersect",
-        "e_union_dedup",
-        "fn_scalar_battery",
-        "fn_timestamp_derivation",
-        "fn_regexp_extract",
-        # r1-evidence: TPC-H battery + window/sessionization + CSV surface
-        "q4_order_priority",
-        "q7_nation_volume",
-        "q14_promo_revenue",
-        "q18_large_orders",
-        "q19_bracket_revenue",
-        "w_running_totals",
-        "w_sessionization",
-        "s_csv_roundtrip",
-        "q2_min_cost_supplier",
-        "q8_market_share",
-        "q9_product_profit",
-        "q11_important_stock",
-        "q12_priority_shipping",
-        "q13_customer_distribution",
-        "q15_top_supplier",
-        "q16_supplier_part_types",
-        "q17_small_quantity_revenue",
-        # r4 debut: SemDeDup cluster-scoped embedding dedup (took
-        # q20_excess_suppliers's refresh slot; it stays sweep-covered)
-        "dedup_semantic",
-        "q21_sole_supplier_orders",
-        "q22_idle_customers",
-        "a_rollup_revenue",
-        "a_cube_order_mix",
-        # r4 debut: MOR partial-update payloads (took a_pivot_event_types's
-        # refresh slot; it stays sweep-covered)
-        "tbl_partial_update",
-        # r4 debut: secondary-index point lookup (took a_percentile_values's
-        # refresh slot — debut ops outrank refreshes; it stays sweep-covered)
-        "tbl_secondary_lookup",
-        # r4 debut: BLOOM index + file-group-scoped COW rewrite (took the slot
-        # of the mm_frame_sample early refresh — debut ops outrank refreshes)
-        "tbl_bloom_upsert",
-        # new r4 ops — certify under the driver in their debut round
-        "stream_corpus_ingest",
-        "dedup_keep_best",
-        "text_unigram_lm_score",
-        "pipe_curriculum_order",
+    # Prefix rotation (round 5): the driver gate samples a 50-query prefix.
+    # Policy (steady state): (1) specs with ZERO driver-green rows in any
+    # round, (2) oldest-evidence refreshes. This round that means: the three
+    # r4 debuts that lost the r4 seating race (tbl_savepoint_restore,
+    # tbl_schema_evolution, corpus_report — the only registered queries with
+    # no driver row ever), the 3 rows whose latest green is r1, the 15 whose
+    # latest green is r2, and 29 of the 48 r3-aged rows — prioritizing the
+    # tbl_* lifecycle specs (their code changes this round: rollback index
+    # invalidation, locked index rebuild, age-gated heal), the dedup/ANN
+    # family (minhash constant work + SemDeDup skew guard), and the
+    # perf-watch items (fp_winnowing). The 50 r4-green rows all rotate out
+    # (freshest evidence). After this round every registered query has >=1
+    # driver-green row and max evidence age is <=2 rounds.
+    r5_prefix = [
+        # never driver-certified (r4 debuts that lost the seating race)
+        "tbl_savepoint_restore",
+        "tbl_schema_evolution",
+        "corpus_report",
+        # r1-aged evidence
+        "q20_excess_suppliers",
+        "a_pivot_event_types",
+        "a_percentile_values",
+        # r2-aged evidence
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q6_revenue_forecast",
+        "q10_returned_items",
+        "p_filter_projection",
+        "p_case_when",
+        "p_like_filter",
+        "pipe_stratified_sample",
+        "pipe_dataset_mixture",
+        "text_tfidf_topterms",
+        "pipe_doc_chunks",
+        "a_salted_distinct_users",
+        "j_salted_skew_join",
+        "mm_frame_sample",
+        # r3-aged refreshes: full tbl_* lifecycle battery (code touched r5)
+        "tbl_upsert_cow",
+        "tbl_upsert_mor",
+        "tbl_upsert_mor_compacted",
+        "tbl_merge_mixed",
+        "tbl_delete_where",
+        "tbl_time_travel",
+        "tbl_incremental",
+        "tbl_cdc_query",
+        "tbl_cdc_rollback",
+        "tbl_scan_pruned",
+        "tbl_join_view_incremental",
+        "tbl_rollup_incremental",
+        # r3-aged refreshes: dedup/ANN family (minhash + SemDeDup work r5)
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "dedup_clusters",
+        "dedup_cross_corpus",
+        "dedup_embed_ann",
+        "dedup_embed_cosine",
+        "sim_brute_topk",
+        "sim_knn_join",
+        "sim_ann_lsh",
+        "sim_ivf_topk",
+        # r3-aged refreshes: join specials, perf-watch, window battery, Arrow
+        "j_asof_join",
+        "j_range_join",
+        "fp_winnowing",
+        "w_ranking_battery",
+        "mm_feature_pipeline",
     ]
-    assert len(r4_prefix) == 50 and len(set(r4_prefix)) == 50, "prefix must be 50 unique names"
+    assert len(r5_prefix) == 50 and len(set(r5_prefix)) == 50, "prefix must be 50 unique names"
     by_name = {s.name: s for s in specs}
-    missing = [n for n in r4_prefix if n not in by_name]
+    missing = [n for n in r5_prefix if n not in by_name]
     assert not missing, f"prefix names not in registry: {missing}"
-    prefix_set = set(r4_prefix)
-    specs = [by_name[n] for n in r4_prefix] + [s for s in specs if s.name not in prefix_set]
+    prefix_set = set(r5_prefix)
+    specs = [by_name[n] for n in r5_prefix] + [s for s in specs if s.name not in prefix_set]
     return specs
 
 
