@@ -43,10 +43,13 @@ HEADLINE = [
     "tbl_cdc_query",  # CDC images lifecycle (write + snapshot-diff read)
 ]
 
-#: r3 calibration anchor: micro_agg_sec recorded in BENCH_r03.json. Ratio of
-#: the current run's micro-op to this is the host-drift factor; dividing the
-#: headline total by it gives drift_normalized_total (judge round 3, item #3).
-MICRO_AGG_REF_R3 = 0.14
+#: Calibration anchor: micro_agg_sec from BENCH_r04.json, recorded at
+#: loadavg 4.1 — the lowest-contention anchor on record. (The old r3 anchor
+#: of 0.14 was recorded at loadavg 9.28 and made normalization over-correct —
+#: judge round 4, item #3.) Ratio of the current run's micro-op min to this is
+#: the host-drift factor; dividing the headline total by it gives
+#: drift_normalized_total.
+MICRO_AGG_REF_R4 = 0.089
 
 
 def _bench_overrides():
@@ -58,23 +61,19 @@ def _bench_overrides():
     return {"dedup_minhash_lsh": dedup_minhash_lsh}
 
 
-def _calibrate(spark) -> dict:
-    """Host-drift calibration (judge request, round 2): a fixed-size in-memory
-    aggregation plus the 1-minute load average, so cross-round bench
-    comparisons can be normalized for shared-host slowdown instead of
-    re-adjudicated by hand. The micro-op is pure JVM whole-stage-codegen work
-    (no IO, no shuffle) — its drift IS the host's drift."""
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        spark.range(0, 64_000_000, 1, 32).selectExpr("sum(id * 3 + 7) AS s").collect()
-        times.append(time.perf_counter() - t0)
-    cal = {"micro_agg_sec": round(min(times), 3)}
+def _micro_op(spark) -> float:
+    """One fixed-size in-memory aggregation — pure JVM whole-stage-codegen
+    work (no IO, no shuffle), so its drift IS the host's drift."""
+    t0 = time.perf_counter()
+    spark.range(0, 64_000_000, 1, 32).selectExpr("sum(id * 3 + 7) AS s").collect()
+    return time.perf_counter() - t0
+
+
+def _loadavg() -> float | None:
     try:
-        cal["loadavg_1m"] = round(os.getloadavg()[0], 2)
+        return round(os.getloadavg()[0], 2)
     except OSError:
-        pass
-    return cal
+        return None
 
 
 def main() -> None:
@@ -113,7 +112,19 @@ def main() -> None:
     timings: dict[str, float] = {}
     phase_timings: dict[str, dict[str, float]] = {}
     extras: dict[str, dict] = {}
+    # Calibration is INTERLEAVED with the bench passes (judge round 4, item
+    # #3): one micro-op + loadavg reading before each pass and after the
+    # last, min-of-all — so the drift factor samples the same contention the
+    # query timings saw, not a one-shot reading at the end.
+    micro_samples: list[dict] = []
+
+    def _sample_micro():
+        micro_samples.append(
+            {"micro_agg_sec": round(_micro_op(spark), 3), "loadavg_1m": _loadavg()}
+        )
+
     for _pass in range(n_passes):
+        _sample_micro()
         for name in names:
             if name in phased:
                 build, op = phased[name]
@@ -150,12 +161,23 @@ def main() -> None:
                 spec_fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
                 el = time.perf_counter() - t0
                 timings[name] = min(timings.get(name, el), el)
+    _sample_micro()
     timings = {k: round(v, 3) for k, v in timings.items()}
     phase_out = {
         k: {p: round(v, 3) for p, v in d.items()} for k, d in phase_timings.items()
     }
 
+    # Second headline metric (judge round 4, item #6): the op-phase-only total.
+    # Lifecycle queries (tbl_*) spend most of their wall-clock BUILDING the
+    # fixture table; the full-lifecycle total stays the primary metric for
+    # r1-comparability, while headline_op_total sums only the measured
+    # operation phases — the number each round's optimization actually moves.
+    op_total = sum(
+        phase_out[n]["op"] if n in phase_out else timings[n] for n in timings
+    )
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    micro_min = min(s["micro_agg_sec"] for s in micro_samples)
     out = {
         "metric": "headline_queries_total_time",
         "value": round(sum(timings.values()), 3),
@@ -163,16 +185,24 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "phases": phase_out,
-        "calibration": _calibrate(spark),
+        "headline_op_total": round(op_total, 3),
+        "calibration": {
+            "micro_agg_sec": micro_min,
+            "loadavg_1m": _loadavg(),
+            "interleaved_samples": micro_samples,
+        },
         "passes": n_passes,
         "cpus": os.cpu_count(),
     }
-    # Host-drift normalization vs the r3 anchor (see MICRO_AGG_REF_R3): a
-    # factor > 1 means this host/run is slower than r3's recording; the
-    # normalized total is what the r3 host would likely have measured.
-    factor = out["calibration"]["micro_agg_sec"] / MICRO_AGG_REF_R3
-    out["drift_factor_vs_r3"] = round(factor, 3)
+    # Host-drift normalization vs the r4 anchor (see MICRO_AGG_REF_R4): a
+    # factor > 1 means this host/run is slower than r4's recording; the
+    # normalized total is what the r4 host would likely have measured.
+    factor = micro_min / MICRO_AGG_REF_R4
+    out["drift_factor_vs_r4"] = round(factor, 3)
     out["drift_normalized_total"] = round(out["value"] / factor, 3) if factor > 0 else None
+    out["drift_normalized_op_total"] = (
+        round(op_total / factor, 3) if factor > 0 else None
+    )
     out.update(extras)
     print(json.dumps(out))
 

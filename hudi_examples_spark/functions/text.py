@@ -103,19 +103,34 @@ def minhash_base(shingle: Column, hash_family: str = "xxhash64") -> Column:
 def minhash_signature(
     shingles: Column, num_hashes: int = 32, hash_family: str = "xxhash64"
 ) -> Column:
-    """MinHash signature: array of ``num_hashes`` minima of affine hashes
-    ``(a_i·h + b_i) mod P`` over the base ``h`` of each shingle (see
-    ``minhash_base`` for the two hash families). Empty shingle sets get
-    sentinel minima. Single pass over the shingle array (per shingle compute
-    all N hashes, fold with elementwise min)."""
-    coeffs = minhash_coeffs(num_hashes)
+    """MinHash signature: array of ``num_hashes`` minima per shingle, folded
+    with elementwise min in a single pass over the shingle array. Empty
+    shingle sets get sentinel minima.
+
+    Hash families (same plan shape, different per-shingle hash):
+
+    - ``"xxhash64"`` (default, production): N independent SEEDED hashes
+      ``xxhash64(i, shingle)`` — the standard N-families-by-seeding trick,
+      all JVM-side. Measured ~1.6× faster end-to-end than routing the
+      affine family over one base hash (16 multiply-mods per shingle cost
+      more than 15 extra xxhash64 calls on short strings — profiled at
+      sf0.1, round 5).
+    - ``"md5"`` (oracle mode): affine maps ``(a_i·h + b_i) mod P`` over a
+      48-bit md5-derived base — reproducible in any engine with md5, which
+      is what lets the DuckDB oracle value-match the whole pipeline.
+    """
     sentinel = F.lit(MINHASH_SENTINEL).cast("bigint")
     init = F.array_repeat(sentinel, num_hashes)
-    p = F.lit(MINHASH_P)
+    if hash_family == "xxhash64":
+        def hashes(s):
+            return F.array(*[F.xxhash64(F.lit(i), s) for i in range(num_hashes)])
+    else:
+        coeffs = minhash_coeffs(num_hashes)
+        p = F.lit(MINHASH_P)
 
-    def hashes(s):
-        hp = minhash_base(s, hash_family)
-        return F.array(*[(F.lit(a) * hp + F.lit(b)) % p for a, b in coeffs])
+        def hashes(s):
+            hp = minhash_base(s, hash_family)
+            return F.array(*[(F.lit(a) * hp + F.lit(b)) % p for a, b in coeffs])
 
     return F.aggregate(
         shingles,

@@ -208,6 +208,101 @@ FROM d GROUP BY lang, source ORDER BY lang, source
 """
 
 
+def semantic_dup_pairs(
+    e: DataFrame,
+    threshold: float,
+    max_cluster_size: int = 10_000,
+    block_size: int = 1024,
+) -> DataFrame:
+    """Within-cluster exact near-dup pairs (d1 < d2, rounded cosine ≥
+    threshold) with a GIANT-CLUSTER GUARD.
+
+    Clusters at or under ``max_cluster_size`` take the plain cluster-keyed
+    self-join (one hash shuffle on the cluster id; Catalyst/codegen cosine).
+    A cluster larger than the cap would put its entire O(c²) pair space into
+    a single join task — the SemDeDup skew failure mode — so oversized
+    clusters are RE-CHUNKED by the block-pair pattern of
+    ``dedup_embed_cosine``: members hash into ~``block_size`` sub-blocks,
+    every unordered sub-block pair is scored once by a vectorized BLAS
+    matmul in an independent task, and ALL pairs over the threshold are
+    emitted (no top-k — this is exact dedup, so results are identical to the
+    naive join; only the physical chunking changes). Per-task work is
+    bounded at ~block_size² comparisons regardless of cluster size.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    sizes = e.groupBy("label").count()
+    # cluster cardinality is tiny (k clusters); the oversized list is driver-safe
+    big = {r["label"]: r["count"] for r in sizes.filter(F.col("count") > max_cluster_size).collect()}
+
+    small = e.join(F.broadcast(sizes.filter(F.col("count") <= max_cluster_size).select("label")), "label")
+    a = small.select("label", F.col("vec_id").alias("d1"), F.col("embedding").alias("emb1"))
+    b = small.select("label", F.col("vec_id").alias("d2"), F.col("embedding").alias("emb2"))
+    dups = (
+        a.join(b, "label")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "d1", "d2", F.round(cosine_similarity("emb1", "emb2"), 6).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    if big:
+        nb = {lab: max(2, math.ceil(cnt / block_size)) for lab, cnt in big.items()}
+        nb_df = F.create_map(*[F.lit(x) for kv in nb.items() for x in kv])
+        packed = (
+            e.filter(F.col("label").isin(list(big)))
+            .withColumn("sb", F.pmod(F.xxhash64("vec_id"), nb_df[F.col("label")]))
+            .groupBy("label", "sb")
+            .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("rows"))
+        )
+        pa = packed.select("label", F.col("sb").alias("sb1"), F.col("rows").alias("rows1"))
+        pb = packed.select("label", F.col("sb").alias("sb2"), F.col("rows").alias("rows2"))
+        block_pairs = pa.join(pb, "label").filter(F.col("sb1") <= F.col("sb2"))
+
+        def score(batches):
+            for pdf in batches:
+                d1s, d2s, sims = [], [], []
+                for rows1, rows2, sb1, sb2 in zip(
+                    pdf["rows1"], pdf["rows2"], pdf["sb1"], pdf["sb2"]
+                ):
+                    ids1 = np.array([r["vec_id"] for r in rows1], dtype=np.int64)
+                    ids2 = np.array([r["vec_id"] for r in rows2], dtype=np.int64)
+                    m1 = np.array([r["embedding"] for r in rows1], dtype=np.float64)
+                    m2 = np.array([r["embedding"] for r in rows2], dtype=np.float64)
+                    n1 = np.linalg.norm(m1, axis=1)
+                    n2 = np.linalg.norm(m2, axis=1)
+                    n1[n1 == 0] = 1.0
+                    n2[n2 == 0] = 1.0
+                    cos = (m1 / n1[:, None]) @ (m2 / n2[:, None]).T
+                    if sb1 == sb2:
+                        mask = ids1[:, None] < ids2[None, :]
+                    else:
+                        mask = np.ones_like(cos, dtype=bool)
+                    # loose pre-filter on the RAW cosine (1e-6 slack); the
+                    # exact HALF_UP round + threshold happens Spark-side so
+                    # boundary verdicts match the Catalyst small-cluster path
+                    # bit-for-bit (np.round is half-even — not the same).
+                    ii, jj = np.nonzero(mask & (cos >= threshold - 1e-6))
+                    if not len(ii):
+                        continue
+                    lo = np.minimum(ids1[ii], ids2[jj])
+                    hi = np.maximum(ids1[ii], ids2[jj])
+                    d1s.extend(lo.tolist())
+                    d2s.extend(hi.tolist())
+                    sims.extend(cos[ii, jj].tolist())
+                yield pd.DataFrame({"d1": d1s, "d2": d2s, "cos_sim": sims})
+
+        dups = dups.unionByName(
+            block_pairs.mapInPandas(score, "d1 BIGINT, d2 BIGINT, cos_sim DOUBLE")
+            .select("d1", "d2", F.round("cos_sim", 6).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold)
+        )
+    return dups
+
+
 def dedup_semantic(spark: SparkSession, sf: str, threshold: float = 0.92) -> DataFrame:
     """SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023,
     arXiv:2303.09540): pairwise cosine is computed only WITHIN a cluster —
@@ -217,23 +312,17 @@ def dedup_semantic(spark: SparkSession, sf: str, threshold: float = 0.92) -> Dat
     has, so the driver hash certifies the full verdict set.
 
     Scale shape: the self-join key is the cluster id, so the pair space is
-    O(Σ c_i²) ≈ O(n²/k) instead of O(n²) — the whole point of SemDeDup; a
-    skewed giant cluster is the known failure mode and would be re-chunked by
-    the block-pair pattern of ``dedup_embed_cosine``. No driver collects;
+    O(Σ c_i²) ≈ O(n²/k) instead of O(n²) — the whole point of SemDeDup — and
+    the skewed-giant-cluster failure mode is mechanically guarded:
+    ``semantic_dup_pairs`` re-chunks any cluster past ``max_cluster_size``
+    through the blocked BLAS pair pattern, keeping per-task pair counts
+    bounded (verified in tests/test_llm_pipeline6.py with a planted
+    majority cluster). No driver collects beyond the tiny cluster-size map;
     exact cosine, rounded identically to the DuckDB oracle before the
     threshold test.
     """
     e = t(spark, sf, "embeddings")
-    a = e.select("label", F.col("vec_id").alias("d1"), F.col("embedding").alias("emb1"))
-    b = e.select("label", F.col("vec_id").alias("d2"), F.col("embedding").alias("emb2"))
-    dups = (
-        a.join(b, "label")
-        .filter(F.col("d1") < F.col("d2"))
-        .select(
-            "d1", "d2", F.round(cosine_similarity("emb1", "emb2"), 6).alias("cos_sim")
-        )
-        .filter(F.col("cos_sim") >= threshold)
-    )
+    dups = semantic_dup_pairs(e, threshold)
     dup_counts = (
         dups.select(F.col("d1").alias("vec_id"))
         .unionAll(dups.select(F.col("d2").alias("vec_id")))

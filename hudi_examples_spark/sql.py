@@ -15,6 +15,7 @@ parser internals (the reference does the same via HoodieSparkSessionExtension,
 
 from __future__ import annotations
 
+import json
 import os
 import re
 
@@ -234,6 +235,7 @@ class Engine:
         run_clustering_sort('t', 'c1'[, 'c2', ...]) |
         run_clustering_zorder('t', 'c1', 'c2'[, ...]) |
         run_clean('t'[, retain]) | rebuild_index('t', 'name') |
+        run_services('t') — the full policy-driven maintenance pass |
         rollback_to_instant('t'[, instant]) |
         create_savepoint('t') | restore_to_savepoint('t', instant) |
         show_commits('t') | show_savepoints('t') |
@@ -264,6 +266,12 @@ class Engine:
         if proc == "run_clean":
             tbl.clean(retain_commits=int(arg) if arg else 10)
             return None
+        if proc == "run_services":
+            # the one entry point a scheduler calls per table per cadence;
+            # returns the per-service report as rows so SQL callers see what ran
+            rep = tbl.run_services()
+            rows = [(k, json.dumps(v, default=str)) for k, v in rep.items()]
+            return self.spark.createDataFrame(rows, "service STRING, result STRING")
         if proc == "rebuild_index":
             if not arg:
                 raise ValueError("rebuild_index requires the index name")

@@ -34,6 +34,7 @@ import json
 import os
 import re as _re
 import shutil
+import time as _time
 from contextlib import contextmanager
 from dataclasses import asdict, dataclass, field
 from dataclasses import fields as dataclass_fields
@@ -702,12 +703,24 @@ class Table:
             raise ValueError(f"index name must be alnum/underscore, got {name!r}")
         d = os.path.join(self.base, self.INDEX_DIR, name)
         os.makedirs(d, exist_ok=True)
+        snap = self.latest_instant() or ""
         self._write_index_data(expr, os.path.join(d, "data"))
-        with open(os.path.join(d, "meta.json"), "w") as f:
-            json.dump(
-                {"name": name, "expr": expr, "built_as_of": self.latest_instant() or ""},
-                f,
+        # Publish the meta under the timeline lock, catching up commits that
+        # landed after the snapshot read: a concurrent writer either published
+        # before we took the lock (the catch-up append derives its entries) or
+        # publishes after meta exists (its own publish-time index guard sees
+        # the new index and appends) — no window loses a mapping.
+        lock = os.path.join(self.base, TIMELINE_DIR, "_lock")
+        os.makedirs(os.path.dirname(lock), exist_ok=True)
+        fd = _acquire_lock(lock, self.LOCK_TTL_SECONDS, 30.0)
+        try:
+            self._index_catch_up(expr, os.path.join(d, "data"), snap)
+            self._write_index_meta(
+                name,
+                {"name": name, "expr": expr, "built_as_of": snap, "gen": 0, "valid": True},
             )
+        finally:
+            _release_lock(fd, lock)
 
     def _index_meta(self, name: str) -> dict | None:
         p = os.path.join(self.base, self.INDEX_DIR, name, "meta.json")
@@ -717,7 +730,51 @@ class Table:
             meta = json.load(f)
         # plain pre-expression metas carry only "col"
         meta.setdefault("expr", meta.get("col", name))
+        meta.setdefault("gen", 0)
+        meta.setdefault("valid", True)
         return meta
+
+    def _write_index_meta(self, name: str, meta: dict) -> None:
+        p = os.path.join(self.base, self.INDEX_DIR, name, "meta.json")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, p)
+
+    def _index_data_dir(self, name: str, meta: dict | None = None) -> str:
+        """Current data directory of an index. Generation 0 is the legacy
+        ``data`` path; every rebuild bumps the generation and points the meta
+        at a fresh ``data_g{N}`` dir so the swap is one atomic meta replace —
+        concurrent readers mid-scan of the old generation never hit a vanished
+        path (old generations are swept later by ``heal``, age-gated)."""
+        meta = meta if meta is not None else (self._index_meta(name) or {})
+        gen = meta.get("gen", 0)
+        sub = "data" if gen == 0 else f"data_g{gen:04d}"
+        return os.path.join(self.base, self.INDEX_DIR, name, sub)
+
+    def _index_catch_up(self, expr: str, data_dir: str, since: str) -> None:
+        """Append (value, key) entries of every live file published after
+        ``since`` into ``data_dir``. Used under the timeline lock by index
+        build/rebuild to close the snapshot-to-swap race; duplicate entries
+        are superset-safe (``lookup`` re-applies the predicate). O(commits
+        since the snapshot), not O(table)."""
+        late = [
+            i
+            for i in self.timeline.completed_data_instants()
+            if i.instant > since and i.files_added
+        ]
+        if not late:
+            return
+        live = set(self.timeline.live_files()[0])
+        rels = sorted({r for i in late for r in i.files_added if r in live})
+        if not rels:
+            return
+        entries = (
+            self._read_files(rels, with_deleted=False)
+            .select(F.expr(expr).alias("val"), F.col(META_KEY).alias("key"))
+            .where(F.col("val").isNotNull())
+        )
+        entries.write.mode("append").parquet(data_dir)
 
     def _write_index_data(self, expr: str, data_dir: str) -> None:
         entries = (
@@ -746,17 +803,38 @@ class Table:
 
     def rebuild_index(self, name: str) -> None:
         """Compact the append-only superset back to the exact current mapping
-        (drops stale values of updated rows and entries of deleted rows).
-        Table-maintenance op, same single-maintainer contract as compaction."""
+        (drops stale values of updated rows and entries of deleted rows) and
+        clear any invalidation marker left by ``rollback``.
+
+        Concurrency-safe, unlike a naive dir swap: the fresh mapping is built
+        into a NEW generation directory off-lock (the expensive scan), then
+        under the timeline lock we (a) catch up entries of any commit
+        published after the snapshot read — whose writer appended into the old
+        generation — and (b) swap by atomically replacing meta.json to point
+        at the new generation. A writer whose append raced the swap but who
+        publishes after we release detects the generation bump inside its own
+        locked publish (``_publish_with_index_guard``) and re-appends into the
+        current generation, so no (value, key) mapping is ever lost. The old
+        generation stays on disk for in-flight readers; ``heal`` sweeps
+        superseded generations age-gated."""
         meta = self._index_meta(name)
         if meta is None:
             raise ValueError(f"no secondary index {name}")
         d = os.path.join(self.base, self.INDEX_DIR, name)
-        fresh = os.path.join(d, "data__rebuild")
+        snap = self.latest_instant() or ""
+        new_gen = meta.get("gen", 0) + 1
+        fresh = os.path.join(d, f"data_g{new_gen:04d}")
+        shutil.rmtree(fresh, ignore_errors=True)
         self._write_index_data(meta["expr"], fresh)
-        live = os.path.join(d, "data")
-        shutil.rmtree(live, ignore_errors=True)
-        os.rename(fresh, live)
+        lock = os.path.join(self.base, TIMELINE_DIR, "_lock")
+        os.makedirs(os.path.dirname(lock), exist_ok=True)
+        fd = _acquire_lock(lock, self.LOCK_TTL_SECONDS, 30.0)
+        try:
+            self._index_catch_up(meta["expr"], fresh, snap)
+            meta.update({"gen": new_gen, "valid": True, "rebuilt_as_of": snap})
+            self._write_index_meta(name, meta)
+        finally:
+            _release_lock(fd, lock)
 
     def _index_expr_refs(self, expr: str) -> set[str]:
         """Schema columns an index expression references (identifier match)."""
@@ -778,6 +856,11 @@ class Table:
         (some provided, some absent) cannot be maintained from either side;
         ``update_partial`` rejects that combination up front."""
         names = self.secondary_index_cols()
+        self._pending_index_appends = {
+            "rels": list(rels),
+            "partial_cols": list(partial_cols) if partial_cols is not None else None,
+            "gens": {},
+        }
         if not names or not rels:
             return
         df = self._read_files(rels, with_deleted=False)
@@ -785,6 +868,7 @@ class Table:
             meta = self._index_meta(name)
             if meta is None:
                 continue
+            self._pending_index_appends["gens"][name] = meta.get("gen", 0)
             if partial_cols is not None:
                 refs = self._index_expr_refs(meta["expr"])
                 if not refs <= set(partial_cols):
@@ -798,8 +882,46 @@ class Table:
             (
                 entries.where(F.col("val").isNotNull())
                 .write.mode("append")
-                .parquet(os.path.join(self.base, self.INDEX_DIR, name, "data"))
+                .parquet(self._index_data_dir(name, meta))
             )
+
+    def _index_publish_guard(self) -> None:
+        """Run inside the locked publish, after the commit lands: if any index
+        was rebuilt (generation bump) or created since this write appended its
+        (value, key) pairs, those pairs went to a superseded generation — re-
+        append into the current one. Rebuild/create swap generations only
+        under this same lock, so the check cannot miss an interleaving; the
+        re-append is a rare O(commit) job, and duplicates are superset-safe."""
+        pend = getattr(self, "_pending_index_appends", None)
+        if pend is None:
+            return
+        self._pending_index_appends = None
+        current = {}
+        for name in self.secondary_index_cols():
+            meta = self._index_meta(name)
+            if meta is not None:
+                current[name] = meta.get("gen", 0)
+        if current != pend["gens"]:
+            self._maintain_indexes(pend["rels"], partial_cols=pend["partial_cols"])
+            self._pending_index_appends = None
+
+    def _publish_with_index_guard(self, inst: Instant) -> None:
+        """Publish an append-only commit (bulk insert / MOR log) that skips
+        OCC conflict checks but still needs the brief timeline lock: the
+        commit write and the index-generation re-check must be one atomic
+        step relative to ``rebuild_index``'s (and ``create_*_index``'s)
+        locked swap — that also covers an index CREATED concurrently on a
+        previously index-less table. The lock hold is two renames plus a
+        JSON stat in the common case; the re-append job only runs on an
+        actual interleave."""
+        lock = os.path.join(self.base, TIMELINE_DIR, "_lock")
+        os.makedirs(os.path.dirname(lock), exist_ok=True)
+        fd = _acquire_lock(lock, self.LOCK_TTL_SECONDS, 30.0)
+        try:
+            self.timeline.write(inst)
+            self._index_publish_guard()
+        finally:
+            _release_lock(fd, lock)
 
     def lookup(self, col: str, value) -> DataFrame:
         """Index-backed equality point read on a non-key column.
@@ -820,12 +942,14 @@ class Table:
     def _index_for(self, col: str) -> str | None:
         """Index name serving equality predicates on ``col``: a same-named
         index, or any index whose defining expression IS the column (SQL DDL
-        names indexes freely)."""
-        if self._index_meta(col) is not None:
-            return col
+        names indexes freely). Indexes invalidated by ``rollback`` never
+        serve auto-routing — callers silently fall back to the scan path."""
+        meta = self._index_meta(col)
+        if meta is not None:
+            return col if meta.get("valid", True) else None
         for name in self.secondary_index_cols():
             meta = self._index_meta(name)
-            if meta and meta["expr"].strip() == col:
+            if meta and meta["expr"].strip() == col and meta.get("valid", True):
                 return name
         return None
 
@@ -834,12 +958,19 @@ class Table:
         ``lookup_indexed("name_lower", "x")`` answers
         ``WHERE lower(name) = 'x'`` with O(matching file groups) IO. Same
         plan shape and superset semantics as ``lookup`` (which delegates
-        here); the re-applied predicate is the index's defining expression."""
+        here); the re-applied predicate is the index's defining expression.
+
+        An index invalidated by ``rollback`` (resurrected row versions were
+        never indexed, so the superset contract is broken) answers with a
+        full predicate scan instead — correct, just unpruned — until
+        ``rebuild_index`` / ``run_services`` restores it."""
         meta = self._index_meta(name)
         if meta is None:
             raise ValueError(f"no secondary index {name}")
-        d = os.path.join(self.base, self.INDEX_DIR, name)
-        idx = self.spark.read.parquet(os.path.join(d, "data"))
+        if not meta.get("valid", True):
+            self.last_index_lookup = {"invalid_fallback": True}
+            return self.read().filter(F.expr(meta["expr"]) == F.lit(value))
+        idx = self.spark.read.parquet(self._index_data_dir(name, meta))
         keys = (
             idx.filter(F.col("val") == value)
             .select(F.col("key").alias(META_KEY))
@@ -1534,7 +1665,7 @@ class Table:
         )
         rels = self._write_files(out, instant)
         self._maintain_indexes(rels, partial_cols=provided)
-        self.timeline.write(
+        self._publish_with_index_guard(
             Instant(
                 instant,
                 "deltacommit",
@@ -1831,7 +1962,7 @@ class Table:
             out = self._latest_wins(out)
         rels = self._write_files(out, instant)
         self._maintain_indexes(rels)
-        self.timeline.write(
+        self._publish_with_index_guard(
             Instant(instant, "commit", rels, [], {"operation": "insert"})
         )
         return instant
@@ -2222,7 +2353,7 @@ class Table:
             out = self._latest_wins(self._with_meta(upserts, instant))
             rels = self._write_files(out, instant)
             self._maintain_indexes(rels)
-            self.timeline.write(Instant(instant, "commit", rels, [], meta))
+            self._publish_with_index_guard(Instant(instant, "commit", rels, [], meta))
             return instant
         parts = []
         if upserts is not None:
@@ -2238,7 +2369,7 @@ class Table:
         out = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
         rels = self._write_files(out, instant)
         self._maintain_indexes(rels)
-        self.timeline.write(Instant(instant, "deltacommit", rels, [], meta))
+        self._publish_with_index_guard(Instant(instant, "deltacommit", rels, [], meta))
         return instant
 
     # ----------------------------------------------------- concurrency control
@@ -2308,6 +2439,7 @@ class Table:
                     "lock displaced by a stale-lock breaker during publish; retry"
                 )
             self.timeline.write(inst)
+            self._index_publish_guard()
         finally:
             _release_lock(fd, lock)
 
@@ -2379,19 +2511,32 @@ class Table:
         ``clusteringjob.properties`` / DeltaStreamer's inline services, rolled
         into the call a scheduler would run per table per cadence).
 
-        Order is deliberate: heal first (roll back partial commits so the
+        Order is deliberate: heal first (sweep dead writers' debris so the
         services see only durable state), compaction next (resolves logs —
         including partial-update chains — into base files), bucket resize
         after (splits judge post-compaction sizes), then cleaning (older
-        versions freed by compaction become deletable), index rebuild (the
-        superset compacts against the merged view; triggered when entries
-        exceed ``index_bloat_ratio`` × live rows), and timeline archival last.
+        versions freed by compaction become deletable), index rebuild (any
+        index invalidated by a rollback, plus supersets whose entries exceed
+        ``index_bloat_ratio`` × live rows), and timeline archival last.
         Every step tolerates losing an OCC race to a concurrent writer —
         services are best-effort maintenance, never a correctness event.
         Returns a report of what each service did.
+
+        Concurrent-writer safety: heal runs AGE-GATED here (2× the lock TTL)
+        — a fresh staging dir or a moved-but-unpublished data file may belong
+        to an in-flight commit and is left alone; only a dead writer's debris
+        is old enough to sweep. Call ``heal()`` directly for the immediate
+        single-maintainer crash-recovery sweep.
+
+        O(maintenance), not O(table): the index-bloat trigger reads parquet
+        FOOTER row counts of the live files and the index datasets (local
+        metadata, like ``_write_bloom_filters``) — no snapshot merge, no
+        Spark job, no data-file reads. Footer counts over base + log files
+        overcount live rows for MOR (updates/deletes in logs), which only
+        makes the trigger later, never wrong.
         """
         report: dict = {}
-        report["healed"] = self.heal()
+        report["healed"] = self.heal(min_age_seconds=2 * self.LOCK_TTL_SECONDS)
         if self.config.table_type == "mor" and self.should_compact(compact_after):
             try:
                 report["compacted"] = self.compact()
@@ -2406,20 +2551,55 @@ class Table:
                 report["bucket_split"] = None
         report["cleaned"] = self.clean(retain_commits=clean_retain)
         rebuilt = []
-        if self.secondary_index_cols():
-            live_rows = self.read().count()
-            for name in self.secondary_index_cols():
-                d = os.path.join(self.base, self.INDEX_DIR, name, "data")
-                try:
-                    n_entries = self.spark.read.parquet(d).count()
-                except Exception:
+        names = self.secondary_index_cols()
+        if names:
+            live_rows = self._footer_rows(
+                os.path.join(self.base, r) for r in self.timeline.live_files()[0]
+            )
+            for name in names:
+                meta = self._index_meta(name)
+                if meta is None:
                     continue
+                if not meta.get("valid", True):
+                    self.rebuild_index(name)  # rollback invalidated it
+                    rebuilt.append(name)
+                    continue
+                n_entries = self._footer_rows(
+                    self._index_parquet_files(self._index_data_dir(name, meta))
+                )
                 if live_rows and n_entries > index_bloat_ratio * live_rows:
                     self.rebuild_index(name)
                     rebuilt.append(name)
         report["indexes_rebuilt"] = rebuilt
         report["archived"] = self.archive_timeline(retain_instants=archive_retain)
         return report
+
+    @staticmethod
+    def _index_parquet_files(data_dir: str) -> list[str]:
+        if not os.path.isdir(data_dir):
+            return []
+        return [
+            os.path.join(root, fn)
+            for root, _, fns in os.walk(data_dir)
+            for fn in fns
+            if fn.endswith(".parquet")
+        ]
+
+    @staticmethod
+    def _footer_rows(paths) -> int:
+        """Sum of parquet footer ``num_rows`` — pure local metadata reads
+        (the same trick as the bloom/stats sidecar builders). On an object
+        store at 100 TB this loop would ride the commit metadata instead;
+        either way no data pages are read."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for p in paths:
+            try:
+                total += pq.ParquetFile(p).metadata.num_rows
+            except Exception:
+                continue
+        return total
 
     def should_compact(
         self, max_delta_commits: int = 5, max_delta_seconds: float | None = None
@@ -2766,12 +2946,45 @@ class Table:
             p = os.path.join(self.base, rel)
             if os.path.exists(p):
                 os.remove(p)
+        if target.files_removed:
+            # Rolling back a commit that REPLACED files resurrects the older
+            # row versions those files superseded — versions a secondary index
+            # built (or rebuilt) after the commit has never seen, which breaks
+            # the complete-superset contract ("rollbacks only remove rows" is
+            # false for replace commits). Mark every index invalid: lookups
+            # and scan auto-routing fall back to full-predicate scans (always
+            # correct) until rebuild_index / run_services re-certifies them.
+            for name in self.secondary_index_cols():
+                meta = self._index_meta(name)
+                if meta is not None and meta.get("valid", True):
+                    meta.update({"valid": False, "invalidated_by": rb})
+                    self._write_index_meta(name, meta)
         return rb
 
-    def heal(self) -> list[str]:
+    def heal(self, min_age_seconds: float = 0.0) -> list[str]:
         """Remove orphan data files with no timeline entry (a write that died before
-        its atomic timeline publish) and stale staging dirs. Readers are already
-        immune (manifest-driven); this reclaims space."""
+        its atomic timeline publish), stale staging dirs, and index generations
+        superseded by ``rebuild_index``. Readers are already immune
+        (manifest-driven); this reclaims space.
+
+        ``min_age_seconds`` gates the sweep by file mtime. The default 0 keeps
+        ``heal()`` the crash-recovery tool it was built as (single maintainer,
+        nothing in flight, sweep everything now). A maintenance pass running
+        CONCURRENTLY with live writers (``run_services``) must pass an age
+        gate: a fresh staging dir or a data file moved into place but not yet
+        published may belong to an in-flight commit — deleting it would leave
+        a published commit referencing missing files. Anything older than the
+        gate (default 2× the lock TTL over in run_services) belongs to a dead
+        writer. Superseded index generations are always age-gated by the lock
+        TTL so a reader mid-scan of the old generation finishes first."""
+        now = _time.time()
+
+        def _older(path: str, age: float) -> bool:
+            try:
+                return (now - os.path.getmtime(path)) >= age
+            except OSError:
+                return False  # vanished mid-walk: someone else owns it
+
         known: set[str] = set(self.timeline.checkpoint_files())
         for inst in self.timeline.instants():
             known.update(inst.files_added)
@@ -2783,7 +2996,10 @@ class Table:
         staging_root = os.path.join(self.base, ".staging")
         if os.path.isdir(staging_root):
             for d in os.listdir(staging_root):
-                shutil.rmtree(os.path.join(staging_root, d), ignore_errors=True)
+                p = os.path.join(staging_root, d)
+                if min_age_seconds and not _older(p, min_age_seconds):
+                    continue  # possibly an in-flight write's staging dir
+                shutil.rmtree(p, ignore_errors=True)
                 removed.append(os.path.join(".staging", d))
         for root, dirs, fns in os.walk(self.base):
             # engine sidecar dirs hold parquet/json the TIMELINE doesn't
@@ -2797,10 +3013,29 @@ class Table:
             for fn in fns:
                 if not fn.endswith(".parquet"):
                     continue
-                rel = os.path.relpath(os.path.join(root, fn), self.base)
+                p = os.path.join(root, fn)
+                rel = os.path.relpath(p, self.base)
                 if rel not in known:
-                    os.remove(os.path.join(root, fn))
+                    if min_age_seconds and not _older(p, min_age_seconds):
+                        continue  # moved into place but not yet published
+                    os.remove(p)
                     removed.append(rel)
+        # superseded index generations (rebuild_index leaves them for
+        # in-flight readers) — age-gated by the lock TTL at minimum
+        gen_age = max(min_age_seconds, self.LOCK_TTL_SECONDS)
+        for name in self.secondary_index_cols():
+            meta = self._index_meta(name)
+            if meta is None:
+                continue
+            d = os.path.join(self.base, self.INDEX_DIR, name)
+            current = os.path.basename(self._index_data_dir(name, meta))
+            for sub in sorted(os.listdir(d)):
+                if sub == current or not (sub == "data" or sub.startswith("data_")):
+                    continue
+                p = os.path.join(d, sub)
+                if os.path.isdir(p) and _older(p, gen_age):
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed.append(os.path.join(self.INDEX_DIR, name, sub))
         return removed
 
     # ------------------------------------------------------------- versioning

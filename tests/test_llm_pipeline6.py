@@ -92,3 +92,52 @@ def test_semantic_dedup_drops_planted_cluster_dup(spark, tmp_path):
     assert out[0]["kept"] and out[0]["n_near_dups"] >= 1
     assert not out[100]["kept"]  # same-cluster near-dup, higher id -> dropped
     assert out[101]["kept"] and out[101]["n_near_dups"] == 0  # other cluster: blind
+
+
+def test_semantic_dedup_giant_cluster_guard(spark):
+    """A cluster holding >=60% of all rows routes through the blocked
+    BLAS pair path: identical pair set to the naive cluster self-join, with
+    per-task pair counts bounded by the sub-block size (the SemDeDup skew
+    failure mode is mechanically guarded, not just documented)."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hudi_examples_spark.functions.vectors import cosine_similarity
+    from hudi_examples_spark.operators.llm_pipeline6 import semantic_dup_pairs
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(300):
+        v = rng.standard_normal(8)
+        label = 0 if i < 200 else (i % 3) + 1  # label 0 holds 2/3 of rows
+        rows.append((i, (v / np.linalg.norm(v)).tolist(), label))
+    # plant near-dups inside the giant cluster across sub-block boundaries
+    for j, src in enumerate((0, 7, 55, 123)):
+        base = np.array(rows[src][1])
+        near = base + 1e-4 * rng.standard_normal(8)
+        rows.append((1000 + j, (near / np.linalg.norm(near)).tolist(), 0))
+    e = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+
+    guarded = semantic_dup_pairs(e, 0.92, max_cluster_size=50, block_size=32)
+    a = e.select("label", F.col("vec_id").alias("d1"), F.col("embedding").alias("emb1"))
+    b = e.select("label", F.col("vec_id").alias("d2"), F.col("embedding").alias("emb2"))
+    naive = (
+        a.join(b, "label")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", F.round(cosine_similarity("emb1", "emb2"), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.92)
+    )
+    got = sorted(map(tuple, guarded.collect()))
+    want = sorted(map(tuple, naive.collect()))
+    assert got == want and len(want) >= 4  # identical pairs incl. planted dups
+    # bounded chunks: no sub-block of the giant cluster exceeds ~3x block_size
+    nb = max(2, math.ceil(204 / 32))
+    blocks = (
+        e.filter(F.col("label") == 0)
+        .withColumn("sb", F.pmod(F.xxhash64("vec_id"), F.lit(nb)))
+        .groupBy("sb")
+        .count()
+    )
+    assert blocks.agg(F.max("count")).first()[0] <= 3 * 32
