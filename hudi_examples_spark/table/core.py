@@ -752,6 +752,28 @@ class Table:
         sub = "data" if gen == 0 else f"data_g{gen:04d}"
         return os.path.join(self.base, self.INDEX_DIR, name, sub)
 
+    def _index_append_dir(self, data_dir: str) -> str:
+        """Unique subdirectory for one commit's (value, key) entries.
+
+        Concurrent writers may maintain the same index at the same moment; a
+        shared ``mode("append")`` into one directory is NOT safe — Hadoop's
+        FileOutputCommitter stages every job under the same ``_temporary/0``
+        path, so one job's commit sweeps the other's in-flight attempt dirs
+        (found by tests/test_services_soak.py). Per-commit subdirectories
+        give every append its own committer scope, exactly like log files in
+        a file group; readers glob the generation recursively."""
+        import uuid as _uuid
+
+        return os.path.join(data_dir, f"append_{_uuid.uuid4().hex[:16]}")
+
+    def _read_index_entries(self, name: str, meta: dict | None = None) -> DataFrame:
+        """The current generation's (val, key) dataset — recursive lookup
+        because appends live in per-commit subdirectories."""
+        return (
+            self.spark.read.option("recursiveFileLookup", "true")
+            .parquet(self._index_data_dir(name, meta))
+        )
+
     def _index_catch_up(self, expr: str, data_dir: str, since: str) -> None:
         """Append (value, key) entries of every live file published after
         ``since`` into ``data_dir``. Used under the timeline lock by index
@@ -774,7 +796,7 @@ class Table:
             .select(F.expr(expr).alias("val"), F.col(META_KEY).alias("key"))
             .where(F.col("val").isNotNull())
         )
-        entries.write.mode("append").parquet(data_dir)
+        entries.write.mode("overwrite").parquet(self._index_append_dir(data_dir))
 
     def _write_index_data(self, expr: str, data_dir: str) -> None:
         entries = (
@@ -881,8 +903,8 @@ class Table:
                 continue  # expression no longer analyzes (e.g. column dropped)
             (
                 entries.where(F.col("val").isNotNull())
-                .write.mode("append")
-                .parquet(self._index_data_dir(name, meta))
+                .write.mode("overwrite")
+                .parquet(self._index_append_dir(self._index_data_dir(name, meta)))
             )
 
     def _index_publish_guard(self) -> None:
@@ -970,7 +992,7 @@ class Table:
         if not meta.get("valid", True):
             self.last_index_lookup = {"invalid_fallback": True}
             return self.read().filter(F.expr(meta["expr"]) == F.lit(value))
-        idx = self.spark.read.parquet(self._index_data_dir(name, meta))
+        idx = self._read_index_entries(name, meta)
         keys = (
             idx.filter(F.col("val") == value)
             .select(F.col("key").alias(META_KEY))

@@ -128,9 +128,9 @@ def test_publish_guard_reappends_after_generation_bump(spark, tbl):
     # writer state as of its append: generation 0
     tbl._pending_index_appends = {"rels": rels, "partial_cols": None, "gens": {"val": 0}}
     tbl.rebuild_index("val")  # concurrent maintenance swaps to generation 1
-    n_before = spark.read.parquet(tbl._index_data_dir("val")).count()
+    n_before = tbl._read_index_entries("val").count()
     tbl._index_publish_guard()
-    n_after = spark.read.parquet(tbl._index_data_dir("val")).count()
+    n_after = tbl._read_index_entries("val").count()
     assert n_after > n_before  # (value, key) pairs re-derived into the new gen
     assert tbl.lookup("val", "D").count() == 1
 

@@ -76,11 +76,11 @@ def test_value_update_moves_lookup(spark, indexed_table):
 def test_rebuild_compacts_superset(spark, indexed_table):
     for i in range(3):  # churn: every pass appends fresh mappings
         indexed_table.upsert(_df(spark, 0, 100, v0=10000 * (i + 1)))
-    before = spark.read.parquet(indexed_table._index_data_dir("cat")).count()
+    before = indexed_table._read_index_entries("cat").count()
     indexed_table.rebuild_index("cat")
     # rebuild swaps to a NEW generation dir via an atomic meta replace (the
     # old one stays for in-flight readers until heal sweeps it, age-gated)
-    after = spark.read.parquet(indexed_table._index_data_dir("cat")).count()
+    after = indexed_table._read_index_entries("cat").count()
     assert after < before
     assert after == indexed_table.read().count()  # exact mapping again
     got = indexed_table.lookup("cat", "c0")
