@@ -203,6 +203,15 @@ def main() -> None:
     out["drift_normalized_op_total"] = (
         round(op_total / factor, 3) if factor > 0 else None
     )
+    if factor > 1.5:
+        # the micro-op is pure 32-thread CPU, so external host contention
+        # inflates it MORE than the mixed IO/shuffle/serial queries — a large
+        # factor means "host was busy; trust raw minima least, normalized
+        # totals as a LOWER bound, and compare min-of-day across runs".
+        out["drift_note"] = (
+            f"host contention: micro-op {factor:.1f}x the r4 anchor; "
+            "normalized totals over-correct — treat as bounds, not estimates"
+        )
     out.update(extras)
     print(json.dumps(out))
 

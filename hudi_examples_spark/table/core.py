@@ -817,11 +817,29 @@ class Table:
         if not os.path.isdir(d):
             return []
         return sorted(
-            c for c in os.listdir(d) if os.path.exists(os.path.join(d, c, "meta.json"))
+            c
+            for c in os.listdir(d)
+            if not c.startswith(".")  # .trash-* from drop_secondary_index
+            and os.path.exists(os.path.join(d, c, "meta.json"))
         )
 
     def drop_secondary_index(self, col: str) -> None:
-        shutil.rmtree(os.path.join(self.base, self.INDEX_DIR, col), ignore_errors=True)
+        """Drop by RENAME to a dot-prefixed trash dir (atomic disappearance
+        from ``secondary_index_cols``): an rmtree of the live dir would yank
+        files out from under a concurrent reader mid-scan. ``heal`` sweeps
+        the trash age-gated, like superseded generations."""
+        import uuid as _uuid
+
+        d = os.path.join(self.base, self.INDEX_DIR, col)
+        if not os.path.isdir(d):
+            return
+        trash = os.path.join(
+            self.base, self.INDEX_DIR, f".trash-{col}-{_uuid.uuid4().hex[:8]}"
+        )
+        try:
+            os.rename(d, trash)
+        except OSError:
+            shutil.rmtree(d, ignore_errors=True)  # cross-device fallback
 
     def rebuild_index(self, name: str) -> None:
         """Compact the append-only superset back to the exact current mapping
@@ -3043,8 +3061,18 @@ class Table:
                     os.remove(p)
                     removed.append(rel)
         # superseded index generations (rebuild_index leaves them for
-        # in-flight readers) — age-gated by the lock TTL at minimum
+        # in-flight readers) and dropped-index trash dirs — age-gated by the
+        # lock TTL at minimum
         gen_age = max(min_age_seconds, self.LOCK_TTL_SECONDS)
+        idx_root = os.path.join(self.base, self.INDEX_DIR)
+        if os.path.isdir(idx_root):
+            for sub in sorted(os.listdir(idx_root)):
+                if not sub.startswith(".trash-"):
+                    continue
+                p = os.path.join(idx_root, sub)
+                if os.path.isdir(p) and _older(p, gen_age):
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed.append(os.path.join(self.INDEX_DIR, sub))
         for name in self.secondary_index_cols():
             meta = self._index_meta(name)
             if meta is None:

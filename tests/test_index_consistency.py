@@ -195,3 +195,24 @@ def test_call_run_services_front_door(spark, tmp_path):
     out = sql.sql("CALL run_services('svc')")
     services = {r["service"] for r in out.collect()}
     assert {"healed", "cleaned", "indexes_rebuilt", "archived"} <= services
+
+
+def test_drop_index_leaves_trash_for_readers_then_heal_sweeps(spark, tbl):
+    tbl.insert(_rows(spark, ("k1", "A", 1)))
+    tbl.create_secondary_index("val")
+    data_dir = tbl._index_data_dir("val")
+    tbl.drop_secondary_index("val")
+    assert tbl.secondary_index_cols() == []
+    assert tbl._index_meta("val") is None
+    # the dataset itself survives the drop (renamed, not rmtree'd) so an
+    # in-flight reader finishes cleanly...
+    idx_root = os.path.join(tbl.base, tbl.INDEX_DIR)
+    trash = [d for d in os.listdir(idx_root) if d.startswith(".trash-val-")]
+    assert len(trash) == 1 and not os.path.isdir(data_dir)
+    # ...and heal reclaims it once aged past the gate
+    tbl.LOCK_TTL_SECONDS = 0.0
+    removed = tbl.heal()
+    assert any(".trash-val-" in r for r in removed)
+    assert not os.listdir(idx_root) or not any(
+        d.startswith(".trash-") for d in os.listdir(idx_root)
+    )
