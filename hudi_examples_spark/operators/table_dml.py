@@ -589,6 +589,86 @@ ORDER BY uuid
 """
 
 
+def tbl_run_services(spark: SparkSession, sf: str) -> DataFrame:
+    """M14+ ``run_services()`` policy pass under the driver gate (round 5).
+
+    Lifecycle on an indexed MOR table: insert → secondary index on ``c_name``
+    → keyed upsert (log commit) → Hudi-1.0 PARTIAL update (acctbal-only log
+    rows) → compaction → ROLLBACK of the compaction (a replace commit whose
+    rollback resurrects row versions, so the index conservatively invalidates
+    — the advisor's round-4 finding) → one ``run_services`` pass, which must
+    re-compact the still-pending logs, REBUILD the invalidated index, and
+    leave snapshot semantics untouched. The emitted evidence literals certify
+    under the driver hash that (a) services re-compacted, (b) the index was
+    rebuilt back to valid, and (c) an index lookup answers identically to a
+    plain filter afterwards; the rest of the row is the ordinary final-state
+    differential (upsert + partial-update column merge, services-invariant).
+    """
+    base = os.path.join(_workdir("tbl_run_services", sf), "tbl")
+    tbl = Table.create(
+        spark,
+        base,
+        CUST_SCHEMA,
+        TableConfig(
+            record_key=["c_custkey"], precombine="v", partition_by=["seg"], table_type="mor"
+        ),
+    )
+    tbl.insert(_cust_df(spark, sf))
+    tbl.create_secondary_index("c_name")
+    tbl.upsert(_upsert_batch(spark, sf))
+    partial = (
+        _cust_df(spark, sf)
+        .filter(F.col("c_custkey") % 9 == 0)
+        .select(
+            "c_custkey",
+            (F.col("c_custkey") * 2.0).alias("acctbal"),
+            F.lit(3).alias("v"),
+        )
+    )
+    tbl.update_partial(partial)
+    ci = tbl.compact()
+    tbl.rollback(ci)  # resurrects the compacted-away versions → index invalid
+    report = tbl.run_services(compact_after=1)
+    compacted_ok = report.get("compacted") is not None
+    rebuilt_ok = "c_name" in report.get("indexes_rebuilt", []) and bool(
+        (tbl._index_meta("c_name") or {}).get("valid")
+    )
+    target = tbl.read().orderBy("c_custkey").select("c_name").first()[0]
+    lookup_ok = (
+        tbl.lookup("c_name", target).count()
+        == tbl.read().filter(F.col("c_name") == target).count()
+    )
+    return tbl.read().select(
+        "c_custkey",
+        "c_name",
+        F.round("acctbal", 2).alias("acctbal"),
+        "seg",
+        "v",
+        F.lit(bool(compacted_ok)).alias("services_compacted_ok"),
+        F.lit(bool(rebuilt_ok)).alias("index_rebuilt_ok"),
+        F.lit(bool(lookup_ok)).alias("index_lookup_ok"),
+    )
+
+
+TBL_RUN_SERVICES_ORACLE = """
+SELECT c_custkey, c_name,
+       round(CASE WHEN c_custkey % 9 = 0 THEN c_custkey * 2.0
+                  WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END, 2) AS acctbal,
+       c_mktsegment AS seg,
+       CASE WHEN c_custkey % 9 = 0 THEN 3
+            WHEN c_custkey % 7 = 0 THEN 2 ELSE 1 END AS v,
+       TRUE AS services_compacted_ok,
+       TRUE AS index_rebuilt_ok,
+       TRUE AS index_lookup_ok
+FROM customer
+UNION ALL
+SELECT c_custkey + 1000000, c_name, round(c_acctbal, 2), c_mktsegment, 2,
+       TRUE, TRUE, TRUE
+FROM customer WHERE c_custkey % 13 = 0
+"""
+
+
 def tbl_bloom_upsert(spark: SparkSession, sf: str) -> DataFrame:
     """BLOOM-index lifecycle (``hoodie.index.type=BLOOM``, the reference
     quickstart's default index): record keys are md5 hex — uniformly RANDOM, so
@@ -798,6 +878,12 @@ SPECS: list[QuerySpec] = [
     QuerySpec("tbl_bloom_upsert", tbl_bloom_upsert, TBL_BLOOM_ORACLE, "J4 BLOOM index + file-group-scoped COW rewrite"),
     QuerySpec("tbl_secondary_lookup", tbl_secondary_lookup, TBL_SECONDARY_ORACLE, "Hudi 1.0 secondary index point lookup"),
     QuerySpec("tbl_partial_update", tbl_partial_update, TBL_PARTIAL_ORACLE, "Hudi 1.0 MOR partial update payloads"),
+    QuerySpec(
+        "tbl_run_services",
+        tbl_run_services,
+        TBL_RUN_SERVICES_ORACLE,
+        "M14+ services pass: recompact + rollback-invalidated index rebuild + lookup parity",
+    ),
 ]
 
 

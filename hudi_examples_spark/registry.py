@@ -110,12 +110,16 @@ def all_specs() -> list[QuerySpec]:
         "sim_knn_join",
         "sim_ann_lsh",
         "sim_ivf_topk",
-        # r3-aged refreshes: join specials, perf-watch, window battery, Arrow
+        # r3-aged refreshes: join specials, perf-watch, window battery
         "j_asof_join",
         "j_range_join",
         "fp_winnowing",
         "w_ranking_battery",
-        "mm_feature_pipeline",
+        # r5 debut: the run_services policy pass (recompaction +
+        # rollback-invalidated index rebuild + lookup parity under the hash
+        # gate). Debut ops outrank refreshes — took mm_feature_pipeline's
+        # slot; it keeps r3 evidence (age 2, within policy).
+        "tbl_run_services",
     ]
     assert len(r5_prefix) == 50 and len(set(r5_prefix)) == 50, "prefix must be 50 unique names"
     by_name = {s.name: s for s in specs}
