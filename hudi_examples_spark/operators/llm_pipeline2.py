@@ -83,11 +83,17 @@ def dedup_embed_cosine(spark: SparkSession, sf: str, top_k: int = 20, block_size
                 if not len(ii):
                     continue
                 vals = cos[ii, jj]
-                keep = np.argsort(-vals)[: top_k]  # block-pair-local top-k
-                lo = np.minimum(ids1[ii[keep]], ids2[jj[keep]])
-                hi = np.maximum(ids1[ii[keep]], ids2[jj[keep]])
-                d1s.extend(lo.tolist())
-                d2s.extend(hi.tolist())
+                lo_all = np.minimum(ids1[ii], ids2[jj])
+                hi_all = np.maximum(ids1[ii], ids2[jj])
+                # block-pair-local top-k under the FULL output ordering
+                # (cos desc, d1, d2) — value-only argsort keeps arbitrary
+                # ties, which breaks the "global top-k ⊆ local top-ks"
+                # subset property when many pairs share a similarity (e.g.
+                # exact duplicates at cos=1.0 — surfaced by the sf1 sweep)
+                # order on the ROUNDED similarity (the output/oracle sort key)
+                keep = np.lexsort((hi_all, lo_all, -np.round(vals, 6)))[: top_k]
+                d1s.extend(lo_all[keep].tolist())
+                d2s.extend(hi_all[keep].tolist())
                 sims.extend(vals[keep].tolist())
             yield pd.DataFrame({"d1": d1s, "d2": d2s, "cos_sim": sims})
 
