@@ -234,11 +234,19 @@ def semantic_dup_pairs(
     import numpy as np
     import pandas as pd
 
-    sizes = e.groupBy("label").count()
-    # cluster cardinality is tiny (k clusters); the oversized list is driver-safe
-    big = {r["label"]: r["count"] for r in sizes.filter(F.col("count") > max_cluster_size).collect()}
+    # cluster cardinality is tiny (k clusters): one small count agg, and only
+    # the OVERSIZED labels come to the driver (usually none). When no cluster
+    # breaches the cap the plan below is bit-identical to the unguarded
+    # cluster-keyed self-join — the guard costs one count job, nothing else.
+    big = {
+        r["label"]: r["count"]
+        for r in e.groupBy("label")
+        .count()
+        .filter(F.col("count") > max_cluster_size)
+        .collect()
+    }
 
-    small = e.join(F.broadcast(sizes.filter(F.col("count") <= max_cluster_size).select("label")), "label")
+    small = e.filter(~F.col("label").isin(list(big))) if big else e
     a = small.select("label", F.col("vec_id").alias("d1"), F.col("embedding").alias("emb1"))
     b = small.select("label", F.col("vec_id").alias("d2"), F.col("embedding").alias("emb2"))
     dups = (
