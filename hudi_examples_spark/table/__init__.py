@@ -14,5 +14,6 @@ API: :class:`hudi_examples_spark.table.core.Table`.
 """
 
 from hudi_examples_spark.table.core import ConcurrentWriteConflict, Table, TableConfig
+from hudi_examples_spark.table.services import ServiceScheduler
 
-__all__ = ["ConcurrentWriteConflict", "Table", "TableConfig"]
+__all__ = ["ConcurrentWriteConflict", "ServiceScheduler", "Table", "TableConfig"]
