@@ -859,6 +859,123 @@ FROM customer
 """
 
 
+def tbl_record_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Record-level index lifecycle (Hudi 1.0 RLI,
+    ``hoodie.metadata.record.index.enable``): a global (key → file) mapping
+    that resolves keyed writes to their EXACT holder files with zero
+    data-file reads. Keys are md5 hex — uniformly random, so range pruning
+    is blind and this is the regime where Hudi built the RLI. Three bulk
+    loads build disjoint-key file groups across the mktsegment partitions;
+    then (a) a pure-insert upsert must plan to ZERO rewrite candidates
+    (``rli_insert_empty``), (b) a mixed batch — updates drawn from load 0
+    only, partition-MOVING rows, fresh inserts — must scope its rewrite
+    below the full file set (``rli_upsert_scoped``), and (c) a
+    delete-where confined to load 1 must do the same
+    (``rli_delete_scoped``). All three literals certify under the driver
+    hash that planning went through the record index (``last_key_prune``
+    carries the ``record_index`` marker); the rest of the row set is the
+    ordinary final-state differential, including the global-index partition
+    moves."""
+    base = os.path.join(_workdir("tbl_record_index", sf), "tbl")
+    tbl = Table.create(
+        spark,
+        base,
+        "id STRING, custkey BIGINT, acctbal DOUBLE, seg STRING, v INT",
+        TableConfig(record_key=["id"], precombine="v", partition_by=["seg"]),
+    )
+    c = t(spark, sf, "customer").select(
+        F.md5(F.col("c_custkey").cast("string")).alias("id"),
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(1).alias("v"),
+    )
+    for m in range(3):
+        tbl.bulk_insert(c.filter(F.col("custkey") % 3 == m))
+    tbl.create_record_index()
+
+    def reinsert(offset: int, mod: int):
+        return (
+            c.filter(F.col("custkey") % mod == 0)
+            .withColumn("custkey", F.col("custkey") + offset)
+            .withColumns(
+                {"id": F.md5(F.col("custkey").cast("string")), "v": F.lit(2)}
+            )
+        )
+
+    # (a) pure inserts: the RLI proves no live file holds any key — the
+    # rewrite set is EMPTY, the property range pruning can't give for
+    # uniform-random keys
+    t1 = Table(spark, base)
+    t1.upsert(reinsert(2_000_000, 19))
+    p1 = getattr(t1, "last_key_prune", None) or {}
+    insert_empty = bool(p1.get("record_index")) and p1.get("candidates", -1) == 0
+
+    # (b) mixed batch: updates confined to load 0 (%3==0), moves to a NEW
+    # partition (global index moves the record), fresh inserts
+    updates = c.filter(
+        (F.col("custkey") % 3 == 0) & (F.col("custkey") % 7 == 0)
+    ).withColumns({"acctbal": F.col("acctbal") + 100.0, "v": F.lit(2)})
+    moves = c.filter(
+        (F.col("custkey") % 3 == 0)
+        & (F.col("custkey") % 7 != 0)
+        & (F.col("custkey") % 11 == 0)
+    ).withColumns({"seg": F.lit("MOVED"), "v": F.lit(2)})
+    t2 = Table(spark, base)
+    t2.upsert(updates.unionByName(moves).unionByName(reinsert(1_000_000, 13)))
+    p2 = getattr(t2, "last_key_prune", None) or {}
+    upsert_scoped = bool(p2.get("record_index")) and (
+        p2.get("candidates", 0) < p2.get("total", 0)
+    )
+
+    # (c) delete confined to load 1 (plus any re-inserted key landing on the
+    # predicate) — scoped the same way
+    t3 = Table(spark, base)
+    t3.delete_where("custkey % 3 = 1 AND custkey % 17 = 0")
+    p3 = getattr(t3, "last_key_prune", None) or {}
+    delete_scoped = bool(p3.get("record_index")) and (
+        p3.get("candidates", 0) < p3.get("total", 0)
+    )
+
+    return Table(spark, base).read().select(
+        "id",
+        "custkey",
+        F.round("acctbal", 2).alias("acctbal"),
+        "seg",
+        "v",
+        F.lit(insert_empty).alias("rli_insert_empty"),
+        F.lit(upsert_scoped).alias("rli_upsert_scoped"),
+        F.lit(delete_scoped).alias("rli_delete_scoped"),
+    )
+
+
+TBL_RECORD_INDEX_ORACLE = """
+WITH final AS (
+  SELECT md5(CAST(c_custkey AS VARCHAR)) AS id,
+         c_custkey AS custkey,
+         round(c_acctbal + CASE WHEN c_custkey % 3 = 0 AND c_custkey % 7 = 0
+                                THEN 100.0 ELSE 0 END, 2) AS acctbal,
+         CASE WHEN c_custkey % 3 = 0 AND c_custkey % 7 <> 0 AND c_custkey % 11 = 0
+              THEN 'MOVED' ELSE c_mktsegment END AS seg,
+         CASE WHEN c_custkey % 3 = 0 AND (c_custkey % 7 = 0 OR c_custkey % 11 = 0)
+              THEN 2 ELSE 1 END AS v
+  FROM customer
+  UNION ALL
+  SELECT md5(CAST(c_custkey + 2000000 AS VARCHAR)), c_custkey + 2000000,
+         round(c_acctbal, 2), c_mktsegment, 2
+  FROM customer WHERE c_custkey % 19 = 0
+  UNION ALL
+  SELECT md5(CAST(c_custkey + 1000000 AS VARCHAR)), c_custkey + 1000000,
+         round(c_acctbal, 2), c_mktsegment, 2
+  FROM customer WHERE c_custkey % 13 = 0
+)
+SELECT id, custkey, acctbal, seg, v,
+       TRUE AS rli_insert_empty, TRUE AS rli_upsert_scoped, TRUE AS rli_delete_scoped
+FROM final
+WHERE NOT (custkey % 3 = 1 AND custkey % 17 = 0)
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("tbl_upsert_cow", tbl_upsert_cow, UPSERT_FINAL_ORACLE, "M1,M2,M7"),
     QuerySpec("tbl_upsert_mor", tbl_upsert_mor, UPSERT_FINAL_ORACLE, "M7,MOR"),
@@ -883,6 +1000,12 @@ SPECS: list[QuerySpec] = [
         tbl_run_services,
         TBL_RUN_SERVICES_ORACLE,
         "M14+ services pass: recompact + rollback-invalidated index rebuild + lookup parity",
+    ),
+    QuerySpec(
+        "tbl_record_index",
+        tbl_record_index,
+        TBL_RECORD_INDEX_ORACLE,
+        "Hudi 1.0 record-level index: exact key→file write planning",
     ),
 ]
 

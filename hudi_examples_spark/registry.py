@@ -110,11 +110,15 @@ def all_specs() -> list[QuerySpec]:
         "sim_knn_join",
         "sim_ann_lsh",
         "sim_ivf_topk",
-        # r3-aged refreshes: join specials, perf-watch, window battery
+        # r3-aged refreshes: join specials, perf-watch
         "j_asof_join",
         "j_range_join",
         "fp_winnowing",
-        "w_ranking_battery",
+        # r5 debut: record-level index (Hudi 1.0 RLI — exact key→file write
+        # planning; insert-empty/upsert-scoped/delete-scoped markers under
+        # the hash gate). Debut ops outrank refreshes — took
+        # w_ranking_battery's slot; it keeps r3 evidence (age 2, in policy).
+        "tbl_record_index",
         # r5 debut: the run_services policy pass (recompaction +
         # rollback-invalidated index rebuild + lookup parity under the hash
         # gate). Debut ops outrank refreshes — took mm_feature_pipeline's

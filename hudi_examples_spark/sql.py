@@ -154,6 +154,24 @@ class Engine:
             # Hudi 1.0 index DDL: CREATE INDEX name ON t USING
             # secondary_index(col | expr(col)) — a bare in-schema identifier
             # makes a plain secondary index, anything else a functional one
+            # Hudi 1.0 RLI DDL: CREATE INDEX record_index ON t (key_col) —
+            # the index NAME selects the type, per the Hudi SQL surface; the
+            # column list is optional and validated against the record key
+            m = re.match(
+                r"CREATE\s+INDEX\s+record_index\s+ON\s+(\w+)\s*(?:\((.*?)\))?\s*$",
+                s,
+                re.I,
+            )
+            if m:
+                tbl = self.table(m.group(1))
+                if m.group(2):
+                    cols = [c.strip() for c in m.group(2).split(",")]
+                    if cols != tbl.config.record_key:
+                        raise ValueError(
+                            f"record_index must cover the record key {tbl.config.record_key}, got {cols}"
+                        )
+                tbl.create_record_index()
+                return None
             m = re.match(
                 r"CREATE\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s+USING\s+secondary_index\s*\((.+)\)\s*$",
                 s,
@@ -204,6 +222,9 @@ class Engine:
             )
         if verb == "DROP":
             m = re.match(r"DROP\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*$", s, re.I)
+            if m and m.group(1).lower() == "record_index":
+                self.table(m.group(2)).drop_record_index()
+                return None
             if m:
                 self.table(m.group(2)).drop_secondary_index(m.group(1))
                 return None

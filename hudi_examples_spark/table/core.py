@@ -933,17 +933,28 @@ class Table:
         under this same lock, so the check cannot miss an interleaving; the
         re-append is a rare O(commit) job, and duplicates are superset-safe."""
         pend = getattr(self, "_pending_index_appends", None)
-        if pend is None:
-            return
-        self._pending_index_appends = None
-        current = {}
-        for name in self.secondary_index_cols():
-            meta = self._index_meta(name)
-            if meta is not None:
-                current[name] = meta.get("gen", 0)
-        if current != pend["gens"]:
-            self._maintain_indexes(pend["rels"], partial_cols=pend["partial_cols"])
+        if pend is not None:
             self._pending_index_appends = None
+            current = {}
+            for name in self.secondary_index_cols():
+                meta = self._index_meta(name)
+                if meta is not None:
+                    current[name] = meta.get("gen", 0)
+            if current != pend["gens"]:
+                self._maintain_indexes(pend["rels"], partial_cols=pend["partial_cols"])
+                self._pending_index_appends = None
+        # same re-check for the record index: a rebuild (or a create on a
+        # previously index-less table) that swapped generations after our
+        # append landed means the entries went to a superseded dir — re-append
+        # into the current generation (duplicates are superset-safe)
+        rpend = getattr(self, "_pending_record_append", None)
+        if rpend is not None:
+            self._pending_record_append = None
+            rmeta = self._record_index_meta()
+            rgen = rmeta.get("gen") if rmeta is not None else None
+            if rgen != rpend["gen"]:
+                self._maintain_record_index(rpend["rels"])
+                self._pending_record_append = None
 
     def _publish_with_index_guard(self, inst: Instant) -> None:
         """Publish an append-only commit (bulk insert / MOR log) that skips
@@ -954,6 +965,8 @@ class Table:
         previously index-less table. The lock hold is two renames plus a
         JSON stat in the common case; the re-append job only runs on an
         actual interleave."""
+        if inst.files_added:
+            self._maintain_record_index(inst.files_added)
         lock = os.path.join(self.base, TIMELINE_DIR, "_lock")
         os.makedirs(os.path.dirname(lock), exist_ok=True)
         fd = _acquire_lock(lock, self.LOCK_TTL_SECONDS, 30.0)
@@ -1033,6 +1046,230 @@ class Table:
         df = self._snapshot_of(files, rels).drop(*META_COLS) if rels else self.read().limit(0)
         return df.filter(F.expr(meta["expr"]) == F.lit(value))
 
+    # --------------------------------------------------- record-level index
+
+    RECORD_INDEX_DIR = "_record_index"
+
+    def create_record_index(self) -> None:
+        """Hudi 1.0 record-level index (RLI, ``hoodie.metadata.record.index
+        .enable`` / ``CREATE INDEX record_index ON t (key)``): a global
+        (record key → data file) mapping, so keyed-write planning resolves an
+        incoming batch to its EXACT holder files with zero data-file reads —
+        the step past range pruning (helps only clustered keys) and bloom
+        probing (per-candidate-file work, FP-prone at scale). Hudi stores
+        this mapping in the metadata table's ``record_index`` partition; here
+        it is a key-sorted parquet dataset under ``_record_index/`` probed by
+        a broadcast join of the batch keys.
+
+        Same durability contract as the secondary indexes: a COMPLETE
+        SUPERSET. Every commit that adds data files — writes, MOR log
+        appends, compaction, clustering, bucket splits — appends its (key,
+        file) pairs before publishing (``_maintain_record_index`` runs at the
+        top of both publish paths), and probes intersect entries with the
+        LIVE file set, so entries of superseded or never-published files cost
+        nothing but bounded index size. ``rebuild_record_index`` compacts the
+        superset; ``rollback`` of a replace commit invalidates the index
+        (resurrected files may predate it) and ``run_services`` re-certifies.
+
+        100 TB shape: the index is O(rows) but TWO short string columns,
+        key-sorted so point probes prune by footer min/max; a batch probe is
+        one broadcast-hash join against a columnar scan — always cheaper than
+        opening data files. Maintenance is O(commit), distributed."""
+        if not self.config.record_key:
+            raise ValueError("record index requires a record key")
+        d = os.path.join(self.base, self.RECORD_INDEX_DIR)
+        os.makedirs(d, exist_ok=True)
+        snap = self.latest_instant() or ""
+        self._write_record_index_data(os.path.join(d, "data"))
+        # same locked create protocol as the secondary indexes: catch up
+        # commits that landed after the snapshot read, then publish the meta —
+        # a concurrent writer either published before the lock (catch-up owns
+        # its entries) or publishes after meta exists (its publish-time
+        # maintenance sees the index)
+        lock = os.path.join(self.base, TIMELINE_DIR, "_lock")
+        os.makedirs(os.path.dirname(lock), exist_ok=True)
+        fd = _acquire_lock(lock, self.LOCK_TTL_SECONDS, 30.0)
+        try:
+            self._record_index_catch_up(os.path.join(d, "data"), snap)
+            self._write_record_index_meta(
+                {"built_as_of": snap, "gen": 0, "valid": True}
+            )
+        finally:
+            _release_lock(fd, lock)
+
+    def drop_record_index(self) -> None:
+        """Drop by rename-to-trash (same protocol as ``drop_secondary_index``
+        — atomic disappearance, heal sweeps the trash age-gated)."""
+        import uuid as _uuid
+
+        d = os.path.join(self.base, self.RECORD_INDEX_DIR)
+        if not os.path.isdir(d):
+            return
+        trash = os.path.join(self.base, f".trash-record-{_uuid.uuid4().hex[:8]}")
+        try:
+            os.rename(d, trash)
+        except OSError:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def _record_index_meta(self) -> dict | None:
+        p = os.path.join(self.base, self.RECORD_INDEX_DIR, "meta.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            meta = json.load(f)
+        meta.setdefault("gen", 0)
+        meta.setdefault("valid", True)
+        return meta
+
+    def _write_record_index_meta(self, meta: dict) -> None:
+        p = os.path.join(self.base, self.RECORD_INDEX_DIR, "meta.json")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, p)
+
+    def _record_index_data_dir(self, meta: dict | None = None) -> str:
+        meta = meta if meta is not None else (self._record_index_meta() or {})
+        gen = meta.get("gen", 0)
+        sub = "data" if gen == 0 else f"data_g{gen:04d}"
+        return os.path.join(self.base, self.RECORD_INDEX_DIR, sub)
+
+    def _record_entries_for(self, rels: list[str]) -> DataFrame | None:
+        """(key, rel) pairs of the given data files — ONE column-pruned
+        distributed read. File identity rides ``input_file_name`` mapped back
+        to the manifest relpath by BASENAME (Spark part-file names carry a
+        per-job UUID, so basenames are unique; the mapping sidesteps
+        URI-encoding mismatches between ``input_file_name`` and os paths).
+        Tombstone log rows are included — a delete's key must still locate
+        the log file that carries it."""
+        rels = [r for r in rels if r.endswith(".parquet")]
+        if not rels:
+            return None
+        names: dict[str, str] = {}
+        for r in rels:
+            names[os.path.basename(r)] = r
+        if len(names) == len(rels):
+            m = self.spark.createDataFrame(
+                list(names.items()), "__fname STRING, rel STRING"
+            )
+            return (
+                self._read_files(rels, with_deleted=True)
+                .select(
+                    F.col(META_KEY).alias("key"),
+                    F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__fname"),
+                )
+                .join(F.broadcast(m), "__fname")
+                .select("key", "rel")
+            )
+        # basename collision (copied files): per-file tagged reads, exact
+        out = None
+        for r in rels:
+            part = self._read_files([r], with_deleted=True).select(
+                F.col(META_KEY).alias("key"), F.lit(r).alias("rel")
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    def _write_record_index_data(self, data_dir: str) -> None:
+        live = sorted(self.timeline.live_files()[0])
+        entries = self._record_entries_for(live)
+        if entries is None:
+            entries = self.spark.createDataFrame([], "key STRING, rel STRING")
+        n = max(self.spark.sparkContext.defaultParallelism // 4, 1)
+        (
+            entries.repartitionByRange(n, "key")
+            .sortWithinPartitions("key")
+            .write.mode("overwrite")
+            .parquet(data_dir)
+        )
+
+    def _record_index_catch_up(self, data_dir: str, since: str) -> None:
+        """Append entries of every live file published after ``since`` —
+        the locked build/rebuild race-closer, O(commits since snapshot)."""
+        late = [
+            i
+            for i in self.timeline.completed_data_instants()
+            if i.instant > since and i.files_added
+        ]
+        if not late:
+            return
+        live = set(self.timeline.live_files()[0])
+        rels = sorted({r for i in late for r in i.files_added if r in live})
+        entries = self._record_entries_for(rels)
+        if entries is not None:
+            entries.write.mode("overwrite").parquet(self._index_append_dir(data_dir))
+
+    def rebuild_record_index(self) -> None:
+        """Compact the append-only superset to the exact live (key → file)
+        mapping and clear any rollback invalidation — the same generational
+        locked-swap protocol as ``rebuild_index`` (fresh dir off-lock, locked
+        catch-up + atomic meta replace; writers that raced the swap re-append
+        via the publish guard; heal sweeps old generations age-gated)."""
+        meta = self._record_index_meta()
+        if meta is None:
+            raise ValueError("no record index")
+        d = os.path.join(self.base, self.RECORD_INDEX_DIR)
+        snap = self.latest_instant() or ""
+        new_gen = meta.get("gen", 0) + 1
+        fresh = os.path.join(d, f"data_g{new_gen:04d}")
+        shutil.rmtree(fresh, ignore_errors=True)
+        self._write_record_index_data(fresh)
+        lock = os.path.join(self.base, TIMELINE_DIR, "_lock")
+        os.makedirs(os.path.dirname(lock), exist_ok=True)
+        fd = _acquire_lock(lock, self.LOCK_TTL_SECONDS, 30.0)
+        try:
+            self._record_index_catch_up(fresh, snap)
+            meta.update({"gen": new_gen, "valid": True, "rebuilt_as_of": snap})
+            self._write_record_index_meta(meta)
+        finally:
+            _release_lock(fd, lock)
+
+    def _maintain_record_index(self, rels: list[str]) -> None:
+        """Append the (key, file) pairs of files about to be published. Runs
+        at the top of BOTH publish paths, so every file-adding commit —
+        upserts, bulk loads, MOR logs, compaction, clustering, splits — keeps
+        the mapping complete; a publish that then loses its OCC race leaves
+        entries for never-live files (dropped by the probe's liveness
+        intersect). The pending-generation note lets the locked publish
+        re-append if a rebuild swapped generations in between."""
+        meta = self._record_index_meta()
+        self._pending_record_append = {
+            "rels": list(rels),
+            "gen": meta.get("gen") if meta is not None else None,
+        }
+        if meta is None or not rels:
+            return
+        entries = self._record_entries_for(rels)
+        if entries is not None:
+            entries.write.mode("overwrite").parquet(
+                self._index_append_dir(self._record_index_data_dir(meta))
+            )
+
+    def _record_index_candidates(
+        self, rels: list[str], keys_df: DataFrame
+    ) -> list[str] | None:
+        """Exact holder files of the batch keys via the record index, or None
+        when the index is absent/invalidated (callers fall back to
+        range/bloom pruning). One broadcast join of the batch keys against
+        the key-sorted index scan; only matched FILE NAMES return to the
+        driver, intersected with the caller's live scope."""
+        meta = self._record_index_meta()
+        if meta is None or not meta.get("valid", True):
+            return None
+        data_dir = self._record_index_data_dir(meta)
+        if not os.path.isdir(data_dir):
+            return None
+        entries = self.spark.read.option("recursiveFileLookup", "true").parquet(data_dir)
+        keys = keys_df.select(F.col(META_KEY).cast("string").alias("key"))
+        with _no_aqe(self.spark):
+            hit = (
+                entries.join(F.broadcast(keys.distinct()), "key", "leftsemi")
+                .select("rel")
+                .distinct()
+                .collect()
+            )
+        return sorted({r["rel"] for r in hit} & set(rels))
+
     def _prune_files_by_keys(self, rels: list[str], keys_df: DataFrame) -> list[str]:
         """Drop files whose recorded record-key [min, max] range cannot contain
         any key in ``keys_df`` (a DataFrame with a ``_hoodie_record_key``
@@ -1047,6 +1284,18 @@ class Table:
         if not rels:
             self.last_key_prune = {"total": 0, "candidates": 0}
             return []
+        # record-level index: exact (key → file) resolution replaces both
+        # pruning phases when present and valid — the probe is lossless by
+        # the index's completeness contract (every live file's keys are
+        # entered before its commit publishes)
+        ri = self._record_index_candidates(rels, keys_df)
+        if ri is not None:
+            self.last_key_prune = {
+                "total": len(rels),
+                "candidates": len(ri),
+                "record_index": True,
+            }
+            return ri
         stats = self._load_file_stats()
         ranged, unknown = [], []
         for r in rels:
@@ -2214,9 +2463,26 @@ class Table:
                     keys = df.select(self._key_expr().alias(META_KEY)).distinct()
                     if len(files) > self.KEY_PRUNE_MIN_FILES:
                         rels = self._prune_files_by_keys(sorted(files), keys)
+                        via_rli = bool(
+                            (getattr(self, "last_key_prune", None) or {}).get(
+                                "record_index"
+                            )
+                        )
                     else:
                         rels = sorted(files)
-                    if rels:
+                        via_rli = False
+                    if rels and via_rli:
+                        # record-index candidates are exact: every candidate
+                        # file holds ≥1 batch key, so its partition IS a
+                        # touched partition — derived from the file path,
+                        # zero data reads
+                        ps.append(
+                            self.spark.createDataFrame(
+                                [(self._partition_path_of(r),) for r in rels],
+                                "p STRING",
+                            ).distinct()
+                        )
+                    elif rels:
                         existing = self._read_files(rels, with_deleted=False).select(
                             META_KEY, META_PARTITION
                         )
@@ -2287,12 +2553,18 @@ class Table:
                 ]
             else:
                 scope = sorted(files)
-            touched_rels = (
-                self._prune_files_by_keys(sorted(scope), keys_df)
-                if len(scope) > 1
-                else list(scope)
-            )
-            if batch_parts is not None:
+            if len(scope) > 1:
+                touched_rels = self._prune_files_by_keys(sorted(scope), keys_df)
+                via_rli = bool(
+                    (getattr(self, "last_key_prune", None) or {}).get("record_index")
+                )
+            else:
+                touched_rels = list(scope)
+                via_rli = False
+            if batch_parts is not None and not via_rli:
+                # (Record-index candidates are exact — an outside file IS a
+                # real holder of a moving key; the confirmation read below
+                # would only re-prove it, so RLI plans skip it entirely.)
                 # Range/bloom candidates OUTSIDE the batch's own partitions are
                 # usually lexicographic false positives of the string key range
                 # (a numeric key "5" overlaps ranges in every partition), and a
@@ -2434,6 +2706,13 @@ class Table:
         key versions merge at read). Callers catch ConcurrentWriteConflict
         and retry the whole operation from a fresh snapshot.
         """
+        if inst.files_added:
+            # record-index maintenance rides EVERY file-adding publish
+            # (including replace commits — compaction/clustering move keys to
+            # new files, which (value→key) indexes never notice but a
+            # (key→file) index must). A publish that then loses the OCC race
+            # leaves superset entries only.
+            self._maintain_record_index(inst.files_added)
         lock = os.path.join(self.base, TIMELINE_DIR, "_lock")
         os.makedirs(os.path.dirname(lock), exist_ok=True)
         # crash recovery (Hudi FileSystemBasedLockProvider expiry): locks past
@@ -2592,10 +2871,24 @@ class Table:
         report["cleaned"] = self.clean(retain_commits=clean_retain)
         rebuilt = []
         names = self.secondary_index_cols()
-        if names:
+        rmeta = self._record_index_meta()
+        live_rows = 0
+        if names or rmeta is not None:
             live_rows = self._footer_rows(
                 os.path.join(self.base, r) for r in self.timeline.live_files()[0]
             )
+        if rmeta is not None:
+            if not rmeta.get("valid", True):
+                self.rebuild_record_index()  # rollback invalidated it
+                rebuilt.append("_record")
+            else:
+                n_entries = self._footer_rows(
+                    self._index_parquet_files(self._record_index_data_dir(rmeta))
+                )
+                if live_rows and n_entries > index_bloat_ratio * live_rows:
+                    self.rebuild_record_index()
+                    rebuilt.append("_record")
+        if names:
             for name in names:
                 meta = self._index_meta(name)
                 if meta is None:
@@ -2999,6 +3292,15 @@ class Table:
                 if meta is not None and meta.get("valid", True):
                     meta.update({"valid": False, "invalidated_by": rb})
                     self._write_index_meta(name, meta)
+            # the record index breaks the same way: a resurrected file may
+            # predate the index build (or the latest rebuild compacted its
+            # entries away as dead) — its keys would locate to nothing, and a
+            # lossy location prune is a LOST UPDATE, not bounded extra IO.
+            # Invalidate; probes fall back to range/bloom until re-certified.
+            rmeta = self._record_index_meta()
+            if rmeta is not None and rmeta.get("valid", True):
+                rmeta.update({"valid": False, "invalidated_by": rb})
+                self._write_record_index_meta(rmeta)
         return rb
 
     def heal(self, min_age_seconds: float = 0.0) -> list[str]:
@@ -3048,7 +3350,16 @@ class Table:
             dirs[:] = [
                 d
                 for d in dirs
-                if d not in ("_timeline", ".staging", self.INDEX_DIR, self.STATS_DIR, self.BLOOMS_DIR)
+                if d
+                not in (
+                    "_timeline",
+                    ".staging",
+                    self.INDEX_DIR,
+                    self.RECORD_INDEX_DIR,
+                    self.STATS_DIR,
+                    self.BLOOMS_DIR,
+                )
+                and not d.startswith(".trash-record-")
             ]
             for fn in fns:
                 if not fn.endswith(".parquet"):
@@ -3086,6 +3397,25 @@ class Table:
                 if os.path.isdir(p) and _older(p, gen_age):
                     shutil.rmtree(p, ignore_errors=True)
                     removed.append(os.path.join(self.INDEX_DIR, name, sub))
+        # record-index housekeeping: superseded generations + dropped trash
+        rmeta = self._record_index_meta()
+        if rmeta is not None:
+            d = os.path.join(self.base, self.RECORD_INDEX_DIR)
+            current = os.path.basename(self._record_index_data_dir(rmeta))
+            for sub in sorted(os.listdir(d)):
+                if sub == current or not (sub == "data" or sub.startswith("data_")):
+                    continue
+                p = os.path.join(d, sub)
+                if os.path.isdir(p) and _older(p, gen_age):
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed.append(os.path.join(self.RECORD_INDEX_DIR, sub))
+        for sub in sorted(os.listdir(self.base)):
+            if not sub.startswith(".trash-record-"):
+                continue
+            p = os.path.join(self.base, sub)
+            if os.path.isdir(p) and _older(p, gen_age):
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(sub)
         return removed
 
     # ------------------------------------------------------------- versioning
