@@ -859,6 +859,71 @@ FROM customer
 """
 
 
+def tbl_partition_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    """Hudi ``delete_partition`` lifecycle (``hoodie.datasource.write
+    .operation=delete_partition`` / ``ALTER TABLE DROP PARTITION``): customers
+    land partitioned by mktsegment, one partition is dropped in a
+    metadata-only replacecommit, a later upsert updates rows in a SURVIVING
+    partition, and the final snapshot is the differential. The emitted
+    ``drop_metadata_only_ok`` literal certifies under the driver hash that the
+    drop commit added ZERO files (pure manifest surgery — at 100 TB the same
+    drop is O(partition file count) planning, no data IO); time travel to the
+    pre-drop instant still sees the partition (``time_travel_sees_dropped``),
+    which is the retention contract cleaning honors."""
+    base = os.path.join(_workdir("tbl_partition_lifecycle", sf), "tbl")
+    tbl = Table.create(
+        spark,
+        base,
+        "custkey BIGINT, name STRING, acctbal DOUBLE, seg STRING, v INT",
+        TableConfig(record_key=["custkey"], precombine="v", partition_by=["seg"]),
+    )
+    c = t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(1).alias("v"),
+    )
+    tbl.insert(c)
+    pre_drop = tbl.latest_instant()
+    inst = tbl.delete_partition({"seg": "BUILDING"})
+    target = next(
+        i for i in tbl.timeline.completed_data_instants() if i.instant == inst
+    )
+    drop_meta_only = target.files_added == [] and bool(target.files_removed)
+    tt_sees = (
+        tbl.read(as_of=pre_drop).filter(F.col("seg") == "BUILDING").limit(1).count()
+        == 1
+    )
+    t2 = Table(spark, base)
+    t2.upsert(
+        c.filter((F.col("seg") == "MACHINERY") & (F.col("custkey") % 5 == 0))
+        .withColumns({"acctbal": F.col("acctbal") + 50.0, "v": F.lit(2)})
+    )
+    return Table(spark, base).read().select(
+        "custkey",
+        "name",
+        F.round("acctbal", 2).alias("acctbal"),
+        "seg",
+        "v",
+        F.lit(drop_meta_only).alias("drop_metadata_only_ok"),
+        F.lit(tt_sees).alias("time_travel_sees_dropped"),
+    )
+
+
+TBL_PARTITION_LIFECYCLE_ORACLE = """
+SELECT c_custkey AS custkey, c_name AS name,
+       round(c_acctbal + CASE WHEN c_mktsegment = 'MACHINERY' AND c_custkey % 5 = 0
+                              THEN 50.0 ELSE 0 END, 2) AS acctbal,
+       c_mktsegment AS seg,
+       CASE WHEN c_mktsegment = 'MACHINERY' AND c_custkey % 5 = 0 THEN 2 ELSE 1 END AS v,
+       TRUE AS drop_metadata_only_ok,
+       TRUE AS time_travel_sees_dropped
+FROM customer
+WHERE c_mktsegment <> 'BUILDING'
+"""
+
+
 def tbl_record_index(spark: SparkSession, sf: str) -> DataFrame:
     """Record-level index lifecycle (Hudi 1.0 RLI,
     ``hoodie.metadata.record.index.enable``): a global (key → file) mapping
@@ -1006,6 +1071,12 @@ SPECS: list[QuerySpec] = [
         tbl_record_index,
         TBL_RECORD_INDEX_ORACLE,
         "Hudi 1.0 record-level index: exact key→file write planning",
+    ),
+    QuerySpec(
+        "tbl_partition_lifecycle",
+        tbl_partition_lifecycle,
+        TBL_PARTITION_LIFECYCLE_ORACLE,
+        "Hudi delete_partition: metadata-only drop + time-travel retention",
     ),
 ]
 

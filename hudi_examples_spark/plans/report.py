@@ -106,6 +106,45 @@ def _table_layer_section(spark) -> list[str]:
             f"candidate files after range+bloom prune (bloom_pruned="
             f"{kp.get('bloom_pruned', 0)}) — the rewrite set for a COW upsert."
         )
+        # round 5: record-level index — exact location evidence
+        rt = Table.create(
+            spark,
+            os.path.join(tmp, "rt"),
+            "k STRING, v LONG",
+            TableConfig(record_key=["k"]),
+        )
+        for b in range(3):
+            rt.bulk_insert(
+                spark.createDataFrame(
+                    [(f"{b}-{i:04d}", i) for i in range(200)], rt.schema
+                )
+            )
+        rt.create_record_index()
+        rt.upsert(
+            spark.createDataFrame([(f"1-{i:04d}", 9) for i in range(5)], rt.schema)
+        )
+        up = dict(rt.last_key_prune)
+        rt.upsert(
+            spark.createDataFrame([(f"9-{i:04d}", 9) for i in range(5)], rt.schema)
+        )
+        ins = dict(rt.last_key_prune)
+        lines.append(
+            f"- RECORD-level index keyed write planning: {up['candidates']}/"
+            f"{up['total']} exact holder files for an update batch confined to "
+            f"one load (record_index={up.get('record_index')}); a pure-insert "
+            f"batch plans to {ins['candidates']}/{ins['total']} rewrites — "
+            "location is zero-data-read in both cases."
+        )
+        # round 5: delete_partition — metadata-only replace commit
+        inst = tbl.delete_partition({"p": 2})
+        dp = next(
+            i for i in tbl.timeline.completed_data_instants() if i.instant == inst
+        )
+        lines.append(
+            f"- delete_partition: {len(dp.files_added)} files written, "
+            f"{len(dp.files_removed)} removed by manifest reference — one "
+            "metadata-only replacecommit, zero data IO at any table size."
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return lines

@@ -112,8 +112,11 @@ def all_specs() -> list[QuerySpec]:
         "sim_ivf_topk",
         # r3-aged refreshes: join specials, perf-watch
         "j_asof_join",
-        "j_range_join",
         "fp_winnowing",
+        # r5 debut: delete_partition lifecycle (metadata-only drop +
+        # time-travel retention markers under the hash gate). Took
+        # j_range_join's refresh slot (r3 evidence, age 2, in policy).
+        "tbl_partition_lifecycle",
         # r5 debut: record-level index (Hudi 1.0 RLI — exact key→file write
         # planning; insert-empty/upsert-scoped/delete-scoped markers under
         # the hash gate). Debut ops outrank refreshes — took

@@ -200,6 +200,18 @@ class Engine:
             if m:
                 self.table(m.group(1)).add_columns(m.group(2))
                 return None
+            # Hudi delete_partition via the Spark-SQL surface:
+            # ALTER TABLE t DROP PARTITION (seg='s0'[, dt='2024-01-01'])
+            m = re.match(
+                r"ALTER\s+TABLE\s+(\w+)\s+DROP\s+PARTITION\s*\((.+)\)\s*$", s, re.I
+            )
+            if m:
+                spec = {}
+                for kv in m.group(2).split(","):
+                    k, _, v = kv.partition("=")
+                    spec[k.strip()] = v.strip().strip("'\"")
+                self.table(m.group(1)).delete_partition(spec)
+                return None
             m = re.match(  # parenthesized or bare column list, parens balanced
                 r"ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMNS?"
                 r"(?:\s*\(\s*([\w\s,]+?)\s*\)|\s+([\w\s,]+?))\s*$",
@@ -218,6 +230,7 @@ class Engine:
                 return None
             raise ValueError(
                 "only ALTER TABLE t ADD COLUMNS (...) | DROP COLUMN(S) c[, ...] | "
+                "DROP PARTITION (k=v[, ...]) | "
                 f"RENAME COLUMN a TO b are supported: {s[:120]}"
             )
         if verb == "DROP":

@@ -2284,6 +2284,45 @@ class Table:
         keys = self.read().filter(condition)
         return self._write_changes(upserts=None, deletes=keys, op="delete")
 
+    def delete_partition(self, partition: dict | str) -> str:
+        """Hudi's ``delete_partition`` write operation
+        (``hoodie.datasource.write.operation=delete_partition`` /
+        ``ALTER TABLE t DROP PARTITION``): ONE metadata-only replacecommit
+        removes every live file of the partition. Zero data IO at any scale —
+        planning walks the manifest, ``clean`` reclaims the bytes later, time
+        travel before the commit still sees the partition, the CDC view
+        derives the row deletes from the snapshot diff, and ``rollback``
+        resurrects it (invalidating key/secondary indexes as usual). Accepts
+        a ``{col: value}`` dict or the hive path string (``"seg=s0"``)."""
+        if not self.config.partition_by:
+            raise ValueError("delete_partition requires a partitioned table")
+        if isinstance(partition, dict):
+            missing = [c for c in self.config.partition_by if c not in partition]
+            if missing:
+                raise ValueError(f"partition spec missing columns: {missing}")
+            path = "/".join(
+                f"{c}={partition[c]}" for c in self.config.partition_by
+            )
+        else:
+            path = partition
+        files, latest = self.timeline.live_files()
+        doomed = sorted(r for r in files if self._partition_of(r) == path)
+        if not doomed:
+            raise ValueError(f"no live files in partition {path!r}")
+        instant = new_instant()
+        self._publish_occ(
+            Instant(
+                instant,
+                "replacecommit",
+                [],
+                doomed,
+                {"operation": "delete_partition", "partition": path},
+            ),
+            since=latest,
+            partitions={path},
+        )
+        return instant
+
     def update_where(self, condition: str, assignments: dict[str, object]) -> str:
         """M3: UPDATE t SET col=expr WHERE ... — rewrite of matching rows."""
         updated = self.read().filter(condition)
@@ -2824,6 +2863,7 @@ class Table:
         archive_retain: int = 20,
         index_bloat_ratio: float = 3.0,
         split_threshold_bytes: int = 128 * 1024 * 1024,
+        partition_ttl_seconds: float | None = None,
     ) -> dict:
         """Hudi's async table services as one policy-driven maintenance pass
         (the standalone compactor/cleaner/clustering jobs of
@@ -2856,6 +2896,33 @@ class Table:
         """
         report: dict = {}
         report["healed"] = self.heal(min_age_seconds=2 * self.LOCK_TTL_SECONDS)
+        if partition_ttl_seconds is not None and self.config.partition_by:
+            # Hudi 1.0 partition TTL (``hoodie.partition.ttl.strategy`` =
+            # KEEP_BY_TIME): drop partitions whose NEWEST file-adding instant
+            # is older than the TTL. Age comes from instant ids (UTC
+            # timestamps) via the manifest — zero data reads; each drop is
+            # one metadata-only delete_partition replacecommit. Runs before
+            # compaction so doomed partitions are never compacted first.
+            from datetime import datetime, timezone
+
+            expired = []
+            newest: dict[str, str] = {}
+            for r, (inst, _a) in self.timeline.live_files()[0].items():
+                p = self._partition_of(r)
+                if inst > newest.get(p, ""):
+                    newest[p] = inst
+            now = datetime.now(timezone.utc)
+            for p, inst in sorted(newest.items()):
+                t0 = datetime.strptime(inst[:17], "%Y%m%d%H%M%S%f").replace(
+                    tzinfo=timezone.utc
+                )
+                if (now - t0).total_seconds() >= partition_ttl_seconds:
+                    try:
+                        self.delete_partition(p)
+                        expired.append(p)
+                    except (ConcurrentWriteConflict, ValueError):
+                        pass  # a concurrent write revived it — keep it
+            report["partitions_expired"] = expired
         if self.config.table_type == "mor" and self.should_compact(compact_after):
             try:
                 report["compacted"] = self.compact()
