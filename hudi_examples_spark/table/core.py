@@ -1270,6 +1270,40 @@ class Table:
             )
         return sorted({r["rel"] for r in hit} & set(rels))
 
+    def _record_index_ready(self) -> bool:
+        """True when probes will actually serve (valid meta + present data
+        dir) — the same conditions ``_record_index_candidates`` requires, so
+        routing through ``lookup_key`` can never fall back into a loop."""
+        meta = self._record_index_meta()
+        return bool(
+            meta
+            and meta.get("valid", True)
+            and os.path.isdir(self._record_index_data_dir(meta))
+        )
+
+    def lookup_key(self, value) -> DataFrame:
+        """Point read by RECORD KEY through the record-level index — Hudi's
+        RLI read path: the probe resolves the key to its holder files
+        (typically ONE, at any table size) and only those are read. MOR
+        safety: the index holds an entry for EVERY live file carrying a
+        version of the key — logs and delete tombstones included — so the
+        precombine merge window sees all versions. Falls back to the
+        col-stats/range scan path when the index is absent or invalidated.
+        Pruning evidence at ``last_record_lookup``."""
+        if len(self.config.record_key) != 1:
+            raise ValueError("lookup_key requires a single-column record key")
+        kcol = self.config.record_key[0]
+        files, _ = self.timeline.live_files()
+        keys = self.spark.createDataFrame([(str(value),)], f"{META_KEY} STRING")
+        cand = self._record_index_candidates(sorted(files), keys)
+        if cand is None:
+            return self.scan([(kcol, "=", value)])
+        self.last_record_lookup = {"total": len(files), "scanned": len(cand)}
+        if not cand:
+            return self.read().limit(0)
+        df = self._snapshot_of(files, cand).drop(*META_COLS)
+        return df.filter(F.col(kcol) == F.lit(value))
+
     def _prune_files_by_keys(self, rels: list[str], keys_df: DataFrame) -> list[str]:
         """Drop files whose recorded record-key [min, max] range cannot contain
         any key in ``keys_df`` (a DataFrame with a ``_hoodie_record_key``
@@ -1370,6 +1404,25 @@ class Table:
             for col, op, val in filters:
                 if op != "=":
                     continue
+                # record-key equality rides the record-level index first —
+                # exact holder files, no value→key→file indirection
+                if self.config.record_key == [col] and self._record_index_ready():
+                    out = self.lookup_key(val)
+                    self.last_scan = dict(self.last_record_lookup)
+                    rest = None
+                    for c2, op2, v2 in filters:
+                        if (c2, op2, v2) == (col, op, val):
+                            continue
+                        cc = F.col(c2)
+                        cond = {
+                            "=": cc == v2,
+                            "<": cc < v2,
+                            "<=": cc <= v2,
+                            ">": cc > v2,
+                            ">=": cc >= v2,
+                        }[op2]
+                        rest = cond if rest is None else (rest & cond)
+                    return out.filter(rest) if rest is not None else out
                 name = self._index_for(col)
                 if name is None:
                     continue

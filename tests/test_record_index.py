@@ -184,6 +184,48 @@ def test_rebuild_compacts_superset(spark, tbl):
     assert os.path.isdir(gen0)
 
 
+def test_lookup_key_point_read_and_scan_routing(spark, tbl):
+    """RLI read path: a point read by record key scans only the holder
+    files, and scan()'s key-equality routing uses it (with the remaining
+    predicates re-applied). Invalid index → silent fallback, same rows."""
+    t = Table(spark, tbl.base)
+    rows = t.lookup_key(7).collect()
+    assert [r["k"] for r in rows] == [7]
+    ev = t.last_record_lookup
+    assert 0 < ev["scanned"] < ev["total"]
+
+    # absent key: zero files read, empty frame with the table schema
+    assert t.lookup_key(10_000_000).count() == 0
+    assert t.last_record_lookup["scanned"] == 0
+
+    # scan() routes key equality through the index and re-applies the rest
+    out = t.scan([("k", "=", 7), ("v", ">=", 1)])
+    assert [r["k"] for r in out.collect()] == [7]
+    assert t.last_scan == ev
+
+    # MOR: the merge window still sees log versions (entries cover logs)
+    mt = Table.create(
+        spark,
+        tbl.base + "_mor",
+        "k BIGINT, val DOUBLE, v INT",
+        TableConfig(record_key=["k"], precombine="v", table_type="mor"),
+    )
+    mt.insert(
+        spark.range(100).select(
+            F.col("id").alias("k"), F.lit(1.0).alias("val"), F.lit(1).alias("v")
+        )
+    )
+    mt.create_record_index()
+    Table(spark, mt.base).upsert(
+        spark.range(5).select(
+            F.col("id").alias("k"), F.lit(9.0).alias("val"), F.lit(2).alias("v")
+        )
+    )
+    m2 = Table(spark, mt.base)
+    assert [(r["val"], r["v"]) for r in m2.lookup_key(3).collect()] == [(9.0, 2)]
+    assert [(r["val"], r["v"]) for r in m2.lookup_key(50).collect()] == [(1.0, 1)]
+
+
 def test_publish_guard_reappends_record_entries(spark, tbl):
     """A writer whose (key, file) append raced a rebuild re-appends into the
     new generation inside its locked publish — staged deterministically like
@@ -234,6 +276,11 @@ def _rli_writer_proc(base: str, residue: int, out) -> None:
                 except ConcurrentWriteConflict:
                     continue
         out.put((residue, done))
+    except BaseException:
+        import traceback
+
+        out.put((residue, traceback.format_exc()))
+        raise
     finally:
         spark.stop()
 
@@ -257,6 +304,11 @@ def _rli_services_proc(base: str, out) -> None:
             time.sleep(0.6)
             Table(spark, base).rebuild_record_index()
         out.put(("rebuilds", 3))
+    except BaseException:
+        import traceback
+
+        out.put(("rebuilds", traceback.format_exc()))
+        raise
     finally:
         spark.stop()
 
@@ -300,9 +352,9 @@ def test_concurrent_writers_and_rebuilds_keep_mapping_exact(spark, tmp_path):
         p.start()
     for p in procs:
         p.join(timeout=600)
-        assert p.exitcode == 0
-    results = dict(q.get() for _ in range(3))
-    assert results[0] == 3 and results[1] == 3 and results["rebuilds"] == 3
+    results = dict(q.get(timeout=30) for _ in range(3))
+    assert all(p.exitcode == 0 for p in procs), results  # tracebacks ride the queue
+    assert results[0] == 3 and results[1] == 3 and results["rebuilds"] == 3, results
 
     final = Table(spark, base)
     assert (final._record_index_meta() or {}).get("valid") is True
