@@ -2296,13 +2296,45 @@ class Table:
             return self._write_changes(upserts=df, deletes=None, op="insert")
         return self.bulk_insert(df, dedup=dedup)
 
-    def bulk_insert(self, df: DataFrame, dedup: bool = False) -> str:
-        """S7 bulk load: blind append, no key lookup (Hudi 'bulk_insert')."""
+    def bulk_insert(
+        self, df: DataFrame, dedup: bool = False, sort_mode: str = "none"
+    ) -> str:
+        """S7 bulk load: blind append, no key lookup (Hudi 'bulk_insert').
+
+        ``sort_mode`` is Hudi's ``hoodie.bulkinsert.sort.mode``:
+
+        - ``"none"`` (default): write the batch as it arrives — the fastest
+          load, at the cost of per-file key ranges that span whatever the
+          upstream partitioning mixed together.
+        - ``"partition_sort"``: sort by (hive partition, key) WITHIN each
+          Spark partition — clustered files with ZERO extra exchange; key
+          ranges tighten for free when the upstream partitioning is already
+          key-affine.
+        - ``"global_sort"``: range-partition + sort on the record key — one
+          ranged exchange of the batch buys DISJOINT per-file key ranges, so
+          every subsequent keyed write prunes its location scan to the files
+          that can actually hold its keys (the bulk-load analogue of
+          ``cluster_sort``; at 100 TB this is the difference between a
+          sorted initial load that stays prunable forever and one that needs
+          a full clustering pass later)."""
+        if sort_mode not in ("none", "partition_sort", "global_sort"):
+            raise ValueError(
+                f"sort_mode must be none|partition_sort|global_sort, got {sort_mode!r}"
+            )
         instant = new_instant()
         out = self._with_meta(self._conform(df), instant)
         if dedup and self.config.record_key:
             out = self._latest_wins(out)
-        rels = self._write_files(out, instant)
+        if sort_mode == "global_sort" and self.config.record_key:
+            n = max(self.spark.sparkContext.defaultParallelism // 4, 1)
+            rels = self._write_files(out, instant, range_key_layout=n)
+        elif sort_mode == "partition_sort" and self.config.record_key:
+            sort_cols = [F.col(c) for c in self.config.partition_by] + [F.col(META_KEY)]
+            rels = self._write_files(
+                out.sortWithinPartitions(*sort_cols), instant, preserve_layout=True
+            )
+        else:
+            rels = self._write_files(out, instant)
         self._maintain_indexes(rels)
         self._publish_with_index_guard(
             Instant(instant, "commit", rels, [], {"operation": "insert"})

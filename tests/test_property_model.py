@@ -255,15 +255,23 @@ def apply_ops(spark, tbl: Table, model: Model, ops: list[Op]):
     suppress_health_check=list(HealthCheck),
 )
 @given(ops=st.lists(op_st, min_size=1, max_size=6))
-@pytest.mark.parametrize("table_type", ["cow", "mor", "cow_ranges", "mor_ranges"])
+@pytest.mark.parametrize("table_type", ["cow", "mor", "cow_ranges", "mor_ranges", "cow_rli"])
 def test_random_dml_sequences_match_model(spark, tmp_path_factory, ops, table_type):
     tmp_path = tmp_path_factory.mktemp(f"prop_{table_type}")
     cfg = dict(record_key=["uuid"], precombine="ts", partition_by=["part"])
     if table_type.endswith("_ranges"):
         cfg.update(table_type=table_type.split("_")[0], bucket_ranges=[0])
+    elif table_type == "cow_rli":
+        # record-level index active through the WHOLE random sequence: every
+        # write/compaction/clustering maintains (key → file) pairs, rollbacks
+        # invalidate, and the end-state equivalence below proves the index
+        # (rebuilt if a rollback invalidated it) answers exactly like a scan
+        cfg.update(table_type="cow")
     else:
         cfg.update(table_type=table_type)
     tbl = Table.create(spark, str(tmp_path / "t"), SCHEMA, TableConfig(**cfg))
+    if table_type == "cow_rli":
+        tbl.create_record_index()
     model = Model()
     checkpoints = apply_ops(spark, tbl, model, ops)
     # positional tuples: rename_val may change the val column's NAME, but
@@ -282,3 +290,18 @@ def test_random_dml_sequences_match_model(spark, tmp_path_factory, ops, table_ty
             f"time-travel divergence at ckpt {i} (instant {instant}):\n"
             f"ops={ops}\nengine={tt}\nmodel={expect}"
         )
+    if table_type == "cow_rli":
+        # index equivalence after whatever the sequence did: re-certify if a
+        # rollback invalidated it, then point reads must equal filtered scans
+        t2 = Table(spark, tbl.base)
+        if not (t2._record_index_meta() or {}).get("valid", True):
+            t2.rebuild_record_index()
+        from pyspark.sql import functions as F
+
+        for k in KEYS[:3]:
+            via_idx = sorted(tuple(r) for r in t2.lookup_key(k).select(*cols).collect())
+            via_scan = sorted(
+                tuple(r)
+                for r in t2.read().filter(F.col(cols[1]) == k).select(*cols).collect()
+            )
+            assert via_idx == via_scan, f"RLI divergence for {k}: ops={ops}"
