@@ -156,6 +156,11 @@ def main() -> None:
                     extras["index_lookup_files"] = dict(
                         getattr(state[0], "last_index_lookup", {}) or {}
                     )
+                elif name == "tbl_rli_lookup":
+                    # prove the record-index point read touched only holders
+                    extras["record_lookup_files"] = dict(
+                        getattr(state[0], "last_record_lookup", {}) or {}
+                    )
             elif name in spec_fns:
                 t0 = time.perf_counter()
                 spec_fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -1232,6 +1232,35 @@ def bench_phases():
         out = tbl.lookup("phone", target)
         return out.select("name", "custkey", "phone")
 
+    def rli_lookup_build(spark, sf):
+        """Fixture for the record-index point read: three bulk loads of
+        md5-keyed rows (uniform-random keys — range pruning blind) plus
+        ``create_record_index``; the op is a key point read that must touch
+        only the holder file."""
+        import hashlib
+
+        base = os.path.join(_workdir("bench_rli_lookup", sf), "tbl")
+        tbl = Table.create(
+            spark,
+            base,
+            "id STRING, custkey BIGINT, acctbal DOUBLE, v INT",
+            TableConfig(record_key=["id"], precombine="v"),
+        )
+        c = t(spark, sf, "customer").select(
+            F.md5(F.col("c_custkey").cast("string")).alias("id"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.lit(1).alias("v"),
+        )
+        for m in range(3):
+            tbl.bulk_insert(c.filter(F.col("custkey") % 3 == m))
+        tbl.create_record_index()
+        return (tbl, hashlib.md5(b"7").hexdigest())
+
+    def rli_lookup_op(spark, sf, st):
+        tbl, target = st
+        return tbl.lookup_key(target).select("id", "custkey", "acctbal")
+
     return {
         "tbl_upsert_cow": (upsert_build("tbl_upsert_cow", "cow"), upsert_op),
         "tbl_upsert_mor": (upsert_build("tbl_upsert_mor", "mor"), upsert_op),
@@ -1239,4 +1268,5 @@ def bench_phases():
         "tbl_cdc_query_pruned": (_cdc_pruned_build, cdc_pruned_op),
         "tbl_cluster_incremental": (cluster_inc_build, cluster_inc_op),
         "tbl_point_lookup": (point_lookup_build, point_lookup_op),
+        "tbl_rli_lookup": (rli_lookup_build, rli_lookup_op),
     }
