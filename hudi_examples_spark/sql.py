@@ -309,7 +309,11 @@ class Engine:
         if proc == "rebuild_index":
             if not arg:
                 raise ValueError("rebuild_index requires the index name")
-            tbl.rebuild_index(arg.strip().strip("'"))
+            iname = arg.strip().strip("'")
+            if iname.lower() == "record_index":
+                tbl.rebuild_record_index()
+            else:
+                tbl.rebuild_index(iname)
             return None
         if proc == "run_archival":
             tbl.archive_timeline(retain_instants=int(arg) if arg else 20)

@@ -1059,7 +1059,8 @@ class Table:
         probing (per-candidate-file work, FP-prone at scale). Hudi stores
         this mapping in the metadata table's ``record_index`` partition; here
         it is a key-sorted parquet dataset under ``_record_index/`` probed by
-        a broadcast join of the batch keys.
+        a semi join of the batch keys (AQE picks broadcast when the batch is
+        small, a shuffled join when it is not).
 
         Same durability contract as the secondary indexes: a COMPLETE
         SUPERSET. Every commit that adds data files — writes, MOR log
@@ -1073,8 +1074,9 @@ class Table:
 
         100 TB shape: the index is O(rows) but TWO short string columns,
         key-sorted so point probes prune by footer min/max; a batch probe is
-        one broadcast-hash join against a columnar scan — always cheaper than
-        opening data files. Maintenance is O(commit), distributed."""
+        one semi join against a two-column columnar scan — always cheaper
+        than opening data files, and it degrades to a shuffled join rather
+        than a driver OOM when a bulk batch carries too many keys. Maintenance is O(commit), distributed."""
         if not self.config.record_key:
             raise ValueError("record index requires a record key")
         d = os.path.join(self.base, self.RECORD_INDEX_DIR)
@@ -1250,7 +1252,7 @@ class Table:
     ) -> list[str] | None:
         """Exact holder files of the batch keys via the record index, or None
         when the index is absent/invalidated (callers fall back to
-        range/bloom pruning). One broadcast join of the batch keys against
+        range/bloom pruning). One semi join of the batch keys against
         the key-sorted index scan; only matched FILE NAMES return to the
         driver, intersected with the caller's live scope."""
         meta = self._record_index_meta()
@@ -1261,13 +1263,16 @@ class Table:
             return None
         entries = self.spark.read.option("recursiveFileLookup", "true").parquet(data_dir)
         keys = keys_df.select(F.col(META_KEY).cast("string").alias("key"))
-        with _no_aqe(self.spark):
-            hit = (
-                entries.join(F.broadcast(keys.distinct()), "key", "leftsemi")
-                .select("rel")
-                .distinct()
-                .collect()
-            )
+        # no forced broadcast: a write batch's key set is usually tiny (AQE
+        # broadcasts it from its runtime size), but a 100 TB-scale bulk
+        # ingest can carry more distinct keys than a driver can broadcast —
+        # the probe must degrade to a shuffled join, not an OOM
+        hit = (
+            entries.join(keys.distinct(), "key", "leftsemi")
+            .select("rel")
+            .distinct()
+            .collect()
+        )
         return sorted({r["rel"] for r in hit} & set(rels))
 
     def _record_index_ready(self) -> bool:

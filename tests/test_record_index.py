@@ -394,5 +394,7 @@ def test_sql_ddl_and_drop(spark, tmp_path):
     # column list must match the record key
     with pytest.raises(ValueError):
         sess.sql("CREATE INDEX record_index ON rt (val)")
+    sess.sql("CALL rebuild_index('rt', 'record_index')")
+    assert (Table(spark, tbl.base)._record_index_meta() or {}).get("gen") == 1
     sess.sql("DROP INDEX record_index ON rt")
     assert Table(spark, tbl.base)._record_index_meta() is None
