@@ -136,6 +136,7 @@ def test_run_services_during_write_storm(spark, tmp_path):
     conc = Table.create(spark, str(tmp_path / "conc"), SCHEMA, TableConfig(**CFG))
     conc.insert(base_df)
     conc.create_secondary_index("tag")
+    conc.create_record_index()  # (key → file) mapping must survive the same storm
 
     ctx = mp.get_context("spawn")
     q = ctx.Queue()
@@ -176,3 +177,13 @@ def test_run_services_during_write_storm(spark, tmp_path):
             r["k"] for r in conc2.read().filter(F.col("tag") == tv).select("k").collect()
         )
         assert via_index == via_scan, f"index incomplete for {tv}"
+
+    # --- record-index completeness after the storm -------------------------
+    rmeta = conc2._record_index_meta()
+    assert rmeta is not None and rmeta["valid"] is True
+    for k in (0, 1, N_ROWS - 1):
+        via_rli = sorted(map(tuple, conc2.lookup_key(k).collect()))
+        via_read = sorted(
+            map(tuple, conc2.read().filter(F.col("k") == k).collect())
+        )
+        assert via_rli == via_read and via_rli, f"record index incomplete for k={k}"
