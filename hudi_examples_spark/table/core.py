@@ -2395,6 +2395,18 @@ class Table:
             )
         else:
             path = partition
+        if self.config.table_type == "mor" and any(
+            a == "deltacommit" for (_i, a) in self.timeline.live_files()[0].values()
+        ):
+            # Cross-partition move chains can live in logs: a key whose LATEST
+            # version is a log row in THIS partition may still hold an older
+            # base version elsewhere — dropping the log alone would re-expose
+            # it. Compaction resolves every chain to one base row in the key's
+            # CURRENT partition (O(pending logs), partition-scoped), making
+            # the drop logically exact; log-free MOR tables skip straight to
+            # the metadata-only drop. (Hudi keeps this exact the other way,
+            # with update.partition.path delete records at move time.)
+            self.compact()
         files, latest = self.timeline.live_files()
         doomed = sorted(r for r in files if self._partition_of(r) == path)
         if not doomed:

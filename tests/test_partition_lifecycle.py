@@ -141,6 +141,42 @@ def test_partition_ttl_service(spark, tmp_path):
     assert rep2["partitions_expired"] == []
 
 
+def test_mor_drop_compacts_move_chains_first(spark, tmp_path):
+    """MOR + global index: a key whose latest version is a LOG row in the
+    dropped partition may hold an older base version elsewhere — a naive
+    file drop would resurrect it. delete_partition compacts pending logs
+    first, so the drop removes the key outright (exact row semantics)."""
+    t = Table.create(
+        spark,
+        str(tmp_path / "t"),
+        SCHEMA,
+        TableConfig(**{**CFG, "table_type": "mor"}),
+    )
+    t.insert(
+        spark.range(10).select(
+            F.col("id").alias("k"),
+            F.lit(1.0).alias("val"),
+            F.lit("s0").alias("seg"),
+            F.lit(1).alias("v"),
+        )
+    )
+    # move k=0 to partition s1 via a log append (base version stays in s0)
+    t.upsert(
+        spark.range(1).select(
+            F.col("id").alias("k"),
+            F.lit(9.0).alias("val"),
+            F.lit("s1").alias("seg"),
+            F.lit(2).alias("v"),
+        )
+    )
+    t2 = Table(spark, t.base)
+    t2.delete_partition({"seg": "s1"})
+    rows = {r["k"]: (r["seg"], r["val"]) for r in Table(spark, t.base).read().collect()}
+    assert 0 not in rows, "dropped key resurrected from its old partition"
+    assert set(rows) == set(range(1, 10))
+    assert all(seg == "s0" and val == 1.0 for seg, val in rows.values())
+
+
 def test_sql_drop_partition(spark, tmp_path):
     from hudi_examples_spark.sql import Engine
 

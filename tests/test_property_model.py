@@ -57,6 +57,7 @@ op_st = st.one_of(
     st.builds(Op, st.just("archive"), st.just([])),
     st.builds(Op, st.just("clean"), st.just([])),
     st.builds(Op, st.just("split"), st.just([])),
+    st.builds(Op, st.just("drop_part"), st.just([])),
 )
 
 
@@ -120,6 +121,10 @@ class Model:
         for uuid, (ts, _u, val, part) in list(self.state.items()):
             if val >= threshold:
                 self.state[uuid] = (ts, uuid, val + bump, part)
+
+    def drop_part(self, part: str):
+        self._snapshot()
+        self.state = {u: r for u, r in self.state.items() if r[3] != part}
 
     def rows(self):
         return sorted(self.state.values())
@@ -245,6 +250,23 @@ def apply_ops(spark, tbl: Table, model: Model, ops: list[Op]):
                     for _ in range(len(tbl.timeline.completed_data_instants()) - before_n):
                         model._snapshot()
                     ckpt()
+        elif op.kind == "drop_part":
+            before_n = len(tbl.timeline.completed_data_instants())
+            try:
+                tbl.delete_partition({"part": PARTS[0]})
+                dropped = True
+            except ValueError:
+                dropped = False  # no live files in the partition — no commit
+            n_new = len(tbl.timeline.completed_data_instants()) - before_n
+            # MOR auto-compacts pending logs first (cross-partition move
+            # chains): one view-preserving model snapshot per extra commit
+            for _ in range(n_new - (1 if dropped else 0)):
+                model._snapshot()
+            if dropped:
+                model.drop_part(PARTS[0])
+                ckpt()
+            elif n_new:
+                ckpt()  # compaction alone committed; the view is unchanged
     return checkpoints
 
 
