@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from hudi_examples_spark.functions.text import words
+from hudi_examples_spark.functions.text import shingles_from, words
 from hudi_examples_spark.functions.vectors import cosine_similarity
 from hudi_examples_spark.operators.llm_pipeline5 import (
     _docs,
@@ -367,6 +367,122 @@ ORDER BY e.vec_id
 """
 
 
+BLOOM_REF_MOD = 10  # reference corpus = doc_id % 10 == 0 (the "already-trained" set)
+BLOOM_SHINGLE_K = 5  # 5-gram membership — the decontamination granularity
+BLOOM_FPP = 1e-6  # prefilter FP budget: ~0.01 expected FPs per 10k probes
+
+
+def dedup_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-prefiltered cross-corpus decontamination (the Dolma bloom-dedupe
+    shape, on the Hudi bloom-index machinery): flag source documents sharing
+    any 5-gram with a REFERENCE corpus, carrying the reference membership as
+    a BLOOM FILTER instead of a raw join side.
+
+    Why this exists next to ``pipe_decontaminate`` (broadcast shingle join):
+    at web scale the reference side is billions of shingles — too big to
+    broadcast raw and a full shuffle to join per run. A bloom is ~29 bits
+    per key at 1e-6 FPP (~3.6 MB per million shingles): each partition
+    builds a PARTIAL filter at one agreed (m, k) shape in a single numpy
+    pass (``mapInPandas``), the driver ORs the tiny blobs — bits travel,
+    never shingles — and the merged filter broadcasts back for a vectorized
+    membership probe over the source corpus. Bloom positives are CANDIDATES
+    (false positives possible, deterministic under the fixed hash family);
+    an exact shingle semi-join over ONLY the candidates confirms — the
+    expensive join's left side shrinks from |corpus| to |candidates|, which
+    is the entire point. The bloom is a pruning layer, never a truth layer —
+    the same contract as the table layer's key blooms.
+
+    Emitted ``bloom_pruned_ok`` certifies under the driver hash that the
+    candidate set was a strict subset of the source docs."""
+    import pandas as pd
+
+    from hudi_examples_spark.table.bloom import (
+        bloom_contains,
+        bloom_params,
+        build_bloom_fixed,
+        merge_blooms,
+    )
+
+    d = _docs(spark, sf).select("doc_id", words(F.col("text")).alias("w"))
+    sh = d.select(
+        "doc_id", F.explode(shingles_from(F.col("w"), BLOOM_SHINGLE_K)).alias("g")
+    )
+    ref = sh.filter(F.col("doc_id") % BLOOM_REF_MOD == 0)
+    src = sh.filter(F.col("doc_id") % BLOOM_REF_MOD != 0)
+
+    # 1. shape the filter from the (over-counted, duplicate-tolerant)
+    #    reference shingle count — one agg job, no distinct shuffle
+    n_ref = ref.count()
+    m, k = bloom_params(max(n_ref, 1), BLOOM_FPP)
+
+    # 2. partial blooms per Arrow batch, OR-merged driver-side
+    def _partials(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame(
+                    [build_bloom_fixed(pdf["g"].tolist(), m, k)],
+                    columns=["m", "k", "n", "bits"],
+                )
+
+    parts = ref.select("g").mapInPandas(
+        _partials, "m LONG, k LONG, n LONG, bits STRING"
+    ).collect()
+    bloom = merge_blooms([r.asDict() for r in parts])
+    b_bloom = spark.sparkContext.broadcast(bloom)
+
+    # 3. vectorized candidate probe over the source shingles
+    def _probe(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield pdf[bloom_contains(b_bloom.value, pdf["g"].tolist())]
+
+    cand_sh = src.mapInPandas(_probe, "doc_id LONG, g STRING")
+    # 4. exact confirm on candidates only (AQE picks the join strategy)
+    confirmed = (
+        cand_sh.join(ref.select("g").distinct(), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    n_src_docs = d.filter(F.col("doc_id") % BLOOM_REF_MOD != 0).count()
+    n_cand_docs = cand_sh.select("doc_id").distinct().count()
+    pruned_ok = n_cand_docs < n_src_docs
+    return (
+        d.filter(F.col("doc_id") % BLOOM_REF_MOD != 0)
+        .select("doc_id")
+        .join(confirmed.withColumn("__hit", F.lit(True)), "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce("__hit", F.lit(False)).alias("contaminated"),
+            F.lit(pruned_ok).alias("bloom_pruned_ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_BLOOM_PREFILTER_ORACLE = f"""
+WITH ws AS (
+  SELECT doc_id, list_filter(str_split(trim(text), ' '), w -> w <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id, array_to_string(w[i:i+{BLOOM_SHINGLE_K - 1}], ' ') AS g
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(1, greatest(len(w) - {BLOOM_SHINGLE_K - 1}, 0))) AS i
+        FROM ws)
+), ref AS (
+  SELECT DISTINCT g FROM sh WHERE doc_id % {BLOOM_REF_MOD} = 0
+), hits AS (
+  SELECT DISTINCT s.doc_id FROM sh s JOIN ref USING (g)
+  WHERE s.doc_id % {BLOOM_REF_MOD} <> 0
+)
+SELECT d.doc_id,
+       h.doc_id IS NOT NULL AS contaminated,
+       TRUE AS bloom_pruned_ok
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % {BLOOM_REF_MOD} <> 0
+ORDER BY d.doc_id
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "text_unigram_lm_score", text_unigram_lm_score, TEXT_UNIGRAM_ORACLE, "LLM:quality-lm"
@@ -376,4 +492,10 @@ SPECS: list[QuerySpec] = [
     ),
     QuerySpec("corpus_report", corpus_report, CORPUS_REPORT_ORACLE, "LLM:reporting"),
     QuerySpec("dedup_semantic", dedup_semantic, DEDUP_SEMANTIC_ORACLE, "LLM:dedup SemDeDup cluster-scoped"),
+    QuerySpec(
+        "dedup_bloom_prefilter",
+        dedup_bloom_prefilter,
+        DEDUP_BLOOM_PREFILTER_ORACLE,
+        "LLM:dedup bloom-prefiltered cross-corpus decontamination",
+    ),
 ]

@@ -103,7 +103,10 @@ def all_specs() -> list[QuerySpec]:
         "dedup_ngram_jaccard",
         "dedup_simhash",
         "dedup_clusters",
-        "dedup_cross_corpus",
+        # r5 debut: bloom-prefiltered cross-corpus decontamination (partial
+        # blooms OR-merged, vectorized probe, exact confirm join). Took
+        # dedup_cross_corpus's refresh slot (same family, r3 evidence age 2).
+        "dedup_bloom_prefilter",
         "dedup_embed_ann",
         "dedup_embed_cosine",
         "sim_brute_topk",

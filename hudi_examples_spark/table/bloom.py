@@ -83,6 +83,43 @@ def build_bloom(keys: list[str], fpp: float = DEFAULT_FPP) -> dict:
     }
 
 
+def build_bloom_fixed(keys: list[str], m: int, k: int) -> dict:
+    """Bloom over ``keys`` at a CALLER-CHOSEN (m, k) — the distributed-build
+    primitive: partitions each build a partial filter at the same shape, and
+    ``merge_blooms`` ORs the partials into the corpus filter. (``build_bloom``
+    sizes per-file filters locally; mergeable filters must agree on shape.)"""
+    bits = np.zeros(m, dtype=bool)
+    if keys:
+        h1, h2 = key_hashes(keys)
+        strides = np.arange(k, dtype=_U64)
+        pos = (h1[:, None] + strides[None, :] * h2[:, None]) % _U64(m)
+        bits[pos.astype(np.int64).ravel()] = True
+    return {
+        "m": m,
+        "k": k,
+        "n": len(keys),
+        "bits": base64.b64encode(np.packbits(bits).tobytes()).decode("ascii"),
+    }
+
+
+def merge_blooms(blooms: list[dict]) -> dict:
+    """OR-merge same-shape partial blooms (distributed build, step 2)."""
+    if not blooms:
+        raise ValueError("nothing to merge")
+    m, k = blooms[0]["m"], blooms[0]["k"]
+    if any(b["m"] != m or b["k"] != k for b in blooms):
+        raise ValueError("blooms must share (m, k) to merge")
+    acc = np.zeros(m, dtype=bool)
+    for b in blooms:
+        acc |= _unpack_bits(b).astype(bool)
+    return {
+        "m": m,
+        "k": k,
+        "n": sum(b["n"] for b in blooms),
+        "bits": base64.b64encode(np.packbits(acc).tobytes()).decode("ascii"),
+    }
+
+
 def _unpack_bits(bloom: dict) -> np.ndarray:
     raw = np.frombuffer(base64.b64decode(bloom["bits"]), dtype=np.uint8)
     return np.unpackbits(raw)[: bloom["m"]]

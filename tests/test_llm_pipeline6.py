@@ -141,3 +141,61 @@ def test_semantic_dedup_giant_cluster_guard(spark):
         .count()
     )
     assert blocks.agg(F.max("count")).first()[0] <= 3 * 32
+
+
+def test_bloom_prefilter_matches_exact_join(spark):
+    """The bloom prefilter is a pruning layer: the final result must equal
+    the plain exact shingle join, and every truly-contaminated doc must be
+    bloom-positive (no false negatives, by construction)."""
+    from hudi_examples_spark.operators.llm_pipeline6 import (
+        BLOOM_REF_MOD,
+        BLOOM_SHINGLE_K,
+        dedup_bloom_prefilter,
+    )
+    from hudi_examples_spark.functions.text import shingles_from, words
+
+    sf = "/root/testdata/sf0.001"
+    got = dedup_bloom_prefilter(spark, sf)
+    d = spark.read.parquet(sf + "/documents.parquet").select(
+        "doc_id", words(F.col("text")).alias("w")
+    )
+    sh = d.select("doc_id", F.explode(shingles_from(F.col("w"), BLOOM_SHINGLE_K)).alias("g"))
+    ref = sh.filter(F.col("doc_id") % BLOOM_REF_MOD == 0).select("g").distinct()
+    exact = (
+        sh.filter(F.col("doc_id") % BLOOM_REF_MOD != 0)
+        .join(ref, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    want_ids = {r["doc_id"] for r in exact.collect()}
+    rows = got.collect()
+    assert {r["doc_id"] for r in rows if r["contaminated"]} == want_ids
+    assert len(want_ids) > 0  # non-trivial at this SF (planted overlap exists)
+    assert all(r["bloom_pruned_ok"] for r in rows)
+
+
+def test_fixed_bloom_merge_semantics():
+    """Partial blooms at one (m, k) OR-merge into exactly the filter a
+    single-pass build would produce; mismatched shapes are rejected."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hudi_examples_spark.table.bloom import (
+        bloom_contains,
+        bloom_params,
+        build_bloom_fixed,
+        merge_blooms,
+    )
+
+    keys = [f"k{i}" for i in range(500)]
+    m, k = bloom_params(len(keys), 1e-6)
+    whole = build_bloom_fixed(keys, m, k)
+    merged = merge_blooms(
+        [build_bloom_fixed(keys[:200], m, k), build_bloom_fixed(keys[200:], m, k)]
+    )
+    assert merged["bits"] == whole["bits"] and merged["n"] == 500
+    assert bool(np.all(bloom_contains(merged, keys)))
+    absent = [f"x{i}" for i in range(2000)]
+    assert int(bloom_contains(merged, absent).sum()) <= 2  # ~1e-6 FPP budget
+    with _pytest.raises(ValueError):
+        merge_blooms([whole, build_bloom_fixed(keys, m + 8, k)])
