@@ -256,6 +256,55 @@ class Engine:
                 [(n, self._locations.get(n, "")) for n in self.table_names()],
                 "tableName STRING, location STRING",
             )
+        m = re.match(r"SHOW\s+INDEXES\s+(?:FROM|ON|IN)\s+(\w+)\s*$", s, re.I)
+        if verb == "SHOW" and m:
+            # Hudi 1.0 SHOW INDEXES: every index kind with its defining
+            # expression, generation, and validity (invalid = rollback
+            # invalidated it; probes fall back to scans until rebuilt)
+            tbl = self.table(m.group(1))
+            rows = []
+            rmeta = tbl._record_index_meta()
+            if rmeta is not None:
+                rows.append(
+                    (
+                        "record_index",
+                        "record_index",
+                        ",".join(tbl.config.record_key),
+                        int(rmeta.get("gen", 0)),
+                        bool(rmeta.get("valid", True)),
+                    )
+                )
+            for name in tbl.secondary_index_cols():
+                meta = tbl._index_meta(name)
+                if meta is None:
+                    continue
+                kind = (
+                    "secondary_index"
+                    if meta["expr"].strip() in tbl.schema.names
+                    else "expression_index"
+                )
+                rows.append(
+                    (
+                        name,
+                        kind,
+                        meta["expr"],
+                        int(meta.get("gen", 0)),
+                        bool(meta.get("valid", True)),
+                    )
+                )
+            return self.spark.createDataFrame(
+                rows,
+                "indexName STRING, indexType STRING, expr STRING, generation INT, valid BOOLEAN",
+            )
+        m = re.match(r"SHOW\s+PARTITIONS\s+(\w+)\s*$", s, re.I)
+        if verb == "SHOW" and m:
+            tbl = self.table(m.group(1))
+            parts = sorted(
+                {tbl._partition_of(r) for r in tbl.timeline.live_files()[0]} - {""}
+            )
+            return self.spark.createDataFrame(
+                [(p,) for p in parts], "partition STRING"
+            )
         if verb == "CALL":
             return self._call(s)
         # SELECT / SHOW / narration — rewrite engine sugar then hand to spark.sql

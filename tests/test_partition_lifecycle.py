@@ -189,7 +189,11 @@ def test_sql_drop_partition(spark, tmp_path):
     sess.sql(
         "INSERT INTO pt VALUES (1, 1.0, 'a', 1), (2, 2.0, 'b', 1), (3, 3.0, 'a', 1)"
     )
+    before = {r["partition"] for r in sess.sql("SHOW PARTITIONS pt").collect()}
+    assert before == {"seg=a", "seg=b"}
     sess.sql("ALTER TABLE pt DROP PARTITION (seg='a')")
     tbl = sess.table("pt")
     rows = sorted((r["k"], r["seg"]) for r in tbl.read().collect())
     assert rows == [(2, "b")]
+    after = {r["partition"] for r in sess.sql("SHOW PARTITIONS pt").collect()}
+    assert after == {"seg=b"}

@@ -396,5 +396,10 @@ def test_sql_ddl_and_drop(spark, tmp_path):
         sess.sql("CREATE INDEX record_index ON rt (val)")
     sess.sql("CALL rebuild_index('rt', 'record_index')")
     assert (Table(spark, tbl.base)._record_index_meta() or {}).get("gen") == 1
+    shown = {
+        r["indexName"]: (r["indexType"], r["generation"], r["valid"])
+        for r in sess.sql("SHOW INDEXES FROM rt").collect()
+    }
+    assert shown["record_index"] == ("record_index", 1, True)
     sess.sql("DROP INDEX record_index ON rt")
     assert Table(spark, tbl.base)._record_index_meta() is None
