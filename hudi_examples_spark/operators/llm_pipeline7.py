@@ -1,0 +1,226 @@
+"""Seventh LLM-pipeline battery: retrieval-based data selection — the two
+corpus-selection primitives between "scored corpus" and "targeted subset".
+
+- ``text_bm25_topk`` — BM25 ranked retrieval over the corpus for a fixed
+  query-term set (Robertson/Spärck Jones probabilistic IDF with the +1
+  positivity guard, k1/b saturation). This is the workhorse of
+  retrieval-based data selection: given a handful of seed terms describing a
+  target domain, pull the top-k most relevant documents. Reference analogue:
+  the quickstart's filtered scans over keyed tables
+  (`/root/reference/spark/src/main/python/quickstart.py`) rank by column
+  predicates; BM25 ranks by content relevance — the step a training-data
+  pipeline needs that plain predicates can't express.
+- ``pipe_dsir_affinity`` — hashed-n-gram importance weighting in the DSIR
+  shape (Xie et al. 2023, "Data Selection for Language Models via Importance
+  Resampling"): score every raw document by how its bigram-feature mass
+  distributes under a target subcorpus versus the raw corpus. The canonical
+  form sums log-probability ratios; this implementation keeps the
+  exact-integer analogue — per-feature target/raw occurrence counts with
+  add-one smoothing, summed as exact BIGINT masses and reduced to a
+  ``(1000·t_mass) DIV r_mass`` affinity — so the driver gate hashes exact
+  integers instead of boundary-roundable logs (same trick as
+  ``text_unigram_lm_score``). Same ranking direction, same pipeline role.
+
+Scale notes per-op; nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hudi_examples_spark.functions.text import shingles_from, words
+from hudi_examples_spark.operators.llm_pipeline5 import _docs
+from hudi_examples_spark.operators.spec import QuerySpec
+
+#: Fixed seed-term set for the BM25 battery. At production scale the query
+#: side is always tiny (a domain description, tens of terms) and broadcast;
+#: the corpus side is the 100 TB fact.
+BM25_TERMS = ["spark", "merge", "window"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+#: Feature-table cap for DSIR affinity: only the TOP_F most frequent bigrams
+#: (deterministic cut: raw count desc, feature asc) carry their own counts, so
+#: the importance table stays broadcastable at corpus scale — the same
+#: vocabulary-cap discipline as ``text_unigram_lm_score``'s TOP_V. At test
+#: scale the bigram vocabulary is far below the cap, so the cut never bites.
+DSIR_TOP_F = 65536
+DSIR_TARGET_SOURCE = "src0"
+
+
+def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k documents by BM25 score for the fixed query-term set.
+
+    Shape: tokens are filtered to the query terms BEFORE the tf shuffle (the
+    explode stream drops ~99% of tokens map-side), document length is a
+    map-side projection, and both global inputs — the |q|-row df table and
+    the 1-row (N, avgdl) stats — broadcast back onto the tf stream. One
+    keyed shuffle on (doc_id, term) plus two scalar aggregations; the final
+    top-k is a TakeOrdered, never a global sort. At 100 TB nothing here
+    grows with the corpus except the one pre-filtered tf aggregation.
+
+    Float discipline: the scoring expression is written with the identical
+    operation order as the oracle SQL (per-IEEE-op equivalence), so the only
+    divergence source is the two engines' libm ``ln`` (≤1 ulp); scores are
+    rounded to 4 decimals before the rank/limit, same as
+    ``a_percentile_values``.
+    """
+    d = _docs(spark, sf).select("doc_id", words("text").alias("__ws"))
+    dl = d.select("doc_id", F.size("__ws").alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tf = (
+        d.select("doc_id", F.explode("__ws").alias("w"))
+        .where(F.col("w").isin(BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    sat = (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(BM25_K1)
+        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("addend", idf * sat)
+        .groupBy("doc_id")
+        .agg(F.sum("addend").alias("s"), F.count(F.lit(1)).alias("n_terms"))
+    )
+    return (
+        scored.select("doc_id", "n_terms", F.round("s", 4).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+TEXT_BM25_ORACLE = f"""
+WITH ws AS (
+  SELECT doc_id, list_filter(str_split(trim(text), ' '), w -> w <> '') AS w
+  FROM documents
+), dl AS (
+  SELECT doc_id, len(w) AS dl FROM ws
+), stats AS (
+  SELECT avg(dl) AS avgdl, count(*)::BIGINT AS n FROM dl
+), tf AS (
+  SELECT doc_id, w, count(*) AS tf
+  FROM (SELECT doc_id, unnest(w) AS w FROM ws)
+  WHERE w IN ('spark', 'merge', 'window')
+  GROUP BY doc_id, w
+), df AS (
+  SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY w
+), scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+           * (CAST(tf AS DOUBLE) * {BM25_K1 + 1.0!r})
+           / (CAST(tf AS DOUBLE)
+              + {BM25_K1!r} * ({1.0 - BM25_B!r}
+                               + {BM25_B!r} * CAST(dl.dl AS DOUBLE) / avgdl))
+         ) AS s,
+         count(*)::BIGINT AS n_terms
+  FROM tf
+  JOIN df USING (w)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, n_terms, round(s, 4) AS score
+FROM scored
+ORDER BY round(s, 4) DESC, doc_id
+LIMIT {BM25_TOPK}
+"""
+
+
+def pipe_dsir_affinity(spark: SparkSession, sf: str) -> DataFrame:
+    """Target-vs-raw bigram importance affinity per document (DSIR shape).
+
+    Shape: one bigram shuffle builds the capped feature table (raw count +
+    target-subcorpus count per bigram, TOP_F deterministic cut), which
+    broadcasts back onto the per-document bigram counts — so the only global
+    state is the bounded importance table, exactly how DSIR ships its hashed
+    n-gram buckets. The per-document aggregation is keyed on doc_id (one
+    shuffle); exact BIGINT masses all the way, ``(1000·t_mass) DIV r_mass``
+    as the hash-stable affinity. Documents shorter than 2 tokens contribute
+    no features and are excluded on both sides.
+    """
+    d = _docs(spark, sf).select("doc_id", "source", words("text").alias("__ws"))
+    bg = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(F.size("__ws") >= 2, shingles_from(F.col("__ws"), 2)).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("f"),
+    )
+    feat = (
+        bg.groupBy("f")
+        .agg(
+            F.count(F.lit(1)).alias("c_r"),
+            F.sum(
+                F.when(F.col("source") == DSIR_TARGET_SOURCE, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("c_t"),
+        )
+        .orderBy(F.desc("c_r"), F.asc("f"))
+        .limit(DSIR_TOP_F)
+    )
+    per_doc = bg.groupBy("doc_id", "f").agg(F.count(F.lit(1)).alias("n_f"))
+    scored = (
+        per_doc.join(F.broadcast(feat), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("n_f") * (F.col("c_t") + 1)).cast("long").alias("t_mass"),
+            F.sum(F.col("n_f") * (F.col("c_r") + 1)).cast("long").alias("r_mass"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "t_mass",
+        "r_mass",
+        F.expr("(1000 * t_mass) DIV r_mass").alias("affinity_milli"),
+    ).orderBy(F.desc("affinity_milli"), "doc_id")
+
+
+PIPE_DSIR_ORACLE = f"""
+WITH ws AS (
+  SELECT doc_id, source, list_filter(str_split(trim(text), ' '), w -> w <> '') AS w
+  FROM documents
+), bg AS (
+  SELECT doc_id, source,
+         unnest(list_transform(
+           range(1, CASE WHEN len(w) > 1 THEN len(w) ELSE 1 END),
+           i -> w[i] || ' ' || w[i + 1])) AS f
+  FROM ws
+), feat AS (
+  SELECT f, count(*) AS c_r,
+         sum(CASE WHEN source = '{DSIR_TARGET_SOURCE}' THEN 1 ELSE 0 END) AS c_t
+  FROM bg GROUP BY f ORDER BY c_r DESC, f ASC LIMIT {DSIR_TOP_F}
+), per_doc AS (
+  SELECT doc_id, f, count(*) AS n_f FROM bg GROUP BY doc_id, f
+), scored AS (
+  SELECT doc_id,
+         sum(n_f * (c_t + 1))::BIGINT AS t_mass,
+         sum(n_f * (c_r + 1))::BIGINT AS r_mass
+  FROM per_doc JOIN feat USING (f) GROUP BY doc_id
+)
+SELECT doc_id, t_mass, r_mass, ((1000 * t_mass) // r_mass)::BIGINT AS affinity_milli
+FROM scored ORDER BY affinity_milli DESC, doc_id
+"""
+
+
+SPECS = [
+    QuerySpec("text_bm25_topk", text_bm25_topk, TEXT_BM25_ORACLE, "A3,O1 retrieval"),
+    QuerySpec("pipe_dsir_affinity", pipe_dsir_affinity, PIPE_DSIR_ORACLE, "A3 selection"),
+]

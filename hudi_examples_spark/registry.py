@@ -13,6 +13,7 @@ def all_specs() -> list[QuerySpec]:
         llm_pipeline4,
         llm_pipeline5,
         llm_pipeline6,
+        llm_pipeline7,
         multimodal,
         relational,
         relational_ext,
@@ -38,6 +39,7 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(llm_pipeline4.SPECS)
     specs.extend(llm_pipeline5.SPECS)
     specs.extend(llm_pipeline6.SPECS)
+    specs.extend(llm_pipeline7.SPECS)
     specs.extend(scale_ops.SPECS)
     specs.extend(streaming_gate.SPECS)
     specs.extend(multimodal.SPECS)
@@ -110,11 +112,17 @@ def all_specs() -> list[QuerySpec]:
         "dedup_embed_ann",
         "dedup_embed_cosine",
         "sim_brute_topk",
-        "sim_knn_join",
+        # r5 debut: DSIR-shaped hashed-n-gram importance affinity (capped
+        # broadcast feature table, exact-integer masses). Debut ops outrank
+        # refreshes — took sim_knn_join's slot (r3 evidence, age 2).
+        "pipe_dsir_affinity",
         "sim_ann_lsh",
         "sim_ivf_topk",
-        # r3-aged refreshes: join specials, perf-watch
-        "j_asof_join",
+        # r5 debut: BM25 ranked retrieval (pre-filtered tf shuffle, broadcast
+        # idf/stats, TakeOrdered top-k). Debut ops outrank refreshes — took
+        # j_asof_join's refresh slot (r3 evidence, age 2, in policy).
+        "text_bm25_topk",
+        # r3-aged refresh: perf-watch (explode+window form kept this round)
         "fp_winnowing",
         # r5 debut: delete_partition lifecycle (metadata-only drop +
         # time-travel retention markers under the hash gate). Took
