@@ -314,7 +314,8 @@ class Engine:
 
     def _call(self, s: str) -> DataFrame | None:
         """Hudi Spark-SQL procedures (the SQL face of the table services):
-        CALL run_compaction('t') | run_clustering('t'[, buckets]) |
+        CALL run_compaction('t'[, 'schedule'|'execute']) |
+        show_compaction('t') — pending plans | run_clustering('t'[, buckets]) |
         run_clustering_sort('t', 'c1'[, 'c2', ...]) |
         run_clustering_zorder('t', 'c1', 'c2'[, ...]) |
         run_clean('t'[, retain]) | rebuild_index('t', 'name') |
@@ -332,8 +333,25 @@ class Engine:
         proc, name, arg = m.group(1).lower(), m.group(2), m.group(3)
         tbl = self.table(name)
         if proc == "run_compaction":
-            tbl.compact()
+            # Hudi's op switch: CALL run_compaction('t'[, 'schedule'|'execute'])
+            # — 'schedule' cuts a compactionplan instant for an async executor,
+            # 'execute' runs the oldest pending plan; no arg = inline both.
+            op = (arg or "").strip().strip("'").lower()
+            if op == "schedule":
+                tbl.schedule_compaction()
+            elif op in ("execute", "run"):
+                tbl.run_compaction()
+            else:
+                tbl.compact()
             return None
+        if proc == "show_compaction":
+            rows = [
+                (i.instant, len(i.meta.get("log_rels", [])), len(i.meta.get("merge_base", [])))
+                for i in tbl.pending_compactions()
+            ]
+            return self.spark.createDataFrame(
+                rows, "plan_instant STRING, n_log_files INT, n_base_files INT"
+            )
         if proc == "run_clustering":
             tbl.cluster(int(arg)) if arg else tbl.cluster(tbl.config.n_buckets or 4)
             return None

@@ -2838,7 +2838,13 @@ class Table:
     #: scan + one rename), so anything older than this is a dead holder
     LOCK_TTL_SECONDS = 60.0
 
-    def _publish_occ(self, inst: Instant, since: str, partitions: set | None) -> None:
+    def _publish_occ(
+        self,
+        inst: Instant,
+        since: str,
+        partitions: set | None,
+        occ_scope: str = "partition",
+    ) -> None:
         """Optimistic concurrency control (Hudi OCC + lock-provider shape):
         under a filesystem lock, reject the publish if any instant committed
         after our snapshot rewrote files or partitions this commit also
@@ -2846,6 +2852,11 @@ class Table:
         skip this — append-only commits can't lose concurrent writes (their
         key versions merge at read). Callers catch ConcurrentWriteConflict
         and retry the whole operation from a fresh snapshot.
+
+        ``occ_scope="files"`` narrows conflict detection to file overlap only
+        (skip the partition-level check): used by async compaction, whose
+        merged output is correct under concurrent log APPENDS by commit-time
+        ordering — only a concurrent remover of its input files conflicts.
         """
         if inst.files_added:
             # record-index maintenance rides EVERY file-adding publish
@@ -2876,6 +2887,8 @@ class Table:
                     raise ConcurrentWriteConflict(
                         f"instant {other.instant} already rewrote files this commit removes"
                     )
+                if occ_scope == "files":
+                    continue  # appends are no conflict for async compaction
                 if partitions is None:
                     raise ConcurrentWriteConflict(
                         f"full-table rewrite conflicts with concurrent instant {other.instant}"
@@ -2905,8 +2918,9 @@ class Table:
 
     # ------------------------------------------------------------- services
 
-    def compact(self) -> str | None:
-        """M14: merge MOR log files into fresh base files (one replacecommit).
+    def _compaction_plan(self) -> dict | None:
+        """Plan one compaction against the CURRENT snapshot: which live log
+        files to resolve and which base files they pull into the merge.
 
         Partition-scoped (Hudi compacts per file group, never per table —
         ``DeltaStreamerExample.scala:48-55``, ``flink/.README.md:57-69``): only
@@ -2918,8 +2932,8 @@ class Table:
         partition-changing upsert), base files outside the log dirs whose
         record-key range overlaps the log keys are pulled into the merge too;
         without key-range stats that check conservatively degrades to a full
-        compaction. Publishes under OCC so a concurrent writer or competing
-        compactor can't double-apply the same logs."""
+        compaction. ``known_instants`` snapshots the completed timeline so an
+        executor can detect late-publishing writers minted before the plan."""
         files, latest = self.timeline.live_files()
         log_rels = sorted(r for r, (_, a) in files.items() if a == "deltacommit")
         if not log_rels:
@@ -2932,9 +2946,26 @@ class Table:
         if outside:
             logs_keys = self._read_files(log_rels, with_deleted=True).select(META_KEY)
             moved = self._prune_files_by_keys(outside, logs_keys)
-        merge_base = sorted(set(in_dirs) | set(moved))
+        return {
+            "log_rels": log_rels,
+            "merge_base": sorted(set(in_dirs) | set(moved)),
+            "latest": latest,
+            "known_instants": sorted(
+                i.instant for i in self.timeline.completed_data_instants()
+            ),
+        }
+
+    def _execute_compaction(self, plan: dict, since: str, occ_scope: str) -> str:
+        """Merge exactly the plan's files into fresh base files (one
+        replacecommit). Merged rows KEEP their original ``_hoodie_commit``
+        (``_with_meta`` preserves an existing meta column), so log files
+        appended AFTER the plan was cut still supersede the compacted base at
+        read time — the property that makes scheduled compaction non-blocking
+        for writers."""
+        log_rels, merge_base = plan["log_rels"], plan["merge_base"]
         touched = sorted(set(merge_base) | set(log_rels))
         instant = new_instant()
+        files, _ = self.timeline.live_files()
         wp = self._partial_in(files, log_rels)
         base = self._read_files(merge_base, with_deleted=True, with_partial=wp)
         logs = self._read_files(log_rels, with_deleted=True, with_partial=wp)
@@ -2951,12 +2982,111 @@ class Table:
                 "replacecommit",
                 rels,
                 touched,
-                {"operation": "compaction", "numFileGroupsCompacted": len(log_dirs)},
+                {
+                    "operation": "compaction",
+                    "numFileGroupsCompacted": len(
+                        {os.path.dirname(r) for r in log_rels}
+                    ),
+                },
             ),
-            since=latest,
+            since=since,
             partitions={self._partition_of(r) for r in touched},
+            occ_scope=occ_scope,
         )
         return instant
+
+    def compact(self) -> str | None:
+        """M14: inline compaction — plan against the current snapshot and
+        execute immediately (one replacecommit), under partition-scoped OCC.
+        For the async schedule/execute split a separate process would run, see
+        :meth:`schedule_compaction` / :meth:`run_compaction`."""
+        plan = self._compaction_plan()
+        if plan is None:
+            return None
+        return self._execute_compaction(plan, since=plan["latest"], occ_scope="partition")
+
+    def schedule_compaction(self) -> str | None:
+        """Write a ``compactionplan`` instant (Hudi's ``compaction.requested``):
+        the plan names exactly the live log files to resolve and the base
+        files they pull in, so a DIFFERENT process — an async compactor, the
+        services scheduler — can execute it later while writers keep appending
+        logs (``run_compaction``). Returns the plan instant, or None when the
+        table has no live logs. Plans are advisory until executed: anything
+        that invalidates one (clustering, delete_partition, a competing
+        compactor) is detected at execute time and the plan is discarded, so
+        scheduling never blocks or conflicts with writers."""
+        plan = self._compaction_plan()
+        if plan is None:
+            return None
+        instant = new_instant()
+        self.timeline.write(
+            Instant(
+                instant,
+                "compactionplan",
+                [],
+                [],
+                {
+                    "operation": "compaction_schedule",
+                    "log_rels": plan["log_rels"],
+                    "merge_base": plan["merge_base"],
+                    "known_instants": plan["known_instants"],
+                },
+            )
+        )
+        return instant
+
+    def pending_compactions(self) -> list[Instant]:
+        """Scheduled-but-not-executed compaction plans, oldest first."""
+        return sorted(
+            (i for i in self.timeline.instants() if i.action == "compactionplan"),
+            key=lambda i: i.instant,
+        )
+
+    def run_compaction(self, plan_instant: str | None = None) -> str | None:
+        """Execute a scheduled compaction plan (Hudi's async HoodieCompactor
+        half of the schedule/execute split).
+
+        Validation before the merge, because the table moved on since the
+        plan was cut:
+
+        - every planned file must still be live — a clustering pass,
+          ``delete_partition``, rollback, or competing compactor that replaced
+          any of them voids the plan (discarded, returns None; the next
+          ``schedule_compaction`` picks up the current state);
+        - no completed data instant minted BEFORE the plan may have published
+          AFTER it (``known_instants`` delta): such a late writer's log rows
+          can predate a tombstone epoch inside the plan, and compacting the
+          tombstone away would resurrect them — the plan is discarded rather
+          than risk it.
+
+        The publish uses file-scoped OCC (``occ_scope="files"``): log files
+        appended after the plan — the normal state of affairs under live
+        writers — are no conflict (their rows supersede the compacted base by
+        commit ordering); only a concurrent REMOVER of planned files aborts."""
+        pending = self.pending_compactions()
+        if plan_instant is not None:
+            pending = [i for i in pending if i.instant == plan_instant]
+        if not pending:
+            return None
+        plan = pending[0]
+        files, latest = self.timeline.live_files()
+        touched = set(plan.meta["log_rels"]) | set(plan.meta["merge_base"])
+        known = set(plan.meta["known_instants"])
+        late = [
+            i.instant
+            for i in self.timeline.completed_data_instants()
+            if i.instant < plan.instant and i.instant not in known
+        ]
+        if late or not touched <= set(files):
+            self.timeline.remove(plan.instant)  # stale plan — discard
+            return None
+        try:
+            out = self._execute_compaction(plan.meta, since=latest, occ_scope="files")
+        except ConcurrentWriteConflict:
+            # a remover landed mid-merge; leave the plan for revalidation
+            raise
+        self.timeline.remove(plan.instant)
+        return out
 
     def run_services(
         self,
@@ -3025,11 +3155,20 @@ class Table:
                     except (ConcurrentWriteConflict, ValueError):
                         pass  # a concurrent write revived it — keep it
             report["partitions_expired"] = expired
-        if self.config.table_type == "mor" and self.should_compact(compact_after):
-            try:
-                report["compacted"] = self.compact()
-            except ConcurrentWriteConflict:
-                report["compacted"] = None
+        if self.config.table_type == "mor":
+            # execute any plan a scheduler cut earlier (async schedule/execute
+            # split) before the inline policy check — oldest plan first, one
+            # per pass; a voided plan is discarded inside run_compaction
+            if self.pending_compactions():
+                try:
+                    report["compaction_plan_executed"] = self.run_compaction()
+                except ConcurrentWriteConflict:
+                    report["compaction_plan_executed"] = None
+            if self.should_compact(compact_after):
+                try:
+                    report["compacted"] = self.compact()
+                except ConcurrentWriteConflict:
+                    report["compacted"] = None
         if self.config.bucket_ranges or self.config.n_buckets:
             try:
                 report["bucket_split"] = self.maybe_split_buckets(

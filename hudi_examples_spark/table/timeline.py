@@ -123,7 +123,13 @@ class Timeline:
                 pins.add(i.meta["target"])
         if pins:
             boundary = min([boundary, *pins])
-        to_archive = [i for i in insts if i.instant < boundary and i.action != "savepoint"]
+        # savepoints pin restore targets; pending compaction plans must stay
+        # visible to their executor (run_compaction) no matter how old
+        to_archive = [
+            i
+            for i in insts
+            if i.instant < boundary and i.action not in ("savepoint", "compactionplan")
+        ]
         if not to_archive:
             return 0
         cp = self.checkpoint()

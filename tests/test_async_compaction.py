@@ -1,0 +1,176 @@
+"""Async compaction: the schedule/execute split (Hudi's ``compaction.requested``
+plan + standalone HoodieCompactor executor).
+
+The property under test: a plan cut at time T and executed at time T+k is
+correct no matter what log appends landed in between — post-schedule logs
+survive the execution as live logs over the new base, and the merged read
+equals what inline compaction at the same point would produce.
+"""
+
+from __future__ import annotations
+
+from hudi_examples_spark.sql import Engine
+from hudi_examples_spark.table.core import Table
+from tests.test_table_cow import assert_same, make_table, trips_df
+
+
+def _reopen(spark, tbl):
+    return Table(spark, tbl.base)
+
+
+def test_schedule_then_execute_matches_inline(spark, tmp_path):
+    tbl = make_table(spark, tmp_path, table_type="mor")
+    tbl.insert(trips_df(spark))
+    tbl.upsert(trips_df(spark, [(9999999999999, "334e26e9", "r", "d", 88.0, "san_francisco")]))
+    plan = tbl.schedule_compaction()
+    assert plan is not None
+    assert [i.instant for i in tbl.pending_compactions()] == [plan]
+    before = tbl.read()
+    out = tbl.run_compaction()
+    assert out is not None and out != plan
+    assert tbl.pending_compactions() == []
+    assert_same(tbl.read(), before)
+    # planned logs resolved: every live file is base now
+    files, _ = tbl.timeline.live_files()
+    assert all(a != "deltacommit" for _, (_, a) in files.items())
+
+
+def test_post_schedule_appends_survive_execution(spark, tmp_path):
+    tbl = make_table(spark, tmp_path, table_type="mor")
+    tbl.insert(trips_df(spark))
+    tbl.upsert(trips_df(spark, [(9999999999999, "334e26e9", "r", "d", 88.0, "san_francisco")]))
+    plan = tbl.schedule_compaction()
+    # writers keep going AFTER the plan is cut
+    tbl.upsert(trips_df(spark, [(9999999999999, "e96c4396", "r2", "d2", 55.0, "san_francisco")]))
+    tbl.delete(spark.createDataFrame([("c8abbe79",)], "uuid STRING"))
+    expected = tbl.read()
+    assert tbl.run_compaction(plan) is not None
+    got = tbl.read()
+    assert_same(got, expected)
+    # the post-schedule log files are STILL live logs (not swept by the plan)
+    files, _ = tbl.timeline.live_files()
+    assert any(a == "deltacommit" for _, (_, a) in files.items())
+    assert got.filter("uuid='e96c4396'").collect()[0]["fare"] == 55.0
+    assert got.filter("uuid='c8abbe79'").count() == 0
+    # and a follow-up inline compaction resolves them on top of the new base
+    assert tbl.compact() is not None
+    assert_same(tbl.read(), expected)
+
+
+def test_post_schedule_delete_of_compacted_key(spark, tmp_path):
+    # tombstone lands after the plan for a key whose versions are IN the plan:
+    # the compacted base row must still die at read time (commit ordering)
+    tbl = make_table(spark, tmp_path, table_type="mor")
+    tbl.insert(trips_df(spark))
+    tbl.upsert(trips_df(spark, [(9999999999999, "334e26e9", "r", "d", 88.0, "san_francisco")]))
+    plan = tbl.schedule_compaction()
+    tbl.delete(spark.createDataFrame([("334e26e9",)], "uuid STRING"))
+    assert tbl.run_compaction(plan) is not None
+    assert tbl.read().filter("uuid='334e26e9'").count() == 0
+    assert tbl.count() == 7
+
+
+def test_stale_plan_discarded_when_files_replaced(spark, tmp_path):
+    tbl = make_table(spark, tmp_path, table_type="mor")
+    tbl.insert(trips_df(spark))
+    tbl.upsert(trips_df(spark, [(9999999999999, "334e26e9", "r", "d", 88.0, "san_francisco")]))
+    plan = tbl.schedule_compaction()
+    # a competing inline compactor resolves the same logs first
+    assert tbl.compact() is not None
+    expected = tbl.read()
+    assert tbl.run_compaction() is None  # plan voided, discarded
+    assert tbl.pending_compactions() == []
+    assert_same(tbl.read(), expected)
+    assert plan is not None
+
+
+def test_stale_plan_discarded_after_rollback(spark, tmp_path):
+    tbl = make_table(spark, tmp_path, table_type="mor")
+    tbl.insert(trips_df(spark))
+    inst = tbl.upsert(trips_df(spark, [(9999999999999, "334e26e9", "r", "d", 88.0, "san_francisco")]))
+    tbl.schedule_compaction()
+    tbl.rollback(inst)  # the planned log file is no longer live
+    expected = tbl.read()
+    assert tbl.run_compaction() is None
+    assert tbl.pending_compactions() == []
+    assert_same(tbl.read(), expected)
+
+
+def test_late_publisher_voids_plan(spark, tmp_path):
+    # an instant MINTED before the plan but PUBLISHED after it (a slow writer)
+    # must void the plan: its rows could predate a tombstone epoch inside the
+    # plan, and compacting the tombstone away would resurrect them
+    tbl = make_table(spark, tmp_path, table_type="mor")
+    tbl.insert(trips_df(spark))
+    from hudi_examples_spark.table.timeline import Instant, new_instant
+
+    early = new_instant()  # minted now...
+    tbl.delete(spark.createDataFrame([("334e26e9",)], "uuid STRING"))
+    plan = tbl.schedule_compaction()
+    assert plan is not None
+    # ...published only after the plan was cut (simulated slow writer): an
+    # empty deltacommit is enough — the guard is instant-id based
+    tbl.timeline.write(Instant(early, "deltacommit", [], [], {"operation": "upsert"}))
+    assert tbl.run_compaction() is None
+    assert tbl.pending_compactions() == []
+
+
+def test_run_services_executes_pending_plan(spark, tmp_path):
+    tbl = make_table(spark, tmp_path, table_type="mor")
+    tbl.insert(trips_df(spark))
+    tbl.upsert(trips_df(spark, [(9999999999999, "334e26e9", "r", "d", 88.0, "san_francisco")]))
+    plan = tbl.schedule_compaction()
+    expected = tbl.read()
+    report = tbl.run_services(compact_after=9999)  # policy compaction off
+    assert report["compaction_plan_executed"] is not None
+    assert tbl.pending_compactions() == []
+    assert_same(tbl.read(), expected)
+    assert plan is not None
+
+
+def test_plan_survives_archival(spark, tmp_path):
+    tbl = make_table(spark, tmp_path, table_type="mor")
+    tbl.insert(trips_df(spark))
+    tbl.upsert(trips_df(spark, [(9999999999999, "334e26e9", "r", "d", 88.0, "san_francisco")]))
+    plan = tbl.schedule_compaction()
+    for i in range(6):
+        tbl.upsert(trips_df(spark, [(9999999999999 + i, "e96c4396", "r", "d", 50.0 + i, "san_francisco")]))
+    tbl.archive_timeline(retain_instants=2)
+    assert [i.instant for i in tbl.pending_compactions()] == [plan]
+    # the plan's own files predate the boundary but are still live, so the
+    # executor can still resolve them
+    expected = tbl.read()
+    assert tbl.run_compaction() is not None
+    assert_same(tbl.read(), expected)
+
+
+def test_cross_process_handles_share_plans(spark, tmp_path):
+    # scheduler and executor are DIFFERENT Table handles (the deployment shape:
+    # a cron job schedules, a standalone compactor executes)
+    tbl = make_table(spark, tmp_path, table_type="mor")
+    tbl.insert(trips_df(spark))
+    tbl.upsert(trips_df(spark, [(9999999999999, "334e26e9", "r", "d", 88.0, "san_francisco")]))
+    plan = tbl.schedule_compaction()
+    executor = _reopen(spark, tbl)
+    assert [i.instant for i in executor.pending_compactions()] == [plan]
+    expected = tbl.read()
+    assert executor.run_compaction() is not None
+    assert_same(_reopen(spark, tbl).read(), expected)
+
+
+def test_sql_schedule_execute_faces(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.sql(
+        "CREATE TABLE t (ts BIGINT, uuid STRING, fare DOUBLE) USING HUDI "
+        "TBLPROPERTIES (type = 'mor', primaryKey = 'uuid', preCombineField = 'ts')"
+    )
+    e.sql("INSERT INTO t VALUES (1, 'a', 10.0), (2, 'b', 20.0)")
+    e.sql("INSERT INTO t VALUES (3, 'a', 30.0)")
+    e.sql("CALL run_compaction('t', 'schedule')")
+    pend = e.sql("CALL show_compaction('t')").collect()
+    assert len(pend) == 1 and pend[0]["n_log_files"] >= 1
+    e.sql("INSERT INTO t VALUES (4, 'b', 40.0)")
+    e.sql("CALL run_compaction('t', 'execute')")
+    assert e.sql("CALL show_compaction('t')").collect() == []
+    rows = {r["uuid"]: r["fare"] for r in e.sql("SELECT uuid, fare FROM t").collect()}
+    assert rows == {"a": 30.0, "b": 40.0}
