@@ -669,6 +669,72 @@ FROM customer WHERE c_custkey % 13 = 0
 """
 
 
+def tbl_async_compaction(spark: SparkSession, sf: str) -> DataFrame:
+    """M14+ async compaction — the schedule/execute split (Hudi's
+    ``compaction.requested`` plan + standalone HoodieCompactor; reference
+    inline form at ``DeltaStreamerExample.scala:48-55``).
+
+    Lifecycle on a MOR table: insert → keyed upsert (log commit) →
+    ``schedule_compaction()`` cuts the plan → WRITERS KEEP GOING after the
+    plan (a %11 upsert and a ``delete_where``, both landing as post-plan
+    logs) → ``run_compaction()`` executes the stale-but-valid plan. The
+    property certified under the driver hash: post-schedule logs survive the
+    execution (they stay live and supersede the compacted base by commit
+    ordering), so the final snapshot equals the sequential-history state —
+    scheduling never blocks or loses concurrent writes. Evidence literals:
+    ``plan_cut_ok`` (the plan instant existed and was listed pending),
+    ``executed_ok`` (execution produced a replacecommit and cleared the
+    plan), ``post_logs_live_ok`` (the post-schedule deltacommits are still
+    live files after execution, i.e. the plan merged ONLY its own inputs)."""
+    tbl = _lifecycle_table(spark, sf, "tbl_async_compaction", "mor")
+    tbl.upsert(_upsert_batch(spark, sf))
+    plan = tbl.schedule_compaction()
+    plan_cut_ok = plan is not None and [
+        i.instant for i in tbl.pending_compactions()
+    ] == [plan]
+    # post-schedule writer traffic: an upsert and a delete, as MOR logs
+    eleven = (
+        _cust_df(spark, sf)
+        .filter(F.col("c_custkey") % 11 == 0)
+        .withColumn("acctbal", F.col("acctbal") + 50.0)
+        .withColumn("v", F.lit(3))
+    )
+    tbl.upsert(eleven)
+    tbl.delete_where("c_custkey % 5 = 0")
+    out = tbl.run_compaction()
+    executed_ok = out is not None and tbl.pending_compactions() == []
+    files, _ = tbl.timeline.live_files()
+    post_logs_live_ok = any(a == "deltacommit" for _, (_, a) in files.items())
+    return tbl.read().select(
+        "c_custkey",
+        "c_name",
+        F.round("acctbal", 2).alias("acctbal"),
+        "seg",
+        "v",
+        F.lit(bool(plan_cut_ok)).alias("plan_cut_ok"),
+        F.lit(bool(executed_ok)).alias("executed_ok"),
+        F.lit(bool(post_logs_live_ok)).alias("post_logs_live_ok"),
+    )
+
+
+TBL_ASYNC_COMPACTION_ORACLE = """
+SELECT c_custkey, c_name,
+       round(CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 50.0
+                  WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END, 2) AS acctbal,
+       c_mktsegment AS seg,
+       CASE WHEN c_custkey % 11 = 0 THEN 3
+            WHEN c_custkey % 7 = 0 THEN 2 ELSE 1 END AS v,
+       TRUE AS plan_cut_ok, TRUE AS executed_ok, TRUE AS post_logs_live_ok
+FROM customer
+WHERE c_custkey % 5 <> 0
+UNION ALL
+SELECT c_custkey + 1000000, c_name, round(c_acctbal, 2), c_mktsegment, 2,
+       TRUE, TRUE, TRUE
+FROM customer WHERE c_custkey % 13 = 0 AND c_custkey % 5 <> 0
+"""
+
+
 def tbl_bloom_upsert(spark: SparkSession, sf: str) -> DataFrame:
     """BLOOM-index lifecycle (``hoodie.index.type=BLOOM``, the reference
     quickstart's default index): record keys are md5 hex — uniformly RANDOM, so
@@ -1065,6 +1131,12 @@ SPECS: list[QuerySpec] = [
         tbl_run_services,
         TBL_RUN_SERVICES_ORACLE,
         "M14+ services pass: recompact + rollback-invalidated index rebuild + lookup parity",
+    ),
+    QuerySpec(
+        "tbl_async_compaction",
+        tbl_async_compaction,
+        TBL_ASYNC_COMPACTION_ORACLE,
+        "M14+ async compaction: schedule/execute split, post-plan logs survive",
     ),
     QuerySpec(
         "tbl_record_index",

@@ -89,7 +89,12 @@ def all_specs() -> list[QuerySpec]:
         # r3-aged refreshes: full tbl_* lifecycle battery (code touched r5)
         "tbl_upsert_cow",
         "tbl_upsert_mor",
-        "tbl_upsert_mor_compacted",
+        # r5 debut: async compaction (schedule/execute split; post-plan logs
+        # survive execution under the hash gate). Debut ops outrank
+        # refreshes — took tbl_upsert_mor_compacted's refresh slot (r3
+        # evidence, age 2, in policy; its inline-compaction read path is a
+        # strict subset of what this spec certifies).
+        "tbl_async_compaction",
         "tbl_merge_mixed",
         "tbl_delete_where",
         "tbl_time_travel",
