@@ -316,8 +316,9 @@ class Engine:
         """Hudi Spark-SQL procedures (the SQL face of the table services):
         CALL run_compaction('t'[, 'schedule'|'execute']) |
         show_compaction('t') — pending plans | run_clustering('t'[, buckets]) |
-        run_clustering_sort('t', 'c1'[, 'c2', ...]) |
-        run_clustering_zorder('t', 'c1', 'c2'[, ...]) |
+        run_clustering_sort('t'[, 'schedule'|'execute'], 'c1'[, 'c2', ...]) |
+        run_clustering_zorder('t'[, 'schedule'|'execute'], 'c1', 'c2'[, ...]) |
+        show_clustering('t') — pending clustering plans |
         run_clean('t'[, retain]) | rebuild_index('t', 'name') |
         run_services('t') — the full policy-driven maintenance pass |
         rollback_to_instant('t'[, instant]) |
@@ -359,11 +360,30 @@ class Engine:
             cols = [c.strip().strip("'") for c in (arg or "").split(",") if c.strip()]
             if not cols:
                 raise ValueError(f"{proc} requires a column list")
-            if proc == "run_clustering_sort":
+            # async split: a leading 'schedule' cuts a clusteringplan instead
+            # of rewriting inline; 'execute' runs the oldest pending plan
+            if cols and cols[0].lower() == "schedule":
+                tbl.schedule_clustering(cols[1:], zorder=proc.endswith("zorder"))
+            elif cols and cols[0].lower() in ("execute", "run"):
+                tbl.run_clustering()
+            elif proc == "run_clustering_sort":
                 tbl.cluster_sort(cols)
             else:
                 tbl.cluster_zorder(cols)
             return None
+        if proc == "show_clustering":
+            rows = [
+                (
+                    i.instant,
+                    i.meta.get("layout", {}).get("operation", ""),
+                    len(i.meta.get("rewrite", [])),
+                    len(i.meta.get("partitions", [])),
+                )
+                for i in tbl.pending_clusterings()
+            ]
+            return self.spark.createDataFrame(
+                rows, "plan_instant STRING, layout STRING, n_files INT, n_partitions INT"
+            )
         if proc == "run_clean":
             tbl.clean(retain_commits=int(arg) if arg else 10)
             return None

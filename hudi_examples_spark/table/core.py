@@ -1504,23 +1504,7 @@ class Table:
         them (the multi-column answer where ``cluster_sort`` only helps its
         leading column). Quantization bounds come from one tiny min/max agg;
         the interleave is pure JVM bit arithmetic."""
-        bounds = self.read().agg(
-            *[F.min(c).cast("double").alias(f"lo_{c}") for c in cols],
-            *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
-        ).collect()[0]
-        n_buckets = 1 << bits
-        z = F.lit(0).cast("bigint")
-        for ci, c in enumerate(cols):
-            lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
-            span = (hi - lo) or 1.0
-            b = F.least(
-                F.lit(n_buckets - 1),
-                F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * n_buckets),
-            ).cast("bigint")
-            for bit in range(bits):
-                z = z + F.shiftleft(
-                    F.shiftright(b, bit).bitwiseAND(F.lit(1)), bit * len(cols) + ci
-                ).cast("bigint")
+        z = self._zorder_expr(self.read(), cols, bits)
         n = n_files or max(self.spark.sparkContext.defaultParallelism, 8)
         return self._cluster_rewrite(
             [z],
@@ -1529,6 +1513,32 @@ class Table:
             # granularity is a different layout, never an incremental no-op
             {"operation": "cluster_zorder", "zorder_cols": cols, "zorder_bits": bits, "target_files": n},
         )
+
+    @staticmethod
+    def _zorder_expr(df: DataFrame, cols: list[str], bits: int):
+        """Morton-interleave expression over uniformly quantized columns:
+        bounds come from one tiny min/max agg over ``df``; the interleave is
+        pure JVM bit arithmetic (no UDF). Bounds are quantization hints only —
+        per-file min/max stats stay truthful regardless, which is all ``scan``
+        pruning relies on."""
+        bounds = df.agg(
+            *[F.min(c).cast("double").alias(f"lo_{c}") for c in cols],
+            *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
+        ).collect()[0]
+        n_buckets = 1 << bits
+        z = F.lit(0).cast("bigint")
+        for ci, c in enumerate(cols):
+            lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+            span = ((hi - lo) if lo is not None and hi is not None else 0) or 1.0
+            b = F.least(
+                F.lit(n_buckets - 1),
+                F.floor((F.col(c).cast("double") - F.lit(lo if lo is not None else 0.0)) / F.lit(span) * n_buckets),
+            ).cast("bigint")
+            for bit in range(bits):
+                z = z + F.shiftleft(
+                    F.shiftright(b, bit).bitwiseAND(F.lit(1)), bit * len(cols) + ci
+                ).cast("bigint")
+        return z
 
     def _cluster_rewrite(self, sort_exprs: list, n_files: int | None, meta: dict) -> str | None:
         """Layout rewrite, published under OCC (table services take the same
@@ -1559,16 +1569,10 @@ class Table:
         layout_sig = dict(meta)
         viol_parts: set[str] | None = None
         if not log_rels:
-            inst_meta = {i.instant: i.meta for i in self.timeline.completed_data_instants()}
-
-            def _in_layout(rel: str) -> bool:
-                m = inst_meta.get(old_files[rel][0]) or {}
-                return all(m.get(k) == v for k, v in layout_sig.items())
-
-            viol_parts = {self._partition_of(r) for r in old_files if not _in_layout(r)}
-            if not viol_parts:
+            v = self._layout_violations(layout_sig, old_files)
+            if v is None:
                 return None
-            rewrite = sorted(r for r in old_files if self._partition_of(r) in viol_parts)
+            rewrite, viol_parts = v
         else:
             rewrite = sorted(old_files)
         instant = new_instant()
@@ -1597,6 +1601,144 @@ class Table:
             # with any concurrent commit
             partitions=viol_parts,
         )
+        return instant
+
+    def _layout_violations(
+        self, layout_sig: dict, old_files: dict
+    ) -> tuple[list[str], set[str]] | None:
+        """Which live files are OUT of the given clustering layout, grouped by
+        partition: a file is in layout iff the commit that added it was a
+        clustering replacecommit carrying this exact layout spec. Returns
+        (rewrite file list, violating partitions), or None when the table is
+        fully in layout — one timeline walk, no data IO."""
+        inst_meta = {i.instant: i.meta for i in self.timeline.completed_data_instants()}
+
+        def _in_layout(rel: str) -> bool:
+            m = inst_meta.get(old_files[rel][0]) or {}
+            return all(m.get(k) == v for k, v in layout_sig.items())
+
+        viol_parts = {self._partition_of(r) for r in old_files if not _in_layout(r)}
+        if not viol_parts:
+            return None
+        rewrite = sorted(r for r in old_files if self._partition_of(r) in viol_parts)
+        return rewrite, viol_parts
+
+    def schedule_clustering(
+        self,
+        cols: list[str],
+        n_files: int | None = None,
+        zorder: bool = False,
+        bits: int = 8,
+    ) -> str | None:
+        """Cut a ``clusteringplan`` instant (Hudi's ``replacecommit.requested``
+        for async clustering): the plan pins the exact out-of-layout files to
+        rewrite and the target layout, so a different process — the async
+        clustering job, ``run_services`` — executes it later with
+        :meth:`run_clustering` while writers keep committing.
+
+        Plans cover BASE files only: with live MOR logs present this returns
+        None (compact first — ``run_services`` orders compaction before
+        clustering for exactly this reason). That restriction is what makes
+        execution a pure re-layout COPY (no merge is baked into the output,
+        rows keep their original ``_hoodie_commit``), so any commit landing
+        between schedule and execute still supersedes the re-laid-out base at
+        read time and execution conflicts only with a REMOVER of planned
+        files. Returns None too when the table is already fully in layout."""
+        if self.config.n_buckets or self.config.bucket_ranges:
+            raise ValueError("sort/zorder clustering conflicts with bucket-index routing")
+        n = n_files or max(self.spark.sparkContext.defaultParallelism, 8)
+        layout = (
+            {"operation": "cluster_zorder", "zorder_cols": cols, "zorder_bits": bits, "target_files": n}
+            if zorder
+            else {"operation": "cluster_sort", "sort_cols": cols, "target_files": n}
+        )
+        old_files, _ = self.timeline.live_files()
+        if any(a == "deltacommit" for _, a in old_files.values()):
+            return None
+        v = self._layout_violations(layout, old_files)
+        if v is None:
+            return None
+        rewrite, viol_parts = v
+        instant = new_instant()
+        self.timeline.write(
+            Instant(
+                instant,
+                "clusteringplan",
+                [],
+                [],
+                {
+                    "operation": "clustering_schedule",
+                    "layout": layout,
+                    "rewrite": rewrite,
+                    "partitions": sorted(viol_parts),
+                },
+            )
+        )
+        return instant
+
+    def pending_clusterings(self) -> list[Instant]:
+        """Scheduled-but-not-executed clustering plans, oldest first."""
+        return sorted(
+            (i for i in self.timeline.instants() if i.action == "clusteringplan"),
+            key=lambda i: i.instant,
+        )
+
+    def run_clustering(self, plan_instant: str | None = None) -> str | None:
+        """Execute a scheduled clustering plan (the async clustering job half
+        of Hudi's schedule/execute split).
+
+        Validation: every planned file must still be live — a COW rewrite,
+        compaction, ``delete_partition``, rollback, or competing clusterer
+        that replaced any of them voids the plan (discarded, returns None;
+        the next ``schedule_clustering`` plans against current state). New
+        files added since the plan — base or log, any partition — are fine:
+        the rewrite is a pure copy that preserves per-row commit instants, so
+        newer commits supersede it at read exactly as they did the original
+        files. The publish uses file-scoped OCC: only a concurrent remover of
+        planned files aborts."""
+        pending = self.pending_clusterings()
+        if plan_instant is not None:
+            pending = [i for i in pending if i.instant == plan_instant]
+        if not pending:
+            return None
+        plan = pending[0]
+        files, latest = self.timeline.live_files()
+        rewrite = list(plan.meta["rewrite"])
+        if not set(rewrite) <= set(files):
+            self.timeline.remove(plan.instant)  # stale plan — discard
+            return None
+        layout = plan.meta["layout"]
+        instant = new_instant()
+        current = self._snapshot_of(files, rewrite)
+        if layout["operation"] == "cluster_zorder":
+            sort_exprs = [
+                self._zorder_expr(current, layout["zorder_cols"], layout["zorder_bits"])
+            ]
+        else:
+            sort_exprs = [F.col(c) for c in layout["sort_cols"]]
+        out = (
+            current.repartitionByRange(layout["target_files"], *sort_exprs)
+            .sortWithinPartitions(*sort_exprs)
+            .select(*current.columns)
+        )
+        rels = self._write_files(out, instant, preserve_layout=True)
+        self._publish_occ(
+            Instant(
+                instant,
+                "replacecommit",
+                rels,
+                sorted(rewrite),
+                {
+                    **layout,
+                    "numOutputFileGroups": len(rels),
+                    "numPartitionsRewritten": len(plan.meta["partitions"]),
+                },
+            ),
+            since=latest,
+            partitions=set(plan.meta["partitions"]),
+            occ_scope="files",
+        )
+        self.timeline.remove(plan.instant)
         return instant
 
     @staticmethod
@@ -3169,6 +3311,14 @@ class Table:
                     report["compacted"] = self.compact()
                 except ConcurrentWriteConflict:
                     report["compacted"] = None
+        if self.pending_clusterings():
+            # async clustering executor half (plans are base-only; if the
+            # compaction above replaced planned files, run_clustering detects
+            # it and discards the plan — the next schedule re-plans)
+            try:
+                report["clustering_plan_executed"] = self.run_clustering()
+            except ConcurrentWriteConflict:
+                report["clustering_plan_executed"] = None
         if self.config.bucket_ranges or self.config.n_buckets:
             try:
                 report["bucket_split"] = self.maybe_split_buckets(

@@ -123,12 +123,13 @@ class Timeline:
                 pins.add(i.meta["target"])
         if pins:
             boundary = min([boundary, *pins])
-        # savepoints pin restore targets; pending compaction plans must stay
-        # visible to their executor (run_compaction) no matter how old
+        # savepoints pin restore targets; pending compaction/clustering plans
+        # must stay visible to their executor no matter how old
         to_archive = [
             i
             for i in insts
-            if i.instant < boundary and i.action not in ("savepoint", "compactionplan")
+            if i.instant < boundary
+            and i.action not in ("savepoint", "compactionplan", "clusteringplan")
         ]
         if not to_archive:
             return 0
