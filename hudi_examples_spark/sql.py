@@ -319,6 +319,7 @@ class Engine:
         run_clustering_sort('t'[, 'schedule'|'execute'], 'c1'[, 'c2', ...]) |
         run_clustering_zorder('t'[, 'schedule'|'execute'], 'c1', 'c2'[, ...]) |
         show_clustering('t') — pending clustering plans |
+        run_log_compaction('t'[, min_logs]) — stitch small MOR logs |
         run_clean('t'[, retain]) | rebuild_index('t', 'name') |
         run_services('t') — the full policy-driven maintenance pass |
         rollback_to_instant('t'[, instant]) |
@@ -384,6 +385,10 @@ class Engine:
             return self.spark.createDataFrame(
                 rows, "plan_instant STRING, layout STRING, n_files INT, n_partitions INT"
             )
+        if proc == "run_log_compaction":
+            # Hudi 1.0 log compaction: stitch small MOR logs, no base rewrite
+            tbl.compact_logs(min_logs_per_partition=int(arg) if arg else 4)
+            return None
         if proc == "run_clean":
             tbl.clean(retain_commits=int(arg) if arg else 10)
             return None
@@ -453,8 +458,11 @@ class Engine:
         name = m.group("name")
         rest = m.group("rest") or ""
         props: dict[str, str] = {}
-        pm = re.search(r"TBLPROPERTIES\s*\((?P<body>.*?)\)", rest, re.I | re.S)
-        if pm:
+        # Hudi SQL accepts the table config through either clause
+        # (quickstarts use TBLPROPERTIES; the datasource form uses OPTIONS)
+        for pm in re.finditer(
+            r"(?:TBLPROPERTIES|OPTIONS)\s*\((?P<body>.*?)\)", rest, re.I | re.S
+        ):
             for k, v in re.findall(r"['\"]?([\w.]+)['\"]?\s*=\s*'([^']*)'", pm.group("body")):
                 props[k.lower()] = v
         part = []

@@ -409,6 +409,8 @@ class Table:
             i.instant
             for i in self.timeline.completed_data_instants()
             if i.meta.get("operation") == "update_partial"
+            # log compaction carries partial rows forward when its inputs had any
+            or i.meta.get("has_partial_rows")
         }
 
     def _partial_in(self, files: dict, rels: list[str] | None = None) -> bool:
@@ -3147,6 +3149,73 @@ class Table:
             return None
         return self._execute_compaction(plan, since=plan["latest"], occ_scope="partition")
 
+    def compact_logs(self, min_logs_per_partition: int = 4) -> str | None:
+        """Hudi 1.0 LOG compaction (``hoodie.log.compaction.enable``): stitch
+        many small MOR log files into ONE consolidated log file per partition
+        — no base files written, so it's the cheap small-file service for
+        write-heavy tables where full compaction (a base rewrite) would be
+        premature. Partitions with fewer than ``min_logs_per_partition`` live
+        logs are untouched.
+
+        Exactness under concurrency: the output keeps every row that could
+        still win a future merge — all alive versions newer than the key's
+        own last tombstone epoch (with their ORIGINAL commit instants and
+        META_PARTIAL column, so row- and column-level resolution are both
+        unchanged) plus the max-epoch tombstone per key. Only provably-dead
+        rows are dropped: alive versions at-or-before the tombstone epoch
+        (no later commit can resurrect them — the epoch filter is monotone
+        in the global tombstone max) and dominated tombstones (readers only
+        consult the max). Because no cross-version resolution is baked in,
+        the result is exact even against logs published concurrently or by
+        late writers. Publishes one deltacommit replacing the input logs,
+        under partition-scoped OCC."""
+        files, latest = self.timeline.live_files()
+        by_part: dict[str, list[str]] = {}
+        for r, (_, a) in files.items():
+            if a == "deltacommit":
+                by_part.setdefault(self._partition_of(r), []).append(r)
+        target = sorted(p for p, rs in by_part.items() if len(rs) >= min_logs_per_partition)
+        if not target:
+            return None
+        log_rels = sorted(r for p in target for r in by_part[p])
+        wp = self._partial_in(files, log_rels)
+        logs = self._read_files(log_rels, with_deleted=True, with_partial=wp)
+        if self.config.record_key:
+            w = Window.partitionBy(META_KEY)
+            d = logs.withColumn(
+                "__last_del",
+                F.max(F.when(F.col(META_DELETED), F.col(META_COMMIT))).over(w),
+            )
+            logs = d.filter(
+                (F.col(META_DELETED) & (F.col(META_COMMIT) == F.col("__last_del")))
+                | (
+                    (~F.col(META_DELETED))
+                    & (
+                        F.col("__last_del").isNull()
+                        | (F.col(META_COMMIT) > F.col("__last_del"))
+                    )
+                )
+            ).drop("__last_del")
+        instant = new_instant()
+        rels = self._write_files(logs, instant)
+        self._publish_occ(
+            Instant(
+                instant,
+                "deltacommit",
+                rels,
+                log_rels,
+                {
+                    "operation": "log_compaction",
+                    "numLogFilesCompacted": len(log_rels),
+                    "numLogFilesOut": len(rels),
+                    **({"has_partial_rows": True} if wp else {}),
+                },
+            ),
+            since=latest,
+            partitions=set(target),
+        )
+        return instant
+
     def schedule_compaction(self) -> str | None:
         """Write a ``compactionplan`` instant (Hudi's ``compaction.requested``):
         the plan names exactly the live log files to resolve and the base
@@ -3238,6 +3307,7 @@ class Table:
         index_bloat_ratio: float = 3.0,
         split_threshold_bytes: int = 128 * 1024 * 1024,
         partition_ttl_seconds: float | None = None,
+        log_compact_after: int = 8,
     ) -> dict:
         """Hudi's async table services as one policy-driven maintenance pass
         (the standalone compactor/cleaner/clustering jobs of
@@ -3311,6 +3381,17 @@ class Table:
                     report["compacted"] = self.compact()
                 except ConcurrentWriteConflict:
                     report["compacted"] = None
+            elif log_compact_after:
+                # full compaction didn't trigger: stitch small-log pileups
+                # (Hudi 1.0 log compaction — no base rewrite, IO-consolidation
+                # only) so write-heavy partitions don't accumulate tiny files
+                # between full compactions
+                try:
+                    report["logs_compacted"] = self.compact_logs(
+                        min_logs_per_partition=log_compact_after
+                    )
+                except ConcurrentWriteConflict:
+                    report["logs_compacted"] = None
         if self.pending_clusterings():
             # async clustering executor half (plans are base-only; if the
             # compaction above replaced planned files, run_clustering detects
