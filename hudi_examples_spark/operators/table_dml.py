@@ -735,6 +735,118 @@ FROM customer WHERE c_custkey % 13 = 0 AND c_custkey % 5 <> 0
 """
 
 
+def tbl_log_compaction(spark: SparkSession, sf: str) -> DataFrame:
+    """M14+ LOG compaction under the driver gate (Hudi 1.0
+    ``hoodie.log.compaction.enable``): stitch a MOR partition's small log
+    files into ONE consolidated log — no base files written.
+
+    Lifecycle: insert → three log commits (keyed upsert, a %11 upsert, a
+    ``delete_where``) → ``compact_logs``. The value hash certifies the
+    consolidated log resolves identically to the original chain (update
+    wins, delete stays dead, precombine ordering intact); the evidence
+    literals certify ``logs_stitched_ok`` (live log count strictly
+    decreased, still ≥1 — it stayed a log, it didn't become base) and
+    ``base_untouched_ok`` (the base file set is byte-for-byte the same
+    rels — the no-base-rewrite property that makes this the cheap service)."""
+    tbl = _lifecycle_table(spark, sf, "tbl_log_compaction", "mor")
+    tbl.upsert(_upsert_batch(spark, sf))
+    eleven = (
+        _cust_df(spark, sf)
+        .filter(F.col("c_custkey") % 11 == 0)
+        .withColumn("acctbal", F.col("acctbal") + 50.0)
+        .withColumn("v", F.lit(3))
+    )
+    tbl.upsert(eleven)
+    tbl.delete_where("c_custkey % 5 = 0")
+    files0, _ = tbl.timeline.live_files()
+    logs0 = sum(1 for _, (_, a) in files0.items() if a == "deltacommit")
+    base0 = sorted(r for r, (_, a) in files0.items() if a != "deltacommit")
+    out = tbl.compact_logs(min_logs_per_partition=2)
+    files1, _ = tbl.timeline.live_files()
+    logs1 = sum(1 for _, (_, a) in files1.items() if a == "deltacommit")
+    base1 = sorted(r for r, (_, a) in files1.items() if a != "deltacommit")
+    logs_stitched_ok = out is not None and 0 < logs1 < logs0
+    base_untouched_ok = base0 == base1
+    return tbl.read().select(
+        "c_custkey",
+        "c_name",
+        F.round("acctbal", 2).alias("acctbal"),
+        "seg",
+        "v",
+        F.lit(bool(logs_stitched_ok)).alias("logs_stitched_ok"),
+        F.lit(bool(base_untouched_ok)).alias("base_untouched_ok"),
+    )
+
+
+TBL_LOG_COMPACTION_ORACLE = """
+SELECT c_custkey, c_name,
+       round(CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 50.0
+                  WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END, 2) AS acctbal,
+       c_mktsegment AS seg,
+       CASE WHEN c_custkey % 11 = 0 THEN 3
+            WHEN c_custkey % 7 = 0 THEN 2 ELSE 1 END AS v,
+       TRUE AS logs_stitched_ok, TRUE AS base_untouched_ok
+FROM customer
+WHERE c_custkey % 5 <> 0
+UNION ALL
+SELECT c_custkey + 1000000, c_name, round(c_acctbal, 2), c_mktsegment, 2,
+       TRUE, TRUE
+FROM customer WHERE c_custkey % 13 = 0 AND c_custkey % 5 <> 0
+"""
+
+
+def tbl_async_clustering(spark: SparkSession, sf: str) -> DataFrame:
+    """M15+ async clustering under the driver gate — the schedule/execute
+    split for layout rewrites (Hudi's ``replacecommit.requested`` plan + the
+    standalone clustering job).
+
+    Lifecycle on a MOR table: insert (base files, out of layout) →
+    ``schedule_clustering(['acctbal'])`` pins the exact files →  WRITERS KEEP
+    GOING (the standard upsert batch lands as post-plan logs) →
+    ``run_clustering()`` re-lays-out exactly the pinned base files as a pure
+    commit-preserving copy. The value hash certifies the post-plan logs
+    still supersede the re-laid-out base (final state = sequential history);
+    evidence literals: ``plan_cut_ok`` (plan listed pending with >0 pinned
+    files), ``executed_ok`` (plan executed and cleared),
+    ``post_logs_live_ok`` (the post-schedule deltacommits remain live)."""
+    tbl = _lifecycle_table(spark, sf, "tbl_async_clustering", "mor")
+    plan = tbl.schedule_clustering(["acctbal"], n_files=4)
+    plan_cut_ok = plan is not None and any(
+        i.instant == plan and len(i.meta.get("rewrite", [])) > 0
+        for i in tbl.pending_clusterings()
+    )
+    tbl.upsert(_upsert_batch(spark, sf))  # post-plan writer traffic (logs)
+    out = tbl.run_clustering()
+    executed_ok = out is not None and tbl.pending_clusterings() == []
+    files, _ = tbl.timeline.live_files()
+    post_logs_live_ok = any(a == "deltacommit" for _, (_, a) in files.items())
+    return tbl.read().select(
+        "c_custkey",
+        "c_name",
+        F.round("acctbal", 2).alias("acctbal"),
+        "seg",
+        "v",
+        F.lit(bool(plan_cut_ok)).alias("plan_cut_ok"),
+        F.lit(bool(executed_ok)).alias("executed_ok"),
+        F.lit(bool(post_logs_live_ok)).alias("post_logs_live_ok"),
+    )
+
+
+TBL_ASYNC_CLUSTERING_ORACLE = """
+SELECT c_custkey, c_name,
+       round(c_acctbal + CASE WHEN c_custkey % 7 = 0 THEN 100.0 ELSE 0 END, 2) AS acctbal,
+       c_mktsegment AS seg,
+       CASE WHEN c_custkey % 7 = 0 THEN 2 ELSE 1 END AS v,
+       TRUE AS plan_cut_ok, TRUE AS executed_ok, TRUE AS post_logs_live_ok
+FROM customer
+UNION ALL
+SELECT c_custkey + 1000000, c_name, round(c_acctbal, 2), c_mktsegment, 2,
+       TRUE, TRUE, TRUE
+FROM customer WHERE c_custkey % 13 = 0
+"""
+
+
 def tbl_bloom_upsert(spark: SparkSession, sf: str) -> DataFrame:
     """BLOOM-index lifecycle (``hoodie.index.type=BLOOM``, the reference
     quickstart's default index): record keys are md5 hex — uniformly RANDOM, so
@@ -1137,6 +1249,18 @@ SPECS: list[QuerySpec] = [
         tbl_async_compaction,
         TBL_ASYNC_COMPACTION_ORACLE,
         "M14+ async compaction: schedule/execute split, post-plan logs survive",
+    ),
+    QuerySpec(
+        "tbl_log_compaction",
+        tbl_log_compaction,
+        TBL_LOG_COMPACTION_ORACLE,
+        "Hudi 1.0 log compaction: stitch small logs, no base rewrite",
+    ),
+    QuerySpec(
+        "tbl_async_clustering",
+        tbl_async_clustering,
+        TBL_ASYNC_CLUSTERING_ORACLE,
+        "M15+ async clustering: schedule/execute split, commit-preserving copy",
     ),
     QuerySpec(
         "tbl_record_index",

@@ -107,8 +107,13 @@ def all_specs() -> list[QuerySpec]:
         # r3-aged refreshes: dedup/ANN family (minhash + SemDeDup work r5)
         "dedup_exact",
         "dedup_minhash_lsh",
-        "dedup_ngram_jaccard",
-        "dedup_simhash",
+        # r5 debuts: log compaction (stitch small MOR logs, no base rewrite)
+        # and async clustering (schedule/execute layout split) — new r5 table
+        # services certified under the hash gate. Debut ops outrank
+        # refreshes — took dedup_ngram_jaccard's and dedup_simhash's refresh
+        # slots (untouched code, r3 evidence, age 2, within policy).
+        "tbl_log_compaction",
+        "tbl_async_clustering",
         "dedup_clusters",
         # r5 debut: bloom-prefiltered cross-corpus decontamination (partial
         # blooms OR-merged, vectorized probe, exact confirm join). Took
