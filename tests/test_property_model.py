@@ -48,6 +48,9 @@ op_st = st.one_of(
     st.builds(Op, st.just("overwrite"), st.lists(row_st, min_size=1, max_size=3)),
     st.builds(Op, st.just("rollback"), st.just([])),
     st.builds(Op, st.just("compact"), st.just([])),
+    st.builds(Op, st.just("log_compact"), st.just([])),
+    st.builds(Op, st.just("sched_compact"), st.just([])),
+    st.builds(Op, st.just("sched_cluster"), st.just([])),
     st.builds(Op, st.just("merge_partial"), st.lists(row_st, min_size=1, max_size=3)),
     st.builds(Op, st.just("update_where"), st.just([])),
     st.builds(Op, st.just("cluster_sort"), st.just([])),
@@ -203,6 +206,29 @@ def apply_ops(spark, tbl: Table, model: Model, ops: list[Op]):
             if inst is not None:
                 model._snapshot()  # compaction commits a view-preserving snapshot
                 ckpt()
+        elif op.kind == "log_compact":
+            # stitch small logs, no base rewrite: view-preserving deltacommit
+            inst = tbl.compact_logs(min_logs_per_partition=2)
+            if inst is not None:
+                model._snapshot()
+                ckpt()
+        elif op.kind == "sched_compact":
+            # async split: plan now, execute immediately after (the plan
+            # instant itself is not a data commit — rollback ignores it).
+            # run_compaction may execute an OLDER pending plan or discard a
+            # voided one; either way the view is preserved.
+            tbl.schedule_compaction()
+            inst = tbl.run_compaction()
+            if inst is not None:
+                model._snapshot()
+                ckpt()
+        elif op.kind == "sched_cluster":
+            if tbl.latest_instant() is not None and not tbl.config.bucket_ranges:
+                tbl.schedule_clustering(["ts", "uuid"], n_files=4)
+                inst = tbl.run_clustering()
+                if inst is not None:
+                    model._snapshot()
+                    ckpt()
         elif op.kind == "cluster_sort":
             if tbl.latest_instant() is not None and not tbl.config.bucket_ranges:
                 inst = tbl.cluster_sort(["ts", "uuid"], n_files=4)

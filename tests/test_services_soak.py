@@ -122,6 +122,93 @@ def _services_proc(base: str, out) -> None:
         spark.stop()
 
 
+def _async_compactor_proc(base: str, out) -> None:
+    """The standalone async compactor: cut plans and execute them on a cadence
+    while writers keep publishing. Voided plans (a competing remover landed)
+    and lost OCC races are the expected steady state — count what ran."""
+    import time
+
+    from pyspark.sql import SparkSession
+
+    from hudi_examples_spark.table import ConcurrentWriteConflict, Table
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("svc-soak-async-compactor")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    try:
+        scheduled = executed = 0
+        for i in range(6):
+            time.sleep(0.7)
+            tbl = Table(spark, base)
+            try:
+                if tbl.schedule_compaction() is not None:
+                    scheduled += 1
+                if i % 2 == 1 and tbl.schedule_clustering(["k"], n_files=4) is not None:
+                    scheduled += 1
+                if tbl.run_compaction() is not None:
+                    executed += 1
+                if tbl.run_clustering() is not None:
+                    executed += 1
+            except ConcurrentWriteConflict:
+                continue  # a remover won the race mid-merge; plan stays pending
+        out.put(("async", (scheduled, executed)))
+    finally:
+        spark.stop()
+
+
+def test_async_plan_split_during_write_storm(spark, tmp_path):
+    """Schedule/execute compaction+clustering plans from their own process
+    while two writer processes churn the table: the final snapshot must equal
+    the sequential replay — post-plan log appends always supersede executed
+    plans' output (commit-preserving merges), and stale plans get discarded,
+    never raced."""
+    from pyspark.sql import functions as F
+
+    base_df = spark.range(N_ROWS).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("double").alias("val"),
+        F.concat(F.lit("t"), F.col("id") % 7).alias("tag"),
+        F.concat(F.lit("s"), F.col("id") % 3).alias("seg"),
+        F.lit(1).alias("v"),
+    )
+    conc = Table.create(spark, str(tmp_path / "conc_async"), SCHEMA, TableConfig(**CFG))
+    conc.insert(base_df)
+
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_writer_proc, args=(conc.base, 0, q)),
+        ctx.Process(target=_writer_proc, args=(conc.base, 1, q)),
+        ctx.Process(target=_async_compactor_proc, args=(conc.base, q)),
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=600)
+        assert p.exitcode == 0
+    results = dict(q.get() for _ in range(3))
+    assert results[0] == 2 * N_BATCHES and results[1] == 2 * N_BATCHES, results
+    scheduled, executed = results["async"]
+    assert scheduled >= 1, "storm never produced a schedulable log pileup"
+
+    seq = Table.create(spark, str(tmp_path / "seq_async"), SCHEMA, TableConfig(**CFG))
+    seq.insert(base_df)
+    for residue in (0, 1):
+        for b in range(N_BATCHES):
+            seq.upsert(_upsert_batch(spark, residue, b))
+            seq.update_partial(_partial_batch(spark, residue, b))
+
+    conc2 = Table(spark, conc.base)
+    conc_rows = sorted(map(tuple, conc2.read().collect()))
+    seq_rows = sorted(map(tuple, seq.read().collect()))
+    assert len(conc_rows) == N_ROWS
+    assert conc_rows == seq_rows
+
+
 def test_run_services_during_write_storm(spark, tmp_path):
     from pyspark.sql import functions as F
 
