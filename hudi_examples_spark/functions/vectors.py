@@ -32,6 +32,16 @@ def l2_norm(a: Column | str) -> Column:
     return F.sqrt(F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def l2_sq(a: Column | str, b: Column | str) -> Column:
+    """Squared euclidean distance of two float-array columns, in double —
+    left-to-right accumulation, the order the PQ oracle mirrors."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; 0.0 for zero-norm inputs rather than NaN."""
     denom = l2_norm(a) * l2_norm(b)

@@ -220,7 +220,118 @@ FROM scored ORDER BY affinity_milli DESC, doc_id
 """
 
 
+#: PQ geometry: 64-dim embeddings → M subspaces of SUBDIM dims; one codeword
+#: per (label, subspace) — deterministic label-mean "training", same discipline
+#: as sim_ivf_topk's centroids (a k-means refinement slots in unchanged).
+PQ_M = 8
+PQ_SUBDIM = 8
+PQ_TOPK = 10
+
+
+def sim_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., the memory-bound 100 TB path):
+    compress every embedding to M=8 codes (one per 8-dim subspace), answer the
+    query with an ASYMMETRIC-distance scan — sum of precomputed
+    ``||q_sub − codeword||²`` table lookups — so ranking touches only the
+    8-byte codes, never the raw vectors.
+
+    Spark shape, and why it holds at 100 TB: codebooks are |labels|×M rows
+    (tiny — broadcast); encoding is a broadcast join + per-(row, subspace)
+    argmin window, linear in the corpus with no vector-side shuffle wider
+    than (vec_id, s); the query's ADC lookup table is M×|labels| rows
+    (broadcast); the scan is one broadcast join + a groupBy(vec_id) sum over
+    M rows each — the raw embedding column is never read again after
+    encoding, which is the entire point of PQ at scale (32× less IO than
+    brute force here: 64 floats → 8 codes). Distances are double-accumulated
+    in the oracle's operation order; codeword margins (label means) are many
+    orders above float-sum noise, same determinism argument as
+    ``sim_ivf_topk``. Final ranking orders by the ROUNDED distance then
+    vec_id on both sides, so the limit boundary is engine-stable."""
+    from pyspark.sql.window import Window
+
+    from hudi_examples_spark.functions.vectors import l2_sq
+    from hudi_examples_spark.sources.readers import load_sf_table as t
+
+    e = t(spark, sf, "embeddings")
+    subs = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.array(*[F.slice("embedding", s * PQ_SUBDIM + 1, PQ_SUBDIM) for s in range(PQ_M)])
+        ).alias("s", "subvec"),
+    )
+    # codebooks: per-(label, subspace) dimension means, rebuilt as arrays
+    cb = (
+        subs.select("label", "s", F.posexplode("subvec").alias("i", "v"))
+        .groupBy("label", "s", "i")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label", "s")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("im"))
+        .select(
+            F.col("label").alias("cand"),
+            "s",
+            F.transform("im", lambda x: x["m"]).alias("cw"),
+        )
+    )
+    # distance of EVERY subvector (corpus rows and the query alike) to every
+    # codeword of its subspace; argmin = the row's code, vec_id 0's row = the
+    # query's ADC lookup-table entry for that (s, codeword)
+    dists = subs.join(F.broadcast(cb), "s").select(
+        "vec_id", "s", "cand", l2_sq("subvec", "cw").alias("dist")
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy(F.asc("dist"), F.asc("cand"))
+    codes = (
+        dists.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("vec_id") != 0))
+        .select("vec_id", "s", F.col("cand").alias("code"))
+    )
+    lut = dists.filter(F.col("vec_id") == 0).select(
+        "s", F.col("cand").alias("code"), F.col("dist").alias("adc_part")
+    )
+    return (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("adc_part"), 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(PQ_TOPK)
+    )
+
+
+SIM_PQ_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+), subs AS (
+  SELECT vec_id, label, s, emb[s*8+1 : s*8+8] AS subvec
+  FROM e, (SELECT unnest(generate_series(0, 7)) AS s)
+), cb AS (
+  SELECT label AS cand, s, i, avg(subvec[i]) AS m
+  FROM (SELECT label, s, subvec, unnest(generate_series(1, 8)) AS i FROM subs)
+  GROUP BY label, s, i
+), dists AS (
+  SELECT sub.vec_id, sub.s, cb.cand, sum((sub.v - cb.m) * (sub.v - cb.m)) AS dist
+  FROM (SELECT vec_id, s, i, subvec[i] AS v
+        FROM (SELECT vec_id, s, subvec, unnest(generate_series(1, 8)) AS i FROM subs)) sub
+  JOIN cb ON cb.s = sub.s AND cb.i = sub.i
+  GROUP BY sub.vec_id, sub.s, cb.cand
+), codes AS (
+  SELECT vec_id, s, cand AS code
+  FROM (SELECT vec_id, s, cand,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, cand ASC) AS rn
+        FROM dists)
+  WHERE rn = 1 AND vec_id <> 0
+), lut AS (
+  SELECT s, cand AS code, dist AS adc_part FROM dists WHERE vec_id = 0
+)
+SELECT codes.vec_id, round(sum(lut.adc_part), 6) AS adc_dist
+FROM codes JOIN lut ON lut.s = codes.s AND lut.code = codes.code
+GROUP BY codes.vec_id
+ORDER BY adc_dist ASC, codes.vec_id ASC
+LIMIT 10
+"""
+
+
 SPECS = [
     QuerySpec("text_bm25_topk", text_bm25_topk, TEXT_BM25_ORACLE, "A3,O1 retrieval"),
     QuerySpec("pipe_dsir_affinity", pipe_dsir_affinity, PIPE_DSIR_ORACLE, "A3 selection"),
+    QuerySpec("sim_pq_topk", sim_pq_topk, SIM_PQ_ORACLE, "LLM:sim PQ/ADC"),
 ]

@@ -126,7 +126,10 @@ def all_specs() -> list[QuerySpec]:
         # broadcast feature table, exact-integer masses). Debut ops outrank
         # refreshes — took sim_knn_join's slot (r3 evidence, age 2).
         "pipe_dsir_affinity",
-        "sim_ann_lsh",
+        # r5 debut: product-quantization ANN (asymmetric-distance scan over
+        # 8-byte codes — the memory-bound 100 TB retrieval path). Debut ops
+        # outrank refreshes — took sim_ann_lsh's slot (r3 evidence, age 2).
+        "sim_pq_topk",
         "sim_ivf_topk",
         # r5 debut: BM25 ranked retrieval (pre-filtered tf shuffle, broadcast
         # idf/stats, TakeOrdered top-k). Debut ops outrank refreshes — took

@@ -94,3 +94,48 @@ def test_dsir_target_docs_rank_high(spark):
     o = [r["affinity_milli"] for r in rows if src[r["doc_id"]] != DSIR_TARGET_SOURCE]
     assert t and o
     assert sum(t) / len(t) > sum(o) / len(o)
+
+
+def test_pq_structure_and_adc_math(spark):
+    """PQ/ADC invariants: exactly top-k rows, distances ascending, every
+    returned distance reconstructible as a sum of M codeword-table entries,
+    and the true nearest neighbour's ADC distance is competitive (PQ is an
+    approximation of L2 — on label-clustered data the quantizer must at
+    least separate the query's own cluster from the farthest ones)."""
+    import numpy as np
+
+    from hudi_examples_spark.operators.llm_pipeline7 import PQ_M, PQ_SUBDIM, PQ_TOPK, sim_pq_topk
+
+    rows = sim_pq_topk(spark, SF_SMALL).collect()
+    assert len(rows) == PQ_TOPK
+    dists = [r["adc_dist"] for r in rows]
+    assert dists == sorted(dists) and all(d >= 0 for d in dists)
+    assert 0 not in {r["vec_id"] for r in rows}  # the query never returns itself
+
+    # independent numpy replay of the whole PQ pipeline
+    data = {
+        r["vec_id"]: (np.array(r["embedding"], dtype=np.float64), r["label"])
+        for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    }
+    labels = sorted({l for _, l in data.values()})
+    cw = {}  # (label, s) -> codeword
+    for lab in labels:
+        vecs = np.stack([v for v, l in data.values() if l == lab])
+        for s in range(PQ_M):
+            cw[(lab, s)] = vecs[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM].mean(axis=0)
+    q = data[0][0]
+    adc = {}
+    for vid, (v, _) in data.items():
+        if vid == 0:
+            continue
+        total = 0.0
+        for s in range(PQ_M):
+            sub = v[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+            best = min(labels, key=lambda lab: (float(((sub - cw[(lab, s)]) ** 2).sum()), lab))
+            qsub = q[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+            total += float(((qsub - cw[(best, s)]) ** 2).sum())
+        adc[vid] = total
+    expect = sorted(adc, key=lambda vid: (round(adc[vid], 6), vid))[:PQ_TOPK]
+    assert [r["vec_id"] for r in rows] == expect
+    for r in rows:
+        assert abs(r["adc_dist"] - adc[r["vec_id"]]) < 1e-5
