@@ -50,8 +50,8 @@ DSIR_TOP_F = 65536
 DSIR_TARGET_SOURCE = "src0"
 
 
-def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """Top-k documents by BM25 score for the fixed query-term set.
+def _bm25_scored(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 scores for every document matching the fixed query-term set.
 
     Shape: tokens are filtered to the query terms BEFORE the tf shuffle (the
     explode stream drops ~99% of tokens map-side), document length is a
@@ -96,10 +96,14 @@ def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("addend").alias("s"), F.count(F.lit(1)).alias("n_terms"))
     )
+    return scored.select("doc_id", "n_terms", F.round("s", 4).alias("score"))
+
+
+def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k documents by BM25 score (see :func:`_bm25_scored` for the plan
+    shape and float discipline); the final top-k is a TakeOrdered."""
     return (
-        scored.select("doc_id", "n_terms", F.round("s", 4).alias("score"))
-        .orderBy(F.desc("score"), "doc_id")
-        .limit(BM25_TOPK)
+        _bm25_scored(spark, sf).orderBy(F.desc("score"), "doc_id").limit(BM25_TOPK)
     )
 
 
@@ -330,8 +334,138 @@ LIMIT 10
 """
 
 
+#: RRF fusion knobs: depth of each input ranking, the standard k=60 damping,
+#: and the fused top-k returned.
+RRF_DEPTH = 50
+RRF_K = 60
+RRF_TOPK = 20
+
+
+def sim_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack et al.): fuse the
+    BM25 lexical ranking and the embedding-cosine semantic ranking with
+    ``Σ 1/(k + rank)`` — the standard score-free combiner behind every
+    hybrid-search stack, and the data-selection step that catches documents
+    either signal alone misses.
+
+    Both input rankings are deterministic (scores rounded before ranking,
+    doc_id tiebreak) and depth-capped at RRF_DEPTH, so each side of the
+    fusion is a tiny list: the fusion itself is a full outer join of two
+    ≤50-row broadcasts — at 100 TB the cost lives entirely in the two input
+    rankings, which are each one pre-filtered shuffle + a TakeOrdered (see
+    ``_bm25_scored`` / the brute-cosine note). The fused score sums exactly
+    two IEEE divisions of small integers in a fixed order, so it is
+    bit-stable across engines; ranking orders by the rounded fusion then
+    doc_id. Absent-from-one-list ranks surface as NULL (same on both sides)."""
+    from hudi_examples_spark.functions.vectors import cosine_similarity
+    from hudi_examples_spark.sources.readers import load_sf_table as t
+
+    from pyspark.sql.window import Window
+
+    # depth-cap FIRST via TakeOrdered (distributed), THEN rank: the global
+    # row_number window only ever sees the ≤RRF_DEPTH survivors, so the
+    # single-partition window is O(depth), not O(corpus)
+    bm25 = (
+        _bm25_scored(spark, sf)
+        .filter(F.col("doc_id") != 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(RRF_DEPTH)
+        .withColumn(
+            "bm25_rank",
+            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
+        )
+        .select("doc_id", "bm25_rank")
+    )
+    e = t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    cos = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_similarity("embedding", "q_emb"), 6).alias("c"),
+        )
+        .orderBy(F.desc("c"), F.asc("doc_id"))
+        .limit(RRF_DEPTH)
+        .withColumn(
+            "cos_rank",
+            F.row_number().over(Window.orderBy(F.desc("c"), F.asc("doc_id"))),
+        )
+        .select("doc_id", "cos_rank")
+    )
+    fused = bm25.join(cos, "doc_id", "full_outer").select(
+        "doc_id",
+        "bm25_rank",
+        "cos_rank",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("cos_rank")), F.lit(0.0)),
+            9,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(RRF_TOPK)
+
+
+SIM_RRF_ORACLE = f"""
+WITH ws AS (
+  SELECT doc_id, list_filter(str_split(trim(text), ' '), w -> w <> '') AS w
+  FROM documents
+), dl AS (
+  SELECT doc_id, len(w) AS dl FROM ws
+), stats AS (
+  SELECT avg(dl) AS avgdl, count(*)::BIGINT AS n FROM dl
+), tf AS (
+  SELECT doc_id, w, count(*) AS tf
+  FROM (SELECT doc_id, unnest(w) AS w FROM ws)
+  WHERE w IN ('spark', 'merge', 'window')
+  GROUP BY doc_id, w
+), df AS (
+  SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY w
+), scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+           * (CAST(tf AS DOUBLE) * {BM25_K1 + 1.0!r})
+           / (CAST(tf AS DOUBLE)
+              + {BM25_K1!r} * ({1.0 - BM25_B!r}
+                               + {BM25_B!r} * CAST(dl.dl AS DOUBLE) / avgdl))
+         ) AS s
+  FROM tf
+  JOIN df USING (w)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+), bm25 AS (
+  SELECT doc_id, bm25_rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY round(s, 4) DESC, doc_id ASC) AS bm25_rank
+    FROM scored WHERE doc_id <> 0
+  ) WHERE bm25_rank <= {RRF_DEPTH}
+), q AS (
+  SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0
+), cos AS (
+  SELECT doc_id, cos_rank FROM (
+    SELECT vec_id AS doc_id,
+           row_number() OVER (
+             ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], q_emb::DOUBLE[]), 6) DESC,
+                      vec_id ASC
+           ) AS cos_rank
+    FROM embeddings, q WHERE vec_id <> 0
+  ) WHERE cos_rank <= {RRF_DEPTH}
+)
+SELECT COALESCE(bm25.doc_id, cos.doc_id) AS doc_id,
+       bm25.bm25_rank, cos.cos_rank,
+       round(COALESCE(1.0 / ({RRF_K} + bm25.bm25_rank), 0.0)
+             + COALESCE(1.0 / ({RRF_K} + cos.cos_rank), 0.0), 9) AS rrf
+FROM bm25 FULL OUTER JOIN cos ON bm25.doc_id = cos.doc_id
+ORDER BY rrf DESC, doc_id ASC
+LIMIT {RRF_TOPK}
+"""
+
+
 SPECS = [
     QuerySpec("text_bm25_topk", text_bm25_topk, TEXT_BM25_ORACLE, "A3,O1 retrieval"),
+    QuerySpec("sim_rrf_fusion", sim_rrf_fusion, SIM_RRF_ORACLE, "hybrid retrieval RRF"),
     QuerySpec("pipe_dsir_affinity", pipe_dsir_affinity, PIPE_DSIR_ORACLE, "A3 selection"),
     QuerySpec("sim_pq_topk", sim_pq_topk, SIM_PQ_ORACLE, "LLM:sim PQ/ADC"),
 ]

@@ -119,7 +119,10 @@ def all_specs() -> list[QuerySpec]:
         # blooms OR-merged, vectorized probe, exact confirm join). Took
         # dedup_cross_corpus's refresh slot (same family, r3 evidence age 2).
         "dedup_bloom_prefilter",
-        "dedup_embed_ann",
+        # r5 debut: reciprocal-rank fusion (BM25 ⊕ embedding-cosine hybrid
+        # retrieval). Debut ops outrank refreshes — took dedup_embed_ann's
+        # slot (r3 evidence, age 2, in policy).
+        "sim_rrf_fusion",
         "dedup_embed_cosine",
         "sim_brute_topk",
         # r5 debut: DSIR-shaped hashed-n-gram importance affinity (capped
