@@ -41,6 +41,10 @@ QUERIES = [
     "pipe_curriculum_order",
     "corpus_report",
     "dedup_semantic",
+    "text_bm25_topk",
+    "pipe_dsir_affinity",
+    "sim_pq_topk",
+    "sim_rrf_fusion",
 ]
 
 
