@@ -2988,6 +2988,7 @@ class Table:
         since: str,
         partitions: set | None,
         occ_scope: str = "partition",
+        precondition=None,
     ) -> None:
         """Optimistic concurrency control (Hudi OCC + lock-provider shape):
         under a filesystem lock, reject the publish if any instant committed
@@ -3016,6 +3017,12 @@ class Table:
         # publishes forever
         fd = _acquire_lock(lock, self.LOCK_TTL_SECONDS, 30.0)
         try:
+            if precondition is not None:
+                # caller-supplied validity re-check, evaluated UNDER the lock
+                # against the now-settled timeline (async compaction re-checks
+                # its late-publisher condition here, closing the window
+                # between plan validation and publish)
+                precondition()
             ours_removed = set(inst.files_removed)
             for other in self.timeline.completed_data_instants():
                 if other.instant == inst.instant:
@@ -3024,13 +3031,21 @@ class Table:
                     raise ConcurrentWriteConflict(
                         f"instant id {inst.instant} already published by a concurrent writer"
                     )
-                if other.instant <= (since or ""):
-                    continue
-                their_files = set(other.files_removed) | set(other.files_added)
+                # removal overlap is checked against EVERY completed instant,
+                # not just ids after our snapshot: a late-publishing remover
+                # (minted before our snapshot, published after it) carries an
+                # old id and would slip past the id-ordered skip below — but
+                # two publishes removing the same file is always a lost
+                # update (both sides' replacement rows go live). Relpaths are
+                # never reused and rolled-back instants are excluded, so on
+                # correct histories this never fires for ancient instants.
                 if ours_removed & set(other.files_removed):
                     raise ConcurrentWriteConflict(
                         f"instant {other.instant} already rewrote files this commit removes"
                     )
+                if other.instant <= (since or ""):
+                    continue
+                their_files = set(other.files_removed) | set(other.files_added)
                 if occ_scope == "files":
                     continue  # appends are no conflict for async compaction
                 if partitions is None:
@@ -3099,7 +3114,9 @@ class Table:
             ),
         }
 
-    def _execute_compaction(self, plan: dict, since: str, occ_scope: str) -> str:
+    def _execute_compaction(
+        self, plan: dict, since: str, occ_scope: str, precondition=None
+    ) -> str:
         """Merge exactly the plan's files into fresh base files (one
         replacecommit). Merged rows KEEP their original ``_hoodie_commit``
         (``_with_meta`` preserves an existing meta column), so log files
@@ -3136,6 +3153,7 @@ class Table:
             since=since,
             partitions={self._partition_of(r) for r in touched},
             occ_scope=occ_scope,
+            precondition=precondition,
         )
         return instant
 
@@ -3282,22 +3300,41 @@ class Table:
         plan = pending[0]
         files, latest = self.timeline.live_files()
         touched = set(plan.meta["log_rels"]) | set(plan.meta["merge_base"])
+        if self._late_publishers(plan) or not touched <= set(files):
+            self.timeline.remove(plan.instant)  # stale plan — discard
+            return None
+
+        def _still_valid():
+            # re-evaluated UNDER the publish lock: a late writer landing
+            # between the validation above and the publish would otherwise
+            # slip its pre-tombstone-epoch rows past the compacted base
+            if self._late_publishers(plan):
+                raise ConcurrentWriteConflict(
+                    "late-publishing writer landed during plan execution"
+                )
+
+        try:
+            out = self._execute_compaction(
+                plan.meta, since=latest, occ_scope="files", precondition=_still_valid
+            )
+        except ConcurrentWriteConflict:
+            # a remover (or late publisher) landed mid-merge; leave the plan
+            # pending — the next run revalidates and discards it if stale
+            raise
+        self.timeline.remove(plan.instant)
+        return out
+
+    def _late_publishers(self, plan: Instant) -> list[str]:
+        """Completed data instants minted BEFORE the plan that were not on the
+        timeline when the plan was cut — writers whose log rows can predate a
+        tombstone epoch inside the plan (compacting the tombstone away would
+        resurrect them), so their appearance voids the plan."""
         known = set(plan.meta["known_instants"])
-        late = [
+        return [
             i.instant
             for i in self.timeline.completed_data_instants()
             if i.instant < plan.instant and i.instant not in known
         ]
-        if late or not touched <= set(files):
-            self.timeline.remove(plan.instant)  # stale plan — discard
-            return None
-        try:
-            out = self._execute_compaction(plan.meta, since=latest, occ_scope="files")
-        except ConcurrentWriteConflict:
-            # a remover landed mid-merge; leave the plan for revalidation
-            raise
-        self.timeline.remove(plan.instant)
-        return out
 
     def run_services(
         self,

@@ -174,3 +174,35 @@ def test_sql_schedule_execute_faces(spark, tmp_path):
     assert e.sql("CALL show_compaction('t')").collect() == []
     rows = {r["uuid"]: r["fare"] for r in e.sql("SELECT uuid, fare FROM t").collect()}
     assert rows == {"a": 30.0, "b": 40.0}
+
+
+def test_late_remover_rejected_at_publish(spark, tmp_path):
+    """A remover whose instant id PREDATES the publisher's snapshot must still
+    conflict: removal overlap is checked against every completed instant, not
+    just ids after `since` — two publishes removing the same file is always a
+    lost update (both replacement row sets would go live)."""
+    import pytest
+
+    from hudi_examples_spark.table.core import ConcurrentWriteConflict, Instant, new_instant
+
+    tbl = make_table(spark, tmp_path)
+    tbl.insert(trips_df(spark))
+    files, latest = tbl.timeline.live_files()
+    victim = sorted(files)[0]
+    # first rewrite of `victim` publishes fine (id > its snapshot)
+    tbl.upsert(trips_df(spark, [(9999999999999, "334e26e9", "r", "d", 1.0, "san_francisco")]))
+    files2, latest2 = tbl.timeline.live_files()
+    if victim in files2:  # upsert didn't touch it — replace it directly
+        tbl.timeline.write(
+            Instant(new_instant(), "replacecommit", [], [victim], {"operation": "test"})
+        )
+        _, latest2 = tbl.timeline.live_files()
+    # a late publisher (snapshot CURRENT — `since` is after the remover)
+    # trying to remove the same file must be rejected, not silently published
+    with pytest.raises(ConcurrentWriteConflict, match="already rewrote"):
+        tbl._publish_occ(
+            Instant(new_instant(), "replacecommit", [], [victim], {"operation": "late"}),
+            since=latest2,
+            partitions=None,
+            occ_scope="files",
+        )
