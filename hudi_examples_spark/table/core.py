@@ -1633,7 +1633,10 @@ class Table:
         bits: int = 8,
     ) -> str | None:
         """Cut a ``clusteringplan`` instant (Hudi's ``replacecommit.requested``
-        for async clustering): the plan pins the exact out-of-layout files to
+        for async clustering — the reference enables exactly this split with
+        ``hoodie.clustering.async.enabled=true`` and a plan-strategy class,
+        ``flink/src/main/resources/clusteringjob.properties:1,12``): the plan
+        pins the exact out-of-layout files to
         rewrite and the target layout, so a different process — the async
         clustering job, ``run_services`` — executes it later with
         :meth:`run_clustering` while writers keep committing.
@@ -1687,7 +1690,8 @@ class Table:
 
     def run_clustering(self, plan_instant: str | None = None) -> str | None:
         """Execute a scheduled clustering plan (the async clustering job half
-        of Hudi's schedule/execute split).
+        of Hudi's schedule/execute split; execution-strategy analogue of
+        ``clusteringjob.properties:8`` run as its own job).
 
         Validation: every planned file must still be live — a COW rewrite,
         compaction, ``delete_partition``, rollback, or competing clusterer
@@ -3235,7 +3239,9 @@ class Table:
         return instant
 
     def schedule_compaction(self) -> str | None:
-        """Write a ``compactionplan`` instant (Hudi's ``compaction.requested``):
+        """Write a ``compactionplan`` instant (Hudi's ``compaction.requested``;
+        the schedule half of the reference's standalone HoodieCompactor run —
+        ``--mode scheduleAndExecute``, ``flink/.README.md:63-70``):
         the plan names exactly the live log files to resolve and the base
         files they pull in, so a DIFFERENT process — an async compactor, the
         services scheduler — can execute it later while writers keep appending
@@ -3273,7 +3279,9 @@ class Table:
 
     def run_compaction(self, plan_instant: str | None = None) -> str | None:
         """Execute a scheduled compaction plan (Hudi's async HoodieCompactor
-        half of the schedule/execute split).
+        half of the schedule/execute split — the reference runs exactly this
+        job standalone: ``flink/.README.md:63-70``, ``--mode
+        scheduleAndExecute`` over ``clusteringjob.properties``).
 
         Validation before the merge, because the table moved on since the
         plan was cut:
