@@ -1219,6 +1219,53 @@ WHERE NOT (custkey % 3 = 1 AND custkey % 17 = 0)
 """
 
 
+def tbl_bootstrap(spark: SparkSession, sf: str) -> DataFrame:
+    """Hudi bootstrap, METADATA_ONLY (``hoodie.bootstrap.mode``): onboard an
+    existing spark-written parquet dataset — the form every reference table
+    starts from (``flink/src/main/sql/parquet_to_hudi.sql`` re-ingests such
+    a dataset; bootstrap onboards it with zero data rewrite) — then run the
+    standard upsert lifecycle OVER the bootstrapped files. ``boot_zero_rewrite``
+    certifies under the hash gate that onboarding hardlinked every source
+    file (no copy, no Spark job over the data); the row set certifies meta-
+    column synthesis, key location over skeleton-less files, and the COW
+    rewrite of linked files against the same final-state oracle as the
+    native tables."""
+    wd = _workdir("tbl_bootstrap", sf)
+    src = os.path.join(wd, "src")
+    _cust_df(spark, sf).write.partitionBy("seg").parquet(src)
+    tbl = Table.bootstrap(
+        spark,
+        os.path.join(wd, "tbl"),
+        src,
+        TableConfig(record_key=["c_custkey"], precombine="v", partition_by=["seg"]),
+        schema=CUST_SCHEMA,
+    )
+    boot = tbl.timeline.completed_data_instants()[0]
+    n_src = sum(
+        1 for _r, _d, fns in os.walk(src) for fn in fns if fn.endswith(".parquet")
+    )
+    boot_ok = (
+        boot.meta.get("operation") == "bootstrap"
+        and len(boot.files_added) == n_src
+        and boot.meta.get("files_linked") == n_src
+    )
+    tbl.upsert(_upsert_batch(spark, sf))
+    return _final_snapshot(tbl).withColumn("boot_zero_rewrite", F.lit(boot_ok))
+
+
+TBL_BOOTSTRAP_ORACLE = """
+SELECT c_custkey, c_name,
+       round(c_acctbal + CASE WHEN c_custkey % 7 = 0 THEN 100.0 ELSE 0 END, 2) AS acctbal,
+       c_mktsegment AS seg,
+       CASE WHEN c_custkey % 7 = 0 THEN 2 ELSE 1 END AS v,
+       TRUE AS boot_zero_rewrite
+FROM customer
+UNION ALL
+SELECT c_custkey + 1000000, c_name, round(c_acctbal, 2), c_mktsegment, 2, TRUE
+FROM customer WHERE c_custkey % 13 = 0
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("tbl_upsert_cow", tbl_upsert_cow, UPSERT_FINAL_ORACLE, "M1,M2,M7"),
     QuerySpec("tbl_upsert_mor", tbl_upsert_mor, UPSERT_FINAL_ORACLE, "M7,MOR"),
@@ -1273,6 +1320,12 @@ SPECS: list[QuerySpec] = [
         tbl_partition_lifecycle,
         TBL_PARTITION_LIFECYCLE_ORACLE,
         "Hudi delete_partition: metadata-only drop + time-travel retention",
+    ),
+    QuerySpec(
+        "tbl_bootstrap",
+        tbl_bootstrap,
+        TBL_BOOTSTRAP_ORACLE,
+        "Hudi bootstrap METADATA_ONLY: zero-rewrite onboarding + lifecycle over linked files",
     ),
 ]
 

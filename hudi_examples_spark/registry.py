@@ -124,7 +124,12 @@ def all_specs() -> list[QuerySpec]:
         # slot (r3 evidence, age 2, in policy).
         "sim_rrf_fusion",
         "dedup_embed_cosine",
-        "sim_brute_topk",
+        # r5 debut: bootstrap (METADATA_ONLY zero-rewrite onboarding + the
+        # upsert lifecycle over linked, skeleton-less files under the hash
+        # gate). Debut ops outrank refreshes — took sim_brute_topk's slot
+        # (r3 evidence, age 2, in policy; its cosine path stays covered by
+        # the seated dedup_embed_cosine and sim_rrf_fusion rows).
+        "tbl_bootstrap",
         # r5 debut: DSIR-shaped hashed-n-gram importance affinity (capped
         # broadcast feature table, exact-integer masses). Debut ops outrank
         # refreshes — took sim_knn_join's slot (r3 evidence, age 2).

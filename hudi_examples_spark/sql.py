@@ -312,6 +312,51 @@ class Engine:
 
     # --------------------------------------------------------------- CALL procs
 
+    def _run_bootstrap(self, name: str, arg: str | None) -> DataFrame:
+        """``CALL run_bootstrap('t', '<source_path>'[, 'record_key=a/b',
+        'precombine=v', 'partition_by=p', 'table_type=cow|mor',
+        'mode=metadata_only|full_record'])`` — the SQL face of Hudi's
+        ``run_bootstrap`` procedure. Creates the table at
+        ``{warehouse}/{name}`` from the existing parquet dataset (no rewrite
+        in the default mode) and registers it in the catalog. Multi-column
+        lists use ``/`` separators (commas delimit CALL arguments)."""
+        toks = [t.strip().strip("'") for t in (arg or "").split(",") if t.strip()]
+        if not toks:
+            raise ValueError("run_bootstrap requires a source path argument")
+        source, opts = toks[0], {}
+        for tk in toks[1:]:
+            if "=" not in tk:
+                raise ValueError(f"run_bootstrap option {tk!r} must be key=value")
+            k, v = tk.split("=", 1)
+            opts[k.strip()] = v.strip()
+        config = TableConfig(
+            record_key=[c for c in opts.get("record_key", "").split("/") if c],
+            precombine=opts.get("precombine") or None,
+            partition_by=[c for c in opts.get("partition_by", "").split("/") if c],
+            table_type=opts.get("table_type", "cow"),
+        )
+        tbl = Table.bootstrap(
+            self.spark,
+            os.path.join(self.warehouse, name),
+            source,
+            config,
+            mode=opts.get("mode", "metadata_only"),
+        )
+        self.register(name, tbl)
+        boot = tbl.timeline.completed_data_instants()[0]
+        return self.spark.createDataFrame(
+            [
+                (
+                    name,
+                    boot.instant,
+                    boot.meta.get("mode", "full_record"),
+                    len(boot.files_added),
+                    boot.meta.get("files_linked", 0),
+                )
+            ],
+            "table STRING, instant STRING, mode STRING, n_files INT, n_linked INT",
+        )
+
     def _call(self, s: str) -> DataFrame | None:
         """Hudi Spark-SQL procedures (the SQL face of the table services):
         CALL run_compaction('t'[, 'schedule'|'execute']) |
@@ -326,13 +371,18 @@ class Engine:
         create_savepoint('t') | restore_to_savepoint('t', instant) |
         show_commits('t') | show_savepoints('t') |
         run_archival('t'[, retain]) | split_bucket('t', lower) |
-        convert_to_ranges('t', buckets). The sort/zorder forms are
+        convert_to_ranges('t', buckets) |
+        run_bootstrap('t', '<src>'[, 'record_key=..', ...]) — onboard
+        existing parquet without a rewrite (see ``_run_bootstrap``).
+        The sort/zorder forms are
         incremental: already-in-layout partitions are skipped (see
         ``Table._cluster_rewrite``)."""
         m = re.match(r"CALL\s+(\w+)\s*\(\s*'(\w+)'\s*(?:,\s*([^)]+))?\)\s*$", s, re.I)
         if not m:
             raise ValueError(f"cannot parse CALL: {s[:120]}")
         proc, name, arg = m.group(1).lower(), m.group(2), m.group(3)
+        if proc == "run_bootstrap":
+            return self._run_bootstrap(name, arg)
         tbl = self.table(name)
         if proc == "run_compaction":
             # Hudi's op switch: CALL run_compaction('t'[, 'schedule'|'execute'])

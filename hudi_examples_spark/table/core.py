@@ -287,6 +287,13 @@ class TableConfig:
     #: tombstones for dropped columns: the by-name schema union would
     #: otherwise resurrect a dropped column from an older handle's props
     dropped_cols: list = field(default_factory=list)
+    #: instant of the table's bootstrap commit (Hudi ``hoodie.bootstrap.*``,
+    #: METADATA_ONLY mode): set once by ``Table.bootstrap``. Bootstrap data
+    #: files carry NO ``_hoodie_*`` columns — the read funnel synthesizes
+    #: them (commit = this instant, key/partition from the data), the
+    #: projection-level analogue of Hudi's skeleton-file stitch. None for
+    #: natively-written tables, which skip the synthesis entirely.
+    bootstrap_instant: str | None = None
 
     def __post_init__(self):
         if self.table_type not in ("cow", "mor"):
@@ -349,6 +356,125 @@ class Table:
         """M6: CTAS — create from a query result and bulk-insert it."""
         tbl = cls.create(spark, base, df.schema, config)
         tbl.insert(df)
+        return tbl
+
+    @classmethod
+    def bootstrap(
+        cls,
+        spark: SparkSession,
+        base: str,
+        source: str,
+        config: TableConfig,
+        schema: StructType | str | None = None,
+        mode: str = "metadata_only",
+        link: bool = True,
+    ) -> "Table":
+        """Onboard an EXISTING parquet dataset as a keyed table — Hudi's
+        bootstrap operation (``hoodie.bootstrap.mode``). The reference's
+        tables all begin life as plain spark-written parquet
+        (``flink/src/main/sql/parquet_to_hudi.sql``, the Glue datagen
+        scripts); bootstrap is how Hudi onboards such data without
+        re-ingesting it.
+
+        - ``metadata_only`` (Hudi METADATA_ONLY, default): data files enter
+          the table AS THEY ARE — hardlinked (or byte-copied when ``link``
+          is False or linking crosses filesystems) into the table's hive
+          layout and published as ONE bootstrap commit. No decode/re-encode
+          and no Spark job over the data: onboarding 100 TB costs file
+          metadata work, not a 100 TB rewrite. The files carry no
+          ``_hoodie_*`` columns; the read funnel (``_read_files``)
+          synthesizes them, the projection-level analogue of Hudi's
+          skeleton-file stitch. Per-file record-key [min, max] sidecars are
+          computed from a key-column-pruned pyarrow read (the same work
+          Hudi spends generating skeleton files), so keyed writes prune
+          bootstrap files exactly like native ones; key types whose string
+          form pyarrow and Spark could render differently (floats,
+          decimals, timestamps) skip the sidecar — pruning stays
+          lossy-safe, never wrong.
+        - ``full_record`` (Hudi FULL_RECORD): one ``bulk_insert`` rewrite
+          that materializes the meta columns — pays the rewrite once,
+          reads are native thereafter.
+
+        Emptiness is re-checked UNDER the timeline lock at publish, so two
+        racing bootstraps (or a bootstrap racing a first write) cannot both
+        land. The source is never modified; cleaning or rolling back the
+        bootstrap commit only ever removes the table's own links/copies.
+        """
+        if mode not in ("metadata_only", "full_record"):
+            raise ValueError(f"mode must be metadata_only|full_record, got {mode!r}")
+        if schema is None:
+            # footer/directory inference only — no data read
+            schema = spark.read.parquet(source).schema
+        tbl = cls.create(spark, base, schema, config)
+        if mode == "full_record":
+            tbl.bulk_insert(spark.read.parquet(source))
+            return tbl
+        # ---- metadata_only: enumerate + validate the source layout first
+        src_files: list[tuple[str, str]] = []  # (abs path, hive relpart)
+        for root, _dirs, fns in sorted(os.walk(source)):
+            relpart = os.path.relpath(root, source)
+            for fn in sorted(fns):
+                if fn.endswith(".parquet"):
+                    src_files.append((os.path.join(root, fn), relpart))
+        if not src_files:
+            raise ValueError(f"no parquet files under {source}")
+        declared = set(tbl.config.partition_by)
+        for path, relpart in src_files:
+            probe = os.path.join(relpart, "f.parquet") if relpart != "." else "f.parquet"
+            parsed = set(cls._partition_of_relpath(probe))
+            if parsed != declared:
+                raise ValueError(
+                    f"source file {path!r} sits under hive dirs {sorted(parsed)} "
+                    f"but the table declares partition_by={sorted(declared)}; "
+                    "declare matching partition columns or use mode='full_record'"
+                )
+        instant = new_instant()
+        rels: list[str] = []
+        linked = 0
+        for n, (path, relpart) in enumerate(src_files):
+            dest_dir = base if relpart == "." else os.path.join(base, relpart)
+            os.makedirs(dest_dir, exist_ok=True)
+            dest = os.path.join(dest_dir, f"{instant}_{n:05d}.parquet")
+            if link:
+                try:
+                    os.link(path, dest)
+                    linked += 1
+                except OSError:
+                    shutil.copy2(path, dest)
+            else:
+                shutil.copy2(path, dest)
+            rels.append(os.path.relpath(dest, base))
+        # the synthesis flag must be live before any index/stats maintenance
+        # reads these files through the funnel
+        tbl.config.bootstrap_instant = instant
+        tbl._save_props()
+        if tbl._stat_cols():
+            tbl._write_file_stats(instant, rels)  # footer stats for stats_cols
+        tbl._merge_stats(instant, tbl._bootstrap_key_stats(rels))
+
+        def _empty_check():
+            if tbl.timeline.completed_data_instants():
+                raise ConcurrentWriteConflict("bootstrap requires an empty table")
+
+        tbl._publish_occ(
+            Instant(
+                instant,
+                "commit",
+                rels,
+                [],
+                {
+                    "operation": "bootstrap",
+                    "mode": mode,
+                    "source_path": source,
+                    "files_linked": linked,
+                },
+            ),
+            since="",
+            partitions={tbl._partition_path_of(r) for r in rels}
+            if tbl.config.partition_by
+            else None,
+            precondition=_empty_check,
+        )
         return tbl
 
     @classmethod
@@ -571,6 +697,81 @@ class Table:
         with open(tmp, "w") as f:
             json.dump(stats, f)
         os.replace(tmp, os.path.join(d, f"{instant}.json"))
+
+    def _merge_stats(self, instant: str, extra: dict[str, dict[str, list]]) -> None:
+        """Merge computed per-file stats into the instant's sidecar (used by
+        bootstrap, whose key ranges can't come from footers — the files have
+        no ``_hoodie_record_key`` column)."""
+        if not extra:
+            return
+        d = os.path.join(self.base, self.STATS_DIR)
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, f"{instant}.json")
+        stats: dict[str, dict[str, list]] = {}
+        if os.path.exists(p):
+            with open(p) as f:
+                stats = json.load(f)
+        for rel, per_col in extra.items():
+            stats.setdefault(rel, {}).update(per_col)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(stats, f)
+        os.replace(tmp, p)
+
+    #: key-component types whose string rendering is identical between
+    #: pyarrow's cast and Spark's CAST(.. AS STRING) — integer text and
+    #: identity. Floats/decimals/timestamps render differently ("1.0" vs
+    #: "1"), and a wrong range would make pruning LOSSY (a missed key is a
+    #: lost update), so those keys simply get no bootstrap range sidecar.
+    _EXACT_STR_TYPES = {"tinyint", "smallint", "int", "bigint", "string"}
+
+    def _bootstrap_key_stats(self, rels: list[str]) -> dict[str, dict[str, list]]:
+        """Per-file [min, max] of the STRINGIFIED record key for bootstrap
+        files, from a key-column-pruned pyarrow read (no Spark job, no full
+        decode — the exact cost Hudi pays generating bootstrap skeleton
+        files). Ranges compare lexicographically on both sides
+        (``_prune_files_by_keys`` joins on string bounds), so stringified
+        integer keys stay consistent even though "10" < "9"."""
+        key_cols = self.config.record_key
+        if not key_cols or any(
+            self.schema[k].dataType.simpleString() not in self._EXACT_STR_TYPES
+            for k in key_cols
+        ):
+            return {}
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        def key_range(rel: str) -> tuple[str, list | None]:
+            part_vals = self._partition_of_relpath(rel)
+            file_cols = [k for k in key_cols if k not in part_vals]
+            path = os.path.join(self.base, rel)
+            if file_cols:
+                tb = pq.read_table(path, columns=file_cols)
+                n = tb.num_rows
+            else:
+                tb = None
+                n = pq.ParquetFile(path).metadata.num_rows
+            if n == 0:
+                return rel, None
+            arrs = []
+            for k in key_cols:
+                if k in part_vals:
+                    arrs.append(pa.array([str(part_vals[k])] * n, type=pa.string()))
+                else:
+                    col = tb.column(k).combine_chunks()
+                    if col.null_count:
+                        return rel, None  # null key component: never prune this file
+                    arrs.append(pc.cast(col, pa.string()))
+            key = arrs[0] if len(arrs) == 1 else pc.binary_join_element_wise(*arrs, ":")
+            mm = pc.min_max(key)
+            return rel, [mm["min"].as_py(), mm["max"].as_py()]
+
+        with ThreadPoolExecutor(max_workers=min(16, max(len(rels), 1))) as ex:
+            results = list(ex.map(key_range, rels))
+        return {rel: {META_KEY: v} for rel, v in results if v is not None}
 
     def _load_file_stats(self) -> dict[str, dict[str, list]]:
         d = os.path.join(self.base, self.STATS_DIR)
@@ -1828,7 +2029,22 @@ class Table:
             df = df.withColumns(fills)
         if META_DELETED in cols:
             df = df.withColumn(META_DELETED, F.coalesce(F.col(META_DELETED).cast(BooleanType()), F.lit(False)))
-        return df.select(*cols)
+        df = df.select(*cols)
+        bi = self.config.bootstrap_instant
+        if bi:
+            # bootstrap files carry no _hoodie_* columns (declared-schema read
+            # null-fills them): synthesize — commit = the bootstrap instant,
+            # key/partition from the data itself. Coalesce keeps natively-
+            # written files' values; pure projections, collapse into the scan.
+            repl = {
+                META_COMMIT: F.coalesce(F.col(META_COMMIT), F.lit(bi)),
+                META_PARTITION: F.coalesce(F.col(META_PARTITION), self._partition_expr()),
+            }
+            key = self._key_expr()
+            if key is not None:
+                repl[META_KEY] = F.coalesce(F.col(META_KEY), key)
+            df = df.withColumns(repl)
+        return df
 
     def _conform(self, df: DataFrame) -> DataFrame:
         """Align an incoming batch with the declared schema (schema-on-write

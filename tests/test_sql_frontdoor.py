@@ -332,3 +332,28 @@ def test_create_index_ddl(engine):
     assert {r["id"] for r in tbl.lookup_indexed("cat_up", "Y").collect()} == {"b"}
     engine.sql("DROP INDEX cat_idx ON idx_t")
     assert "cat_idx" not in tbl.secondary_index_cols()
+
+
+def test_call_run_bootstrap(engine, spark, tmp_path):
+    """CALL run_bootstrap: onboard existing parquet via the SQL front-door,
+    zero-rewrite, registered in the catalog, immediately queryable/writable."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "ext_src")
+    spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("p"),
+        F.lit(1).alias("v"),
+    ).write.partitionBy("p").parquet(src)
+    rep = engine.sql(
+        f"CALL run_bootstrap('boot_t', '{src}', 'record_key=k', "
+        "'precombine=v', 'partition_by=p')"
+    ).collect()[0]
+    assert rep["mode"] == "metadata_only" and rep["n_linked"] == rep["n_files"] > 0
+    assert engine.sql("SELECT count(*) AS n FROM boot_t").collect()[0]["n"] == 40
+    engine.sql("UPDATE boot_t SET v = 2 WHERE k < 5")
+    assert (
+        engine.sql("SELECT count(*) AS n FROM boot_t WHERE v = 2").collect()[0]["n"]
+        == 5
+    )
+    assert "boot_t" in engine.table_names()
