@@ -237,6 +237,14 @@ class ConcurrentWriteConflict(RuntimeError):
     """
 
 
+#: Highest table_version this engine can open (Hudi 1.0's own table version is
+#: 8). Features whose config is LOAD-BEARING (bootstrap_instant) set the
+#: table's version to their floor so older engines refuse rather than misread.
+SUPPORTED_TABLE_VERSION = 8
+#: table_version floor stamped by ``Table.bootstrap`` (bootstrap-aware readers)
+BOOTSTRAP_TABLE_VERSION = 7
+
+
 @dataclass
 class TableConfig:
     record_key: list[str] = field(default_factory=list)  # empty ⇒ pk-less table
@@ -323,6 +331,18 @@ class Table:
         # OCC). Unknown keys are index/layout hints by design contract — every
         # feature they gate degrades to "don't prune / don't optimize", never
         # to wrong data — so dropping them is safe where crashing is not.
+        # LOAD-BEARING config (keys whose loss would misread data, e.g.
+        # bootstrap_instant — without it bootstrap files' meta columns can't
+        # be synthesized) must instead ride the table_version gate below:
+        # writers of such features bump the version past what older code
+        # supports, so old readers refuse the table instead of misreading it
+        # (Hudi's own table-version upgrade contract).
+        if d["config"].get("table_version", 6) > SUPPORTED_TABLE_VERSION:
+            raise ValueError(
+                f"table at {base} has version {d['config'].get('table_version')}, "
+                f"newer than this engine supports ({SUPPORTED_TABLE_VERSION}); "
+                "upgrade the engine or downgrade the table"
+            )
         known = {f.name for f in dataclass_fields(TableConfig)}
         self.config = TableConfig(**{k: v for k, v in d["config"].items() if k in known})
         self.schema = StructType.fromJson(d["schema"])
@@ -445,8 +465,11 @@ class Table:
                 shutil.copy2(path, dest)
             rels.append(os.path.relpath(dest, base))
         # the synthesis flag must be live before any index/stats maintenance
-        # reads these files through the funnel
+        # reads these files through the funnel; the version floor makes
+        # pre-bootstrap engines refuse the table instead of misreading
+        # (bootstrap_instant is load-bearing — see __init__'s gate)
         tbl.config.bootstrap_instant = instant
+        tbl.config.table_version = max(tbl.config.table_version, BOOTSTRAP_TABLE_VERSION)
         tbl._save_props()
         if tbl._stat_cols():
             tbl._write_file_stats(instant, rels)  # footer stats for stats_cols

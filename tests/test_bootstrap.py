@@ -256,3 +256,30 @@ def test_copy_mode_when_link_disabled(spark, tmp_path, src):
     assert data_inodes and not (data_inodes & src_inodes)
     assert tbl.timeline.completed_data_instants()[0].meta["files_linked"] == 0
     assert tbl.count() == 300
+
+
+def test_version_gate_and_bootstrap_floor(spark, tmp_path, src):
+    """bootstrap_instant is load-bearing config: bootstrap stamps the
+    table_version floor, and a table from a NEWER engine is refused outright
+    instead of being misread."""
+    import json
+
+    from hudi_examples_spark.table.core import (
+        BOOTSTRAP_TABLE_VERSION,
+        PROPS_FILE,
+        SUPPORTED_TABLE_VERSION,
+    )
+
+    tbl = _boot(spark, tmp_path, src)
+    assert tbl.config.table_version >= BOOTSTRAP_TABLE_VERSION
+    # reopened handle still synthesizes (props round-trip)
+    assert Table(spark, tbl.base).config.bootstrap_instant == tbl.config.bootstrap_instant
+    # a future-version table is refused
+    p = os.path.join(tbl.base, PROPS_FILE)
+    with open(p) as f:
+        d = json.load(f)
+    d["config"]["table_version"] = SUPPORTED_TABLE_VERSION + 1
+    with open(p, "w") as f:
+        json.dump(d, f)
+    with pytest.raises(ValueError, match="newer than this engine supports"):
+        Table(spark, tbl.base)
