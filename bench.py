@@ -161,6 +161,11 @@ def main() -> None:
                     extras["record_lookup_files"] = dict(
                         getattr(state[0], "last_record_lookup", {}) or {}
                     )
+                elif name == "tbl_bootstrap_onboard":
+                    # prove zero-rewrite onboarding: every file hardlinked; the
+                    # op time vs tbl_upsert_cow's build (same data, native
+                    # insert) is the metadata-only-vs-rewrite ratio
+                    extras["bootstrap_onboard"] = dict(state.get("evidence", {}))
             elif name in spec_fns:
                 t0 = time.perf_counter()
                 spec_fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -1510,6 +1510,41 @@ def bench_phases():
         tbl, target = st
         return tbl.lookup_key(target).select("id", "custkey", "acctbal")
 
+    def bootstrap_build(spark, sf):
+        """Fixture for the bootstrap evidence row: stage the SAME customer
+        dataset ``tbl_upsert_cow``'s build inserts natively, as plain
+        spark-written partitioned parquet. The op then onboards it
+        METADATA_ONLY — so ``phases.tbl_bootstrap_onboard.op`` vs
+        ``phases.tbl_upsert_cow.build`` is a direct zero-rewrite-vs-rewrite
+        comparison on identical data."""
+        wd = _workdir("bench_bootstrap", sf)
+        src = os.path.join(wd, "src")
+        _cust_df(spark, sf).write.partitionBy("seg").parquet(src)
+        return {"wd": wd, "src": src}
+
+    def bootstrap_op(spark, sf, st):
+        base = os.path.join(st["wd"], "tbl")
+        if Table.exists(base):
+            shutil.rmtree(base)  # later passes re-onboard from scratch
+        tbl = Table.bootstrap(
+            spark,
+            base,
+            st["src"],
+            TableConfig(record_key=["c_custkey"], precombine="v", partition_by=["seg"]),
+            schema=CUST_SCHEMA,
+        )
+        boot = tbl.timeline.completed_data_instants()[0]
+        st["evidence"] = {
+            "n_files": len(boot.files_added),
+            "files_linked": boot.meta.get("files_linked", 0),
+        }
+        # return bounded planning metadata, NOT a table scan — the op being
+        # measured is onboarding, and a noop-write of read() would drown it
+        return spark.createDataFrame(
+            [(len(boot.files_added), boot.meta.get("files_linked", 0))],
+            "n_files INT, n_linked INT",
+        )
+
     return {
         "tbl_upsert_cow": (upsert_build("tbl_upsert_cow", "cow"), upsert_op),
         "tbl_upsert_mor": (upsert_build("tbl_upsert_mor", "mor"), upsert_op),
@@ -1518,4 +1553,5 @@ def bench_phases():
         "tbl_cluster_incremental": (cluster_inc_build, cluster_inc_op),
         "tbl_point_lookup": (point_lookup_build, point_lookup_op),
         "tbl_rli_lookup": (rli_lookup_build, rli_lookup_op),
+        "tbl_bootstrap_onboard": (bootstrap_build, bootstrap_op),
     }

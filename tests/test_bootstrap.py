@@ -283,3 +283,38 @@ def test_version_gate_and_bootstrap_floor(spark, tmp_path, src):
         json.dump(d, f)
     with pytest.raises(ValueError, match="newer than this engine supports"):
         Table(spark, tbl.base)
+
+
+def test_composite_key_with_partition_component(spark, tmp_path):
+    """Composite record key where one component IS the partition column: the
+    pyarrow pass joins the file column with the dir-constant component, and
+    synthesis/upserts resolve the same concatenated key."""
+    src = str(tmp_path / "csrc")
+    (
+        spark.range(0, 120)
+        .select(
+            (F.col("id") % 4).cast("int").alias("region"),
+            F.format_string("u%03d", F.col("id")).alias("uid"),
+            F.lit(1).alias("v"),
+        )
+        .repartition("region")
+        .write.partitionBy("region")
+        .parquet(src)
+    )
+    tbl = Table.bootstrap(
+        spark,
+        str(tmp_path / "t"),
+        src,
+        TableConfig(record_key=["region", "uid"], precombine="v", partition_by=["region"]),
+        schema="region INT, uid STRING, v INT",
+    )
+    stats = tbl._load_file_stats()
+    ranges = [v[META_KEY] for v in stats.values() if META_KEY in v]
+    assert ranges and all(":" in lo for lo, _hi in ranges)
+    m = tbl.read(with_meta=True).filter("uid = 'u007'").collect()[0]
+    assert m[META_KEY] == "3:u007"  # 7 % 4 = 3
+    tbl.upsert(
+        spark.createDataFrame([(3, "u007", 2)], "region INT, uid STRING, v INT")
+    )
+    assert tbl.read().filter("v = 2").count() == 1
+    assert tbl.count() == 120
