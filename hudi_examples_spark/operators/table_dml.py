@@ -282,6 +282,66 @@ ORDER BY l_orderkey, l_quantity, l_extendedprice
 """
 
 
+def tbl_zorder_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """M15+ z-order clustering under the oracle gate (Hudi's
+    ``hoodie.layout.optimize.strategy=z-order`` with
+    ``hoodie.clustering.plan.strategy.sort.columns`` — the reference enables
+    clustering via ``hoodie.clustering.*`` in ``DeltaStreamerExample.scala``;
+    z-order is its multi-dimension data-skipping layout).
+
+    Lifecycle: 16 unsorted files → ``cluster_zorder(['l_orderkey',
+    'l_suppkey'])`` (morton interleave of uniformly quantized columns, pure
+    JVM bit math, no UDF) → a narrow range scan on EACH dimension. A linear
+    sort would only prune its leading column; z-order gives every listed
+    dimension file-level locality, so both scans must skip files. The value
+    hash certifies scan ≡ filter on both dimensions; the evidence literals
+    ``prune_dim1_ok`` / ``prune_dim2_ok`` certify the per-file min/max stats
+    actually skipped files under each dimension's predicate."""
+    base = os.path.join(_workdir("tbl_zorder_prune", sf), "tbl")
+    tbl = Table.create(
+        spark,
+        base,
+        "l_orderkey BIGINT, l_suppkey BIGINT, l_quantity DOUBLE, l_extendedprice DOUBLE",
+        TableConfig(stats_cols=["l_orderkey", "l_suppkey"]),
+    )
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    tbl.insert(li.repartition(16))
+    tbl.cluster_zorder(["l_orderkey", "l_suppkey"], n_files=16)
+    got1 = tbl.scan([("l_orderkey", ">=", 100), ("l_orderkey", "<=", 400)])
+    s1 = dict(tbl.last_scan)
+    got2 = tbl.scan([("l_suppkey", ">=", 1), ("l_suppkey", "<=", 3)])
+    s2 = dict(tbl.last_scan)
+    prune1 = bool(s1.get("pruned", 0) > 0)
+    prune2 = bool(s2.get("pruned", 0) > 0)
+
+    def shape(df, dim):
+        return df.select(
+            F.lit(dim).alias("dim"),
+            "l_orderkey",
+            "l_suppkey",
+            F.round("l_quantity", 2).alias("qty"),
+            F.round("l_extendedprice", 2).alias("price"),
+            F.lit(prune1).alias("prune_dim1_ok"),
+            F.lit(prune2).alias("prune_dim2_ok"),
+        )
+
+    return shape(got1, 1).unionByName(shape(got2, 2))
+
+
+TBL_ZORDER_ORACLE = """
+SELECT 1 AS dim, l_orderkey, l_suppkey, round(l_quantity, 2) AS qty,
+       round(l_extendedprice, 2) AS price,
+       TRUE AS prune_dim1_ok, TRUE AS prune_dim2_ok
+FROM lineitem WHERE l_orderkey >= 100 AND l_orderkey <= 400
+UNION ALL
+SELECT 2, l_orderkey, l_suppkey, round(l_quantity, 2), round(l_extendedprice, 2),
+       TRUE, TRUE
+FROM lineitem WHERE l_suppkey >= 1 AND l_suppkey <= 3
+"""
+
+
 def tbl_rollup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental rollup maintenance under the oracle gate: per-segment
     sum/count kept exact across insert + upsert batches purely from the CDC
@@ -1277,6 +1337,12 @@ SPECS: list[QuerySpec] = [
     QuerySpec("tbl_cdc_rollback", tbl_cdc_rollback, TBL_TT_ORACLE, "M13,M17"),
     QuerySpec("tbl_cdc_query", tbl_cdc_query, TBL_CDC_ORACLE, "M11,M13 CDC images"),
     QuerySpec("tbl_scan_pruned", tbl_scan_pruned, TBL_SCAN_ORACLE, "col-stats data skipping"),
+    QuerySpec(
+        "tbl_zorder_prune",
+        tbl_zorder_prune,
+        TBL_ZORDER_ORACLE,
+        "M15+ z-order layout: file pruning on every clustered dimension",
+    ),
     QuerySpec("tbl_rollup_incremental", tbl_rollup_incremental, TBL_ROLLUP_ORACLE, "incremental rollup (CDC IVM)"),
     QuerySpec("tbl_join_view_incremental", tbl_join_view_incremental, TBL_JOIN_VIEW_ORACLE, "incremental join view (CDC IVM)"),
     QuerySpec("tbl_batch_schedule", tbl_batch_schedule, TBL_BATCH_SCHEDULE_ORACLE, "reference compat schedule: M2,M7,M9,M14,M17"),

@@ -101,7 +101,12 @@ def all_specs() -> list[QuerySpec]:
         "tbl_incremental",
         "tbl_cdc_query",
         "tbl_cdc_rollback",
-        "tbl_scan_pruned",
+        # r5 debut: z-order clustering (morton layout + per-dimension file
+        # pruning under the hash gate). Debut ops outrank refreshes — took
+        # tbl_scan_pruned's refresh slot (r3 evidence, age 2, in policy; its
+        # single-dimension sort-clustered pruning is a strict subset of what
+        # this spec certifies: same scan ≡ filter equivalence, two dims).
+        "tbl_zorder_prune",
         "tbl_join_view_incremental",
         "tbl_rollup_incremental",
         # r3-aged refreshes: dedup/ANN family (minhash + SemDeDup work r5)

@@ -255,3 +255,20 @@ def test_recluster_with_different_target_is_not_a_noop(spark, tmp_path):
     assert tbl.cluster_zorder(["k", "v"], n_files=8) is not None
     assert tbl.cluster_zorder(["k", "v"], n_files=8) is None
     assert tbl.cluster_zorder(["k", "v"], n_files=8, bits=4) is not None  # new bits
+
+
+def test_zorder_spec_evidence_at_sf_small(spark):
+    """The driver-gated z-order spec: both pruning evidence literals must be
+    TRUE and each dim's scan slice must equal the plain filter, even at the
+    smallest SF (tiny suppkey domain)."""
+    from hudi_examples_spark.operators.table_dml import tbl_zorder_prune
+
+    out = tbl_zorder_prune(spark, SF_SMALL)
+    rows = out.collect()
+    assert rows, "spec returned no rows"
+    assert all(r["prune_dim1_ok"] and r["prune_dim2_ok"] for r in rows)
+    li = load_sf_table(spark, SF_SMALL, "lineitem")
+    want1 = li.filter("l_orderkey >= 100 AND l_orderkey <= 400").count()
+    want2 = li.filter("l_suppkey >= 1 AND l_suppkey <= 3").count()
+    assert sum(1 for r in rows if r["dim"] == 1) == want1
+    assert sum(1 for r in rows if r["dim"] == 2) == want2
