@@ -363,6 +363,7 @@ class Engine:
         show_compaction('t') — pending plans | run_clustering('t'[, buckets]) |
         run_clustering_sort('t'[, 'schedule'|'execute'], 'c1'[, 'c2', ...]) |
         run_clustering_zorder('t'[, 'schedule'|'execute'], 'c1', 'c2'[, ...]) |
+        run_clustering_hilbert('t'[, 'schedule'|'execute'], 'c1', 'c2'[, ...]) |
         show_clustering('t') — pending clustering plans |
         run_log_compaction('t'[, min_logs]) — stitch small MOR logs |
         run_clean('t'[, retain]) | rebuild_index('t', 'name') |
@@ -407,18 +408,24 @@ class Engine:
         if proc == "run_clustering":
             tbl.cluster(int(arg)) if arg else tbl.cluster(tbl.config.n_buckets or 4)
             return None
-        if proc in ("run_clustering_sort", "run_clustering_zorder"):
+        if proc in ("run_clustering_sort", "run_clustering_zorder", "run_clustering_hilbert"):
             cols = [c.strip().strip("'") for c in (arg or "").split(",") if c.strip()]
             if not cols:
                 raise ValueError(f"{proc} requires a column list")
             # async split: a leading 'schedule' cuts a clusteringplan instead
             # of rewriting inline; 'execute' runs the oldest pending plan
             if cols and cols[0].lower() == "schedule":
-                tbl.schedule_clustering(cols[1:], zorder=proc.endswith("zorder"))
+                tbl.schedule_clustering(
+                    cols[1:],
+                    zorder=proc.endswith("zorder"),
+                    hilbert=proc.endswith("hilbert"),
+                )
             elif cols and cols[0].lower() in ("execute", "run"):
                 tbl.run_clustering()
             elif proc == "run_clustering_sort":
                 tbl.cluster_sort(cols)
+            elif proc == "run_clustering_hilbert":
+                tbl.cluster_hilbert(cols)
             else:
                 tbl.cluster_zorder(cols)
             return None

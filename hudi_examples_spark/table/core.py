@@ -1740,31 +1740,70 @@ class Table:
             {"operation": "cluster_zorder", "zorder_cols": cols, "zorder_bits": bits, "target_files": n},
         )
 
+    def cluster_hilbert(self, cols: list[str], n_files: int | None = None, bits: int = 8) -> str | None:
+        """Hilbert-curve clustering (``hoodie.layout.optimize.strategy=
+        hilbert``): like :meth:`cluster_zorder` but ordered by Hilbert
+        distance — consecutive curve positions are always orthogonal grid
+        neighbours, so per-file bucket ranges come out tighter than the
+        morton interleave's z-jumps and ``scan`` prunes at least as well on
+        every listed dimension."""
+        z = self._hilbert_expr(self.read(), cols, bits)
+        n = n_files or max(self.spark.sparkContext.defaultParallelism, 8)
+        return self._cluster_rewrite(
+            [z],
+            n,
+            {"operation": "cluster_hilbert", "hilbert_cols": cols, "hilbert_bits": bits, "target_files": n},
+        )
+
     @staticmethod
-    def _zorder_expr(df: DataFrame, cols: list[str], bits: int):
-        """Morton-interleave expression over uniformly quantized columns:
-        bounds come from one tiny min/max agg over ``df``; the interleave is
-        pure JVM bit arithmetic (no UDF). Bounds are quantization hints only —
-        per-file min/max stats stay truthful regardless, which is all ``scan``
-        pruning relies on."""
+    def _bucket_exprs(df: DataFrame, cols: list[str], bits: int) -> list:
+        """Uniformly quantized bucket expressions (bigint in [0, 2**bits))
+        for each column: bounds come from one tiny min/max agg over ``df``.
+        Bounds are quantization hints only — per-file min/max stats stay
+        truthful regardless, which is all ``scan`` pruning relies on."""
         bounds = df.agg(
             *[F.min(c).cast("double").alias(f"lo_{c}") for c in cols],
             *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
         ).collect()[0]
         n_buckets = 1 << bits
-        z = F.lit(0).cast("bigint")
-        for ci, c in enumerate(cols):
+        out = []
+        for c in cols:
             lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
             span = ((hi - lo) if lo is not None and hi is not None else 0) or 1.0
-            b = F.least(
-                F.lit(n_buckets - 1),
-                F.floor((F.col(c).cast("double") - F.lit(lo if lo is not None else 0.0)) / F.lit(span) * n_buckets),
-            ).cast("bigint")
+            out.append(
+                F.least(
+                    F.lit(n_buckets - 1),
+                    F.floor(
+                        (F.col(c).cast("double") - F.lit(lo if lo is not None else 0.0))
+                        / F.lit(span)
+                        * n_buckets
+                    ),
+                ).cast("bigint")
+            )
+        return out
+
+    @classmethod
+    def _zorder_expr(cls, df: DataFrame, cols: list[str], bits: int):
+        """Morton-interleave expression over uniformly quantized columns —
+        pure JVM bit arithmetic (no UDF)."""
+        z = F.lit(0).cast("bigint")
+        for ci, b in enumerate(cls._bucket_exprs(df, cols, bits)):
             for bit in range(bits):
                 z = z + F.shiftleft(
                     F.shiftright(b, bit).bitwiseAND(F.lit(1)), bit * len(cols) + ci
                 ).cast("bigint")
         return z
+
+    @classmethod
+    def _hilbert_expr(cls, df: DataFrame, cols: list[str], bits: int):
+        """Hilbert-distance expression over uniformly quantized columns
+        (Hudi's third ``hoodie.layout.optimize.strategy``): same quantization
+        as z-order, curve position via the Arrow-vectorized Skilling
+        transform (see :mod:`hudi_examples_spark.table.hilbert` for why the
+        recurrence can't unroll into Catalyst expressions)."""
+        from hudi_examples_spark.table.hilbert import hilbert_udf
+
+        return hilbert_udf(len(cols), bits)(*cls._bucket_exprs(df, cols, bits))
 
     def _cluster_rewrite(self, sort_exprs: list, n_files: int | None, meta: dict) -> str | None:
         """Layout rewrite, published under OCC (table services take the same
@@ -1854,6 +1893,7 @@ class Table:
         cols: list[str],
         n_files: int | None = None,
         zorder: bool = False,
+        hilbert: bool = False,
         bits: int = 8,
     ) -> str | None:
         """Cut a ``clusteringplan`` instant (Hudi's ``replacecommit.requested``
@@ -1875,12 +1915,15 @@ class Table:
         files. Returns None too when the table is already fully in layout."""
         if self.config.n_buckets or self.config.bucket_ranges:
             raise ValueError("sort/zorder clustering conflicts with bucket-index routing")
+        if zorder and hilbert:
+            raise ValueError("pick one layout strategy: zorder or hilbert")
         n = n_files or max(self.spark.sparkContext.defaultParallelism, 8)
-        layout = (
-            {"operation": "cluster_zorder", "zorder_cols": cols, "zorder_bits": bits, "target_files": n}
-            if zorder
-            else {"operation": "cluster_sort", "sort_cols": cols, "target_files": n}
-        )
+        if zorder:
+            layout = {"operation": "cluster_zorder", "zorder_cols": cols, "zorder_bits": bits, "target_files": n}
+        elif hilbert:
+            layout = {"operation": "cluster_hilbert", "hilbert_cols": cols, "hilbert_bits": bits, "target_files": n}
+        else:
+            layout = {"operation": "cluster_sort", "sort_cols": cols, "target_files": n}
         old_files, _ = self.timeline.live_files()
         if any(a == "deltacommit" for _, a in old_files.values()):
             return None
@@ -1943,6 +1986,10 @@ class Table:
         if layout["operation"] == "cluster_zorder":
             sort_exprs = [
                 self._zorder_expr(current, layout["zorder_cols"], layout["zorder_bits"])
+            ]
+        elif layout["operation"] == "cluster_hilbert":
+            sort_exprs = [
+                self._hilbert_expr(current, layout["hilbert_cols"], layout["hilbert_bits"])
             ]
         else:
             sort_exprs = [F.col(c) for c in layout["sort_cols"]]
