@@ -161,6 +161,11 @@ def main() -> None:
                     extras["record_lookup_files"] = dict(
                         getattr(state[0], "last_record_lookup", {}) or {}
                     )
+                elif name == "tbl_zorder_layout":
+                    # prove the morton layout skips files on BOTH dimensions
+                    extras["zorder_prune"] = dict(
+                        getattr(state, "bench_zorder_evidence", {}) or {}
+                    )
                 elif name == "tbl_bootstrap_onboard":
                     # prove zero-rewrite onboarding: every file hardlinked; the
                     # op time vs tbl_upsert_cow's build (same data, native

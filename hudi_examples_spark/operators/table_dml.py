@@ -1611,6 +1611,36 @@ def bench_phases():
             "n_files INT, n_linked INT",
         )
 
+    def zorder_build(spark, sf):
+        """Fixture for the multi-dim layout evidence row: 16 unsorted
+        lineitem files with per-file stats on both dimensions."""
+        base = os.path.join(_workdir("bench_zorder", sf), "tbl")
+        tbl = Table.create(
+            spark,
+            base,
+            "l_orderkey BIGINT, l_suppkey BIGINT, l_quantity DOUBLE",
+            TableConfig(stats_cols=["l_orderkey", "l_suppkey"]),
+        )
+        li = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+        tbl.insert(li.repartition(16))
+        return tbl
+
+    def zorder_op(spark, sf, tbl):
+        """Measured op: the z-order rewrite itself; evidence: a narrow scan
+        on EACH dimension afterwards, recording files scanned vs total —
+        the multi-dim data-skipping win a linear sort can't give."""
+        tbl.cluster_zorder(["l_orderkey", "l_suppkey"], n_files=16)
+        s1 = tbl.scan([("l_orderkey", ">=", 100), ("l_orderkey", "<=", 400)])
+        d1 = dict(tbl.last_scan)
+        s2 = tbl.scan([("l_suppkey", ">=", 1), ("l_suppkey", "<=", 3)])
+        d2 = dict(tbl.last_scan)
+        tbl.bench_zorder_evidence = {
+            "total_files": d1.get("total", 0),
+            "dim1_scanned": d1.get("scanned", 0),
+            "dim2_scanned": d2.get("scanned", 0),
+        }
+        return s1.select("l_orderkey").union(s2.select("l_suppkey"))
+
     return {
         "tbl_upsert_cow": (upsert_build("tbl_upsert_cow", "cow"), upsert_op),
         "tbl_upsert_mor": (upsert_build("tbl_upsert_mor", "mor"), upsert_op),
@@ -1620,4 +1650,5 @@ def bench_phases():
         "tbl_point_lookup": (point_lookup_build, point_lookup_op),
         "tbl_rli_lookup": (rli_lookup_build, rli_lookup_op),
         "tbl_bootstrap_onboard": (bootstrap_build, bootstrap_op),
+        "tbl_zorder_layout": (zorder_build, zorder_op),
     }
