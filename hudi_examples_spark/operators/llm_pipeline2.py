@@ -232,7 +232,11 @@ def fp_winnowing(spark: SparkSession, sf: str) -> DataFrame:
         .repartition(n)
         .select("doc_id", words("text").alias("__ws"))
     )
-    idx = F.sequence(F.lit(1), F.greatest(F.size("__ws") - 2, F.lit(0)))
+    # guard: sequence(1, 0) is DESCENDING in Spark ([1, 0]) — a 1-2 word doc
+    # must produce an empty gram array, not out-of-bounds element_at probes
+    idx = F.when(
+        F.size("__ws") >= 3, F.sequence(F.lit(1), F.size("__ws") - 2)
+    ).otherwise(F.array().cast("array<int>"))
     grams = d.select(
         "doc_id",
         F.posexplode(

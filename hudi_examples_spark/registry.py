@@ -14,6 +14,7 @@ def all_specs() -> list[QuerySpec]:
         llm_pipeline5,
         llm_pipeline6,
         llm_pipeline7,
+        llm_pipeline8,
         multimodal,
         relational,
         relational_ext,
@@ -40,6 +41,7 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(llm_pipeline5.SPECS)
     specs.extend(llm_pipeline6.SPECS)
     specs.extend(llm_pipeline7.SPECS)
+    specs.extend(llm_pipeline8.SPECS)
     specs.extend(scale_ops.SPECS)
     specs.extend(streaming_gate.SPECS)
     specs.extend(multimodal.SPECS)
@@ -109,8 +111,15 @@ def all_specs() -> list[QuerySpec]:
         "tbl_zorder_prune",
         "tbl_join_view_incremental",
         "tbl_rollup_incremental",
+        # r5 debuts: exact-substring (passage-level) dedup — the Lee et al.
+        # 2022 family (window-hash spans + removal accounting), the one dedup
+        # granularity the registry lacked. Debut ops outrank refreshes — took
+        # dedup_exact's and sim_ivf_topk's refresh slots (r3 evidence, age 2,
+        # in policy; exact-hash dedup machinery stays covered by the seated
+        # dedup_clusters row, ANN by sim_pq_topk/sim_rrf_fusion).
+        "dedup_substring_spans",
+        "dedup_substring_removal",
         # r3-aged refreshes: dedup/ANN family (minhash + SemDeDup work r5)
-        "dedup_exact",
         "dedup_minhash_lsh",
         # r5 debuts: log compaction (stitch small MOR logs, no base rewrite)
         # and async clustering (schedule/execute layout split) — new r5 table
@@ -143,7 +152,6 @@ def all_specs() -> list[QuerySpec]:
         # 8-byte codes — the memory-bound 100 TB retrieval path). Debut ops
         # outrank refreshes — took sim_ann_lsh's slot (r3 evidence, age 2).
         "sim_pq_topk",
-        "sim_ivf_topk",
         # r5 debut: BM25 ranked retrieval (pre-filtered tf shuffle, broadcast
         # idf/stats, TakeOrdered top-k). Debut ops outrank refreshes — took
         # j_asof_join's refresh slot (r3 evidence, age 2, in policy).

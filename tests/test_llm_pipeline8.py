@@ -1,0 +1,110 @@
+"""Exact-substring (passage-level) dedup semantics — planted passages."""
+
+from __future__ import annotations
+
+import glob
+import shutil
+
+from hudi_examples_spark.operators.llm_pipeline8 import (
+    SPAN_W,
+    dedup_substring_removal,
+    dedup_substring_spans,
+)
+from tests.conftest import SF_SMALL
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    shutil.copy(
+        glob.glob(str(tmp_path / "docs" / "*.parquet"))[0],
+        str(tmp_path / "documents.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_planted_passage_found_with_exact_span(spark, tmp_path):
+    # a 10-token passage shared verbatim by docs 1 and 2, embedded at
+    # different offsets inside otherwise-unique text; doc 3 is clean.
+    passage = " ".join(f"p{i}" for i in range(10))
+    d1 = "a1 a2 a3 " + passage + " a4 a5"  # tokens 4..13 duplicated
+    d2 = passage + " b1 b2 b3 b4"  # tokens 1..10 duplicated
+    d3 = " ".join(f"c{i}" for i in range(12))
+    sf = _write_docs(spark, tmp_path, [(1, d1), (2, d2), (3, d3)])
+    spans = {r["doc_id"]: r for r in dedup_substring_spans(spark, sf).collect()}
+    assert set(spans) == {1, 2}
+    assert (spans[1]["span_start"], spans[1]["span_end"]) == (4, 13)
+    assert (spans[2]["span_start"], spans[2]["span_end"]) == (1, 10)
+    assert spans[1]["span_len"] == 10
+    # 10-token span carries 10 - W + 1 windows
+    assert spans[1]["n_windows"] == 10 - SPAN_W + 1
+
+
+def test_disjoint_passages_stay_separate_spans(spark, tmp_path):
+    p1 = " ".join(f"x{i}" for i in range(SPAN_W))
+    p2 = " ".join(f"y{i}" for i in range(SPAN_W))
+    # doc 1 carries both passages separated by unique filler > 1 token
+    d1 = p1 + " u1 u2 u3 " + p2
+    sf = _write_docs(spark, tmp_path, [(1, d1), (2, p1), (3, p2)])
+    spans = [
+        (r["span_start"], r["span_end"])
+        for r in dedup_substring_spans(spark, sf).collect()
+        if r["doc_id"] == 1
+    ]
+    assert spans == [(1, SPAN_W), (SPAN_W + 4, 2 * SPAN_W + 3)]
+
+
+def test_removal_accounting_and_fully_dup_flag(spark, tmp_path):
+    passage = " ".join(f"p{i}" for i in range(SPAN_W + 2))
+    d1 = passage  # fully duplicated
+    d2 = passage + " z1 z2 z3"  # partially duplicated
+    d3 = "short doc"  # < W tokens: never flagged
+    sf = _write_docs(spark, tmp_path, [(1, d1), (2, d2), (3, d3)])
+    out = {r["doc_id"]: r for r in dedup_substring_removal(spark, sf).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["fully_dup"] == 1 and out[1]["kept_tokens"] == 0
+    assert out[2]["fully_dup"] == 0
+    assert out[2]["dup_tokens"] == SPAN_W + 2
+    assert out[2]["kept_tokens"] == 3
+    assert out[3]["dup_tokens"] == 0 and out[3]["kept_tokens"] == 2
+
+
+def test_no_false_positives_on_unique_corpus(spark, tmp_path):
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(15))) for i in range(5)]
+    sf = _write_docs(spark, tmp_path, rows)
+    assert dedup_substring_spans(spark, sf).count() == 0
+    out = dedup_substring_removal(spark, sf).collect()
+    assert all(r["dup_tokens"] == 0 for r in out) and len(out) == 5
+
+
+def test_short_docs_tolerated_across_window_ops(spark, tmp_path):
+    # sequence(1, 0) is descending in Spark — 1-2 token docs must not blow
+    # up element_at in any sliding-window op (regression: fp_winnowing too)
+    from hudi_examples_spark.operators.llm_pipeline2 import fp_winnowing
+
+    sf = _write_docs(spark, tmp_path, [(1, "one"), (2, "two words"), (3, "a b c d")])
+    assert dedup_substring_spans(spark, sf).count() == 0
+    assert {r["doc_id"] for r in dedup_substring_removal(spark, sf).collect()} == {
+        1,
+        2,
+        3,
+    }
+    # winnowing excludes <3-word docs but must not error on them
+    assert {r["doc_id"] for r in fp_winnowing(spark, sf).collect()} == {3}
+
+
+def test_runs_on_sf_small_and_spans_cover_windows(spark):
+    spans = dedup_substring_spans(spark, SF_SMALL).collect()
+    for r in spans:
+        assert r["span_len"] >= SPAN_W
+        assert 1 <= r["n_windows"] <= r["span_len"] - SPAN_W + 1
+        assert r["span_end"] >= r["span_start"]
+    rem = dedup_substring_removal(spark, SF_SMALL).collect()
+    n_docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    assert len(rem) == n_docs
+    for r in rem:
+        assert 0 <= r["dup_tokens"] <= r["n_tokens"]
+        assert r["kept_tokens"] == r["n_tokens"] - r["dup_tokens"]
