@@ -1162,6 +1162,93 @@ WHERE c_mktsegment <> 'BUILDING'
 """
 
 
+def tbl_metadata_tvf(spark: SparkSession, sf: str) -> DataFrame:
+    """Hudi 1.0 ``hudi_metadata()`` TVF under the oracle gate: the metadata
+    table's own accounting must reproduce the data. After the standard
+    insert + upsert lifecycle on a COW table with footer stats and a record
+    index, the hashed row set is built FROM the metadata partitions — per
+    hive partition, ``num_rows`` comes from ``metadata('partitions')``
+    (live-manifest footer sums, zero data reads), and three consistency
+    markers certify the other partitions: ``files_ok`` (every partition
+    lists >=1 live file), ``stats_ok`` (per-partition min/max of the
+    ``acctbal`` stats column recomposed from ``metadata('column_stats')``
+    equals the snapshot's true min/max), ``rli_ok`` (distinct
+    ``record_index`` keys equal the snapshot row count — the complete-
+    superset contract restricted to live files). The oracle computes the
+    same partition counts from raw SQL and pins every marker true."""
+    base = os.path.join(_workdir("tbl_metadata_tvf", sf), "tbl")
+    tbl = Table.create(
+        spark,
+        base,
+        CUST_SCHEMA,
+        TableConfig(
+            record_key=["c_custkey"],
+            precombine="v",
+            partition_by=["seg"],
+            stats_cols=["acctbal"],
+        ),
+    )
+    tbl.insert(_cust_df(spark, sf))
+    tbl.create_record_index()
+    tbl.upsert(_upsert_batch(spark, sf))
+
+    parts = tbl.metadata("partitions").select(
+        "partition",
+        "num_rows",
+        (F.col("n_files") >= 1).cast("long").alias("files_ok"),
+    )
+    # recompose per-partition stats bounds from the column_stats partition
+    cs = (
+        tbl.metadata("column_stats")
+        .filter(F.col("col_name") == "acctbal")
+        .select(
+            F.split("file_name", "/")[0].alias("partition"),
+            F.col("min_value").cast("double").alias("mn"),
+            F.col("max_value").cast("double").alias("mx"),
+        )
+        .groupBy("partition")
+        .agg(F.min("mn").alias("meta_min"), F.max("mx").alias("meta_max"))
+    )
+    truth = (
+        tbl.read()
+        .groupBy("seg")
+        .agg(F.min("acctbal").alias("t_min"), F.max("acctbal").alias("t_max"))
+        .select(F.concat(F.lit("seg="), "seg").alias("partition"), "t_min", "t_max")
+    )
+    stats = cs.join(truth, "partition").select(
+        "partition",
+        ((F.col("meta_min") == F.col("t_min")) & (F.col("meta_max") == F.col("t_max")))
+        .cast("long")
+        .alias("stats_ok"),
+    )
+    n_keys = tbl.metadata("record_index").select("record_key").distinct().count()
+    n_rows = tbl.read().count()
+    rli_ok = 1 if n_keys == n_rows else 0
+    return (
+        parts.join(stats, "partition")
+        .select(
+            "partition",
+            "num_rows",
+            "files_ok",
+            "stats_ok",
+            F.lit(rli_ok).cast("long").alias("rli_ok"),
+        )
+        .orderBy("partition")
+    )
+
+
+TBL_METADATA_ORACLE = """
+WITH final AS (
+  SELECT c_custkey, c_mktsegment AS seg FROM customer
+  UNION ALL
+  SELECT c_custkey + 1000000, c_mktsegment FROM customer WHERE c_custkey % 13 = 0
+)
+SELECT 'seg=' || seg AS partition, count(*)::BIGINT AS num_rows,
+       1::BIGINT AS files_ok, 1::BIGINT AS stats_ok, 1::BIGINT AS rli_ok
+FROM final GROUP BY seg ORDER BY partition
+"""
+
+
 def tbl_record_index(spark: SparkSession, sf: str) -> DataFrame:
     """Record-level index lifecycle (Hudi 1.0 RLI,
     ``hoodie.metadata.record.index.enable``): a global (key → file) mapping
@@ -1380,6 +1467,12 @@ SPECS: list[QuerySpec] = [
         tbl_record_index,
         TBL_RECORD_INDEX_ORACLE,
         "Hudi 1.0 record-level index: exact key→file write planning",
+    ),
+    QuerySpec(
+        "tbl_metadata_tvf",
+        tbl_metadata_tvf,
+        TBL_METADATA_ORACLE,
+        "Hudi 1.0 hudi_metadata() TVF: files/partitions/column_stats/record_index",
     ),
     QuerySpec(
         "tbl_partition_lifecycle",

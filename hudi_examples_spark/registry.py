@@ -137,7 +137,13 @@ def all_specs() -> list[QuerySpec]:
         # retrieval). Debut ops outrank refreshes — took dedup_embed_ann's
         # slot (r3 evidence, age 2, in policy).
         "sim_rrf_fusion",
-        "dedup_embed_cosine",
+        # r5 debut: the hudi_metadata() TVF (metadata-table partitions must
+        # reproduce the data: partition row counts from footer sums +
+        # column_stats/record_index consistency markers). Debut ops outrank
+        # refreshes — took dedup_embed_cosine's slot (r3 evidence, age 2, in
+        # policy; the cosine path stays covered by sim_rrf_fusion/sim_pq_topk
+        # and the seated dedup_semantic machinery).
+        "tbl_metadata_tvf",
         # r5 debut: bootstrap (METADATA_ONLY zero-rewrite onboarding + the
         # upsert lifecycle over linked, skeleton-less files under the hash
         # gate). Debut ops outrank refreshes — took sim_brute_topk's slot

@@ -745,5 +745,18 @@ class Engine:
             s,
             flags=re.I,
         )
+
+        # Hudi 1.0 metadata-table TVF: hudi_metadata('tbl', 'files' |
+        # 'partitions' | 'column_stats' | 'bloom_filters' | 'record_index')
+        def meta_repl(mm):
+            df = self.table(mm.group(1)).metadata(mm.group(2))
+            return self._fresh_view(df, "metadata")
+
+        s = re.sub(
+            r"hudi_metadata\(\s*'(\w+)'\s*,\s*'(\w+)'\s*\)",
+            meta_repl,
+            s,
+            flags=re.I,
+        )
         self._register_snapshots()
         return self.spark.sql(s)

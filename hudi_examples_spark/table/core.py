@@ -1535,6 +1535,16 @@ class Table:
         df = self._snapshot_of(files, cand).drop(*META_COLS)
         return df.filter(F.col(kcol) == F.lit(value))
 
+    def metadata(self, part: str) -> DataFrame:
+        """Hudi 1.0 metadata-table read (``hudi_metadata('<t>', '<part>')``
+        TVF): ``files`` / ``partitions`` / ``column_stats`` /
+        ``bloom_filters`` / ``record_index`` rendered as queryable
+        DataFrames from the manifest + sidecars — see
+        ``table/metadata.py`` for the partition schemas and scale stance."""
+        from hudi_examples_spark.table.metadata import metadata_df
+
+        return metadata_df(self, part)
+
     def _prune_files_by_keys(self, rels: list[str], keys_df: DataFrame) -> list[str]:
         """Drop files whose recorded record-key [min, max] range cannot contain
         any key in ``keys_df`` (a DataFrame with a ``_hoodie_record_key``
