@@ -272,6 +272,14 @@ class TableConfig:
     #: broadcast + mapPartitions over the incoming keys (never collected).
     bloom_index: bool = False
     bloom_fpp: float = 1e-4
+    #: marker-based early conflict detection (Hudi
+    #: ``hoodie.write.concurrency.early.conflict.detection.enable``): COW
+    #: writers drop a plan marker before the merge job and fail fast when an
+    #: in-flight writer's marker overlaps their footprint — aborting BEFORE
+    #: the rewrite burns cluster hours, instead of at publish OCC. Best-
+    #: effort by design (publish OCC stays the correctness gate, exactly as
+    #: in Hudi): a lost marker race is caught at publish like today.
+    early_conflict_detection: bool = False
     #: bumped on every schema evolution; while 0 every live file shares the
     #: declared schema, so reads skip parquet mergeSchema (whose footer-merge
     #: costs a Spark job per read) — evolved tables pay it, fresh ones don't
@@ -3197,35 +3205,44 @@ class Table:
                 touched_rels = [
                     r for r in files if self._partition_path_of(r) in touched
                 ]
-        existing = self._read_files(touched_rels, with_deleted=False)
+        if self.config.early_conflict_detection:
+            # marker out our planned footprint, then fail fast on an
+            # in-flight overlap — BEFORE the merge/rewrite job below runs
+            self._write_conflict_marker(instant, touched_rels, touched)
+            self._early_conflict_check(instant, touched_rels, touched)
+        try:
+            existing = self._read_files(touched_rels, with_deleted=False)
 
-        survivors = existing
-        if deletes is not None:
-            if self.config.record_key:
-                del_keys = deletes.select(
-                    self._key_expr().alias(META_KEY) if META_KEY not in deletes.columns else F.col(META_KEY)
-                ).distinct()
-                survivors = survivors.join(del_keys, META_KEY, "left_anti")
+            survivors = existing
+            if deletes is not None:
+                if self.config.record_key:
+                    del_keys = deletes.select(
+                        self._key_expr().alias(META_KEY) if META_KEY not in deletes.columns else F.col(META_KEY)
+                    ).distinct()
+                    survivors = survivors.join(del_keys, META_KEY, "left_anti")
+                else:
+                    # pk-less table: delete by full-row match
+                    survivors = survivors.join(
+                        deletes.select(*self.data_cols), self.data_cols, "left_anti"
+                    )
+
+            if upserts is not None:
+                incoming = self._with_meta(upserts, instant)
+                merged = self._latest_wins(survivors.unionByName(incoming))
             else:
-                # pk-less table: delete by full-row match
-                survivors = survivors.join(
-                    deletes.select(*self.data_cols), self.data_cols, "left_anti"
-                )
+                merged = survivors
 
-        if upserts is not None:
-            incoming = self._with_meta(upserts, instant)
-            merged = self._latest_wins(survivors.unionByName(incoming))
-        else:
-            merged = survivors
-
-        rels = self._write_files(merged, instant)
-        self._maintain_indexes(rels)
-        self._publish_occ(
-            Instant(instant, "commit", rels, touched_rels, {"operation": op, **(extra_meta or {})}),
-            since=_latest,
-            partitions=touched,
-        )
-        return instant
+            rels = self._write_files(merged, instant)
+            self._maintain_indexes(rels)
+            self._publish_occ(
+                Instant(instant, "commit", rels, touched_rels, {"operation": op, **(extra_meta or {})}),
+                since=_latest,
+                partitions=touched,
+            )
+            return instant
+        finally:
+            if self.config.early_conflict_detection:
+                shutil.rmtree(self._marker_dir(instant), ignore_errors=True)
 
     def _apply_mor(
         self,
@@ -3281,6 +3298,77 @@ class Table:
     #: stale-lock expiry — a publish holds the lock for milliseconds (conflict
     #: scan + one rename), so anything older than this is a dead holder
     LOCK_TTL_SECONDS = 60.0
+
+    MARKERS_DIR = ".markers"
+
+    def _marker_dir(self, instant: str) -> str:
+        return os.path.join(self.base, self.MARKERS_DIR, instant)
+
+    def _write_conflict_marker(
+        self, instant: str, rels: list[str], partitions: set | None
+    ) -> None:
+        """Publish this write's planned footprint as a marker (the in-flight
+        analogue of Hudi's marker files under ``.hoodie/.temp/<instant>``).
+        One JSON per writer — O(1) files, not per-data-file markers, because
+        the conflict unit here matches publish OCC (partitions, plus exact
+        rels for the rewrite set)."""
+        d = self._marker_dir(instant)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, ".plan.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "rels": sorted(rels),
+                    "partitions": sorted(partitions) if partitions is not None else None,
+                },
+                f,
+            )
+        os.replace(tmp, os.path.join(d, "plan.json"))
+
+    def _early_conflict_check(
+        self, instant: str, rels: list[str], partitions: set | None
+    ) -> None:
+        """Fail fast if an IN-FLIGHT writer's marker overlaps our footprint —
+        Hudi's early conflict detection (SimpleDirectMarkerBasedDetection
+        shape): the expensive merge/rewrite job hasn't run yet, so aborting
+        here costs planning only. Semantics mirror publish OCC: partition
+        overlap conflicts (file overlap implies it), and an unpartitioned
+        footprint (``partitions is None`` on either side) conflicts with any
+        concurrent writer. Deterministic tie-break — the LOWER instant
+        proceeds, the later-minted writer aborts — so two racing writers
+        never both give up. Best-effort: a marker published after our scan
+        is caught at publish OCC, never missed entirely."""
+        root = os.path.join(self.base, self.MARKERS_DIR)
+        if not os.path.isdir(root):
+            return
+        completed = {i.instant for i in self.timeline.instants()}
+        now = _time.time()
+        for other in sorted(os.listdir(root)):
+            if other >= instant or other in completed:
+                # >= ours: the later writer does the aborting, not us;
+                # completed: its footprint is publish-OCC's business now
+                continue
+            p = os.path.join(root, other, "plan.json")
+            try:
+                if (now - os.path.getmtime(p)) > self.LOCK_TTL_SECONDS:
+                    continue  # dead writer's leftover; heal sweeps it
+                with open(p) as f:
+                    plan = json.load(f)
+            except (OSError, ValueError):
+                continue  # mid-write or swept marker: not evidence
+            their_parts = plan.get("partitions")
+            if partitions is None or their_parts is None:
+                overlap: set | bool = True  # a full-table rewrite on either side
+            else:
+                overlap = (set(their_parts) & partitions) or (
+                    set(plan.get("rels", [])) & set(rels)
+                )
+            if overlap:
+                shutil.rmtree(self._marker_dir(instant), ignore_errors=True)
+                raise ConcurrentWriteConflict(
+                    f"early conflict detection: in-flight writer {other} "
+                    f"already claims footprint overlapping {instant}"
+                )
 
     def _publish_occ(
         self,
@@ -4223,6 +4311,21 @@ class Table:
                     continue  # possibly an in-flight write's staging dir
                 shutil.rmtree(p, ignore_errors=True)
                 removed.append(os.path.join(".staging", d))
+        # crashed early-conflict markers: completed writers clean up after
+        # themselves (try/finally in _apply_cow); anything left past the
+        # lock TTL belongs to a dead writer and would fail-fast live writers
+        # for no reason. Age floor = LOCK_TTL even in immediate mode — the
+        # conflict checker itself ignores markers past the TTL, so sweeping
+        # younger ones could only break an IN-FLIGHT writer's cleanup.
+        markers_root = os.path.join(self.base, self.MARKERS_DIR)
+        if os.path.isdir(markers_root):
+            marker_age = max(min_age_seconds, self.LOCK_TTL_SECONDS)
+            completed = {i.instant for i in self.timeline.instants()}
+            for d in os.listdir(markers_root):
+                p = os.path.join(markers_root, d)
+                if d in completed or _older(p, marker_age):
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed.append(os.path.join(self.MARKERS_DIR, d))
         for root, dirs, fns in os.walk(self.base):
             # engine sidecar dirs hold parquet/json the TIMELINE doesn't
             # reference by design (the secondary-index datasets especially) —
