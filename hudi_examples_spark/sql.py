@@ -455,6 +455,31 @@ class Engine:
             rep = tbl.run_services()
             rows = [(k, json.dumps(v, default=str)) for k, v in rep.items()]
             return self.spark.createDataFrame(rows, "service STRING, result STRING")
+        if proc == "run_indexing":
+            # Hudi 1.0 async indexing (HoodieIndexer schedule/execute split):
+            # CALL run_indexing('t', 'schedule', 'record_index') |
+            # CALL run_indexing('t', 'schedule', 'secondary', '<col>') |
+            # CALL run_indexing('t', 'schedule', 'expression', '<name>', '<expr>') |
+            # CALL run_indexing('t'[, 'execute'])  — run the oldest pending plan
+            parts = [p.strip().strip("'") for p in (arg or "").split(",") if p.strip()]
+            if parts and parts[0].lower() == "schedule":
+                kind = parts[1] if len(parts) > 1 else "record_index"
+                tbl.schedule_indexing(
+                    kind,
+                    name=parts[2] if len(parts) > 2 else None,
+                    expr=parts[3] if len(parts) > 3 else None,
+                )
+            else:
+                tbl.run_indexing()
+            return None
+        if proc == "show_indexing":
+            rows = [
+                (i.instant, i.meta.get("kind", ""), i.meta.get("name", ""))
+                for i in tbl.pending_indexings()
+            ]
+            return self.spark.createDataFrame(
+                rows, "plan_instant STRING, kind STRING, name STRING"
+            )
         if proc == "rebuild_index":
             if not arg:
                 raise ValueError("rebuild_index requires the index name")

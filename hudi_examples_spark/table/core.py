@@ -3716,6 +3716,85 @@ class Table:
         self.timeline.remove(plan.instant)
         return out
 
+    def schedule_indexing(
+        self, kind: str, name: str | None = None, expr: str | None = None
+    ) -> str:
+        """Cut an ``indexingplan`` instant — the schedule half of Hudi 1.0's
+        async indexing (``hoodie.metadata.index.async=true`` + the standalone
+        HoodieIndexer job's ``--mode scheduleAndExecute``): building an index
+        over a 100 TB table is a full-scan job no writer should run inline,
+        so CREATE INDEX records intent and a service process executes it.
+
+        ``kind``: ``"record_index"``; ``"secondary"`` with ``name`` = the
+        column; or ``"expression"`` with ``name`` + ``expr``. Scheduling an
+        index that already exists plans a generational REBUILD (compact the
+        superset / re-certify after rollback invalidation). Unlike
+        compaction/clustering plans, indexing plans pin no files and are
+        never voided by table motion: the generational build (snapshot scan
+        + locked catch-up + writer-side publish re-append guard) absorbs
+        every commit that lands between schedule and execute."""
+        if kind == "record_index":
+            if not self.config.record_key:
+                raise ValueError("record index requires a record key")
+            meta = {"kind": kind}
+        elif kind == "secondary":
+            if not name or name not in self.schema.names:
+                raise ValueError(f"secondary indexing needs an existing column, got {name!r}")
+            meta = {"kind": kind, "name": name, "expr": name}
+        elif kind == "expression":
+            if not name or not expr:
+                raise ValueError("expression indexing needs name and expr")
+            meta = {"kind": kind, "name": name, "expr": expr}
+        else:
+            raise ValueError(f"unknown indexing kind {kind!r}")
+        instant = new_instant()
+        self.timeline.write(
+            Instant(
+                instant,
+                "indexingplan",
+                [],
+                [],
+                {"operation": "indexing_schedule", **meta},
+            )
+        )
+        return instant
+
+    def pending_indexings(self) -> list[Instant]:
+        """Scheduled-but-not-executed indexing plans, oldest first."""
+        return sorted(
+            (i for i in self.timeline.instants() if i.action == "indexingplan"),
+            key=lambda i: i.instant,
+        )
+
+    def run_indexing(self, plan_instant: str | None = None) -> str | None:
+        """Execute one pending indexing plan (the HoodieIndexer execute half;
+        ``run_services`` calls this once per pass). Idempotent by
+        construction — absent index → build, present index → generational
+        rebuild — so re-running after a crash or an OCC loss is safe; the
+        plan instant is removed only after the build publishes."""
+        pending = self.pending_indexings()
+        if plan_instant is not None:
+            pending = [i for i in pending if i.instant == plan_instant]
+        if not pending:
+            return None
+        plan = pending[0]
+        kind = plan.meta["kind"]
+        if kind == "record_index":
+            if self._record_index_meta() is None:
+                self.create_record_index()
+            else:
+                self.rebuild_record_index()
+            built = "record_index"
+        else:
+            name = plan.meta["name"]
+            if self._index_meta(name) is None:
+                self.create_expression_index(name, plan.meta["expr"])
+            else:
+                self.rebuild_index(name)
+            built = name
+        self.timeline.remove(plan.instant)
+        return built
+
     def _late_publishers(self, plan: Instant) -> list[str]:
         """Completed data instants minted BEFORE the plan that were not on the
         timeline when the plan was cut — writers whose log rows can predate a
@@ -3837,6 +3916,13 @@ class Table:
             except ConcurrentWriteConflict:
                 report["bucket_split"] = None
         report["cleaned"] = self.clean(retain_commits=clean_retain)
+        if self.pending_indexings():
+            # async indexing executor half (HoodieIndexer): build/rebuild the
+            # oldest scheduled index — one full-scan job per pass, bounded
+            try:
+                report["indexing_plan_executed"] = self.run_indexing()
+            except ConcurrentWriteConflict:
+                report["indexing_plan_executed"] = None
         rebuilt = []
         names = self.secondary_index_cols()
         rmeta = self._record_index_meta()

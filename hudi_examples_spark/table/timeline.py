@@ -129,7 +129,8 @@ class Timeline:
             i
             for i in insts
             if i.instant < boundary
-            and i.action not in ("savepoint", "compactionplan", "clusteringplan")
+            and i.action
+            not in ("savepoint", "compactionplan", "clusteringplan", "indexingplan")
         ]
         if not to_archive:
             return 0
