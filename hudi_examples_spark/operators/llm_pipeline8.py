@@ -211,6 +211,164 @@ ORDER BY n.doc_id
 )
 
 
+# ---------------------------------------------------------------------------
+# Distributed BPE merge training (Sennrich et al. 2016, arXiv:1508.07909)
+# ---------------------------------------------------------------------------
+
+#: merge rounds the battery runs. Real tokenizer training runs 30k-100k
+#: rounds over the same per-round plan; R only bounds the driver loop, never
+#: the distributed shape.
+BPE_ROUNDS = 4
+
+
+def tok_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """First ``BPE_ROUNDS`` byte-pair-encoding merges learned from the corpus
+    — the tokenizer-training primitive (Sennrich et al. 2016), distributed
+    the way SentencePiece/HF trainers shard it: all statistics live on the
+    WORD-TYPE table (distinct word, occurrence count), which is the only
+    state that must scale, not the raw token stream.
+
+    Per round, fully declarative — no driver-side data:
+    - adjacent symbol pairs weighted by word counts (one map-side-combined
+      aggregation), best pair = max count, ties lexicographic;
+    - the 1-row best pair broadcasts back onto the symbol table;
+    - greedy left-to-right merge as a gaps-and-islands window pass: runs of
+      consecutive matching positions keep odd ranks (for a≠b runs are
+      singletons, so one formula covers the aa-chain overlap case exactly);
+    - positions renumber and the next round sees the merged symbols.
+      ``localCheckpoint`` truncates the 4-round lineage so Catalyst never
+      re-derives earlier rounds.
+
+    Output: one exact-integer row per merge round. Same greedy semantics in
+    the DuckDB oracle, generated as one CTE chain per round."""
+    wt = (
+        _docs(spark, sf)
+        .select(F.explode(words("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # (w, cnt, pos, s): the word split into single-character start symbols
+    cur = wt.select(
+        "w",
+        "cnt",
+        F.posexplode(
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        ).alias("p", "s"),
+    ).select("w", "cnt", (F.col("p") + 1).alias("pos"), "s")
+    per_round: list[DataFrame] = []
+    for r in range(1, BPE_ROUNDS + 1):
+        cur = cur.localCheckpoint(eager=True)
+        w_next = Window.partitionBy("w").orderBy("pos")
+        with_nxt = cur.withColumn("nxt", F.lead("s").over(w_next))
+        best = (
+            with_nxt.filter(F.col("nxt").isNotNull())
+            .groupBy("s", "nxt")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), F.asc("s"), F.asc("nxt"))
+            .limit(1)
+            .select(
+                F.col("s").alias("pa"), F.col("nxt").alias("pb"), F.col("c").alias("pc")
+            )
+        ).localCheckpoint(eager=True)
+        per_round.append(
+            best.select(
+                F.lit(r).cast("long").alias("merge_round"),
+                F.concat_ws("+", "pa", "pb").alias("pair"),
+                F.concat("pa", "pb").alias("merged_token"),
+                F.col("pc").cast("long").alias("pair_count"),
+            )
+        )
+        j = with_nxt.crossJoin(F.broadcast(best))
+        matches = j.filter((F.col("s") == F.col("pa")) & (F.col("nxt") == F.col("pb")))
+        w_m = Window.partitionBy("w").orderBy("pos")
+        grp = (F.col("pos") - F.row_number().over(w_m)).alias("grp")
+        w_g = Window.partitionBy("w", "grp").orderBy("pos")
+        starts = (
+            matches.select("w", "pos", grp)
+            .withColumn("rk", F.row_number().over(w_g))
+            .filter(F.col("rk") % 2 == 1)  # greedy: odd ranks inside a run
+            .select("w", F.col("pos").alias("mpos"))
+        )
+        st1 = starts.withColumnRenamed("mpos", "pos")
+        st2 = starts.select("w", (F.col("mpos") + 1).alias("pos"), F.lit(1).alias("gone"))
+        rebuilt = (
+            j.join(st1.withColumn("hit", F.lit(1)), ["w", "pos"], "left")
+            .join(st2, ["w", "pos"], "left")
+            .filter(F.col("gone").isNull())
+            .select(
+                "w",
+                "cnt",
+                "pos",
+                F.when(F.col("hit") == 1, F.concat("pa", "pb")).otherwise(F.col("s")).alias("s"),
+            )
+        )
+        cur = rebuilt.select(
+            "w",
+            "cnt",
+            F.row_number().over(Window.partitionBy("w").orderBy("pos")).alias("pos"),
+            "s",
+        )
+    out = per_round[0]
+    for df in per_round[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("merge_round")
+
+
+def _bpe_oracle() -> str:
+    """Generate the BPE_ROUNDS-round oracle as one CTE chain (same greedy
+    islands formula, same tie-break)."""
+    parts = [
+        """
+WITH wt AS (
+  SELECT w, count(*)::BIGINT AS cnt FROM (
+    SELECT unnest(list_filter(str_split(trim(text), ' '), x -> x <> '')) AS w
+    FROM documents) GROUP BY w
+), s1 AS (
+  SELECT w, cnt, i AS pos, substr(w, i, 1) AS s
+  FROM (SELECT w, cnt, unnest(generate_series(1, length(w))) AS i FROM wt)
+)"""
+    ]
+    for r in range(1, BPE_ROUNDS + 1):
+        parts.append(
+            f"""
+, n{r} AS (
+  SELECT w, cnt, pos, s,
+         lead(s) OVER (PARTITION BY w ORDER BY pos) AS nxt
+  FROM s{r}
+), b{r} AS (
+  SELECT s AS pa, nxt AS pb, sum(cnt)::BIGINT AS pc
+  FROM n{r} WHERE nxt IS NOT NULL
+  GROUP BY s, nxt ORDER BY pc DESC, pa ASC, pb ASC LIMIT 1
+), m{r} AS (
+  SELECT w, pos,
+         pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS grp
+  FROM n{r}, b{r} WHERE s = pa AND nxt = pb
+), st{r} AS (
+  SELECT w, pos FROM (
+    SELECT w, pos, row_number() OVER (PARTITION BY w, grp ORDER BY pos) AS rk
+    FROM m{r}) WHERE rk % 2 = 1
+), s{r + 1} AS (
+  SELECT w, cnt,
+         row_number() OVER (PARTITION BY w ORDER BY pos) AS pos,
+         CASE WHEN hit THEN (SELECT pa || pb FROM b{r}) ELSE s END AS s
+  FROM (
+    SELECT n.w, n.cnt, n.pos, n.s,
+           EXISTS (SELECT 1 FROM st{r} t WHERE t.w = n.w AND t.pos = n.pos) AS hit
+    FROM n{r} n
+    WHERE NOT EXISTS (SELECT 1 FROM st{r} t WHERE t.w = n.w AND t.pos = n.pos - 1))
+)"""
+        )
+    selects = [
+        f"SELECT {r}::BIGINT AS merge_round, pa || '+' || pb AS pair, "
+        f"pa || pb AS merged_token, pc AS pair_count FROM b{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY merge_round"
+
+
+TOK_BPE_ORACLE = _bpe_oracle()
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "dedup_substring_spans",
@@ -223,5 +381,11 @@ SPECS: list[QuerySpec] = [
         dedup_substring_removal,
         DEDUP_SUBSTRING_REMOVAL_ORACLE,
         "LLM:dedup exact-substring removal accounting",
+    ),
+    QuerySpec(
+        "tok_bpe_merges",
+        tok_bpe_merges,
+        TOK_BPE_ORACLE,
+        "LLM:tokenizer BPE merge training (Sennrich et al. 2016)",
     ),
 ]

@@ -128,7 +128,13 @@ def all_specs() -> list[QuerySpec]:
         # slots (untouched code, r3 evidence, age 2, within policy).
         "tbl_log_compaction",
         "tbl_async_clustering",
-        "dedup_clusters",
+        # r5 debut: distributed BPE merge training (word-type statistics,
+        # 1-row best-pair broadcast, islands-window greedy merge — the
+        # tokenizer-training primitive). Debut ops outrank refreshes — took
+        # dedup_clusters's slot (r3 evidence, age 2, in policy; the
+        # cluster-closure machinery stays covered by the seated
+        # dedup_keep_best row's r4 green + sweep).
+        "tok_bpe_merges",
         # r5 debut: bloom-prefiltered cross-corpus decontamination (partial
         # blooms OR-merged, vectorized probe, exact confirm join). Took
         # dedup_cross_corpus's refresh slot (same family, r3 evidence age 2).

@@ -96,6 +96,65 @@ def test_short_docs_tolerated_across_window_ops(spark, tmp_path):
     assert {r["doc_id"] for r in fp_winnowing(spark, sf).collect()} == {3}
 
 
+def _reference_bpe(word_counts, rounds):
+    """Tiny single-node BPE with the same greedy/tie-break semantics."""
+    syms = {w: list(w) for w in word_counts}
+    out = []
+    for _ in range(rounds):
+        pairs = {}
+        for w, cnt in word_counts.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] = pairs.get((s[i], s[i + 1]), 0) + cnt
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), c = best
+        out.append((a, b, c))
+        for w in syms:
+            s, new, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    new.append(a + b)
+                    i += 2  # greedy left-to-right
+                else:
+                    new.append(s[i])
+                    i += 1
+            syms[w] = new
+    return out
+
+
+def test_bpe_matches_reference_implementation(spark, tmp_path):
+    from hudi_examples_spark.operators.llm_pipeline8 import BPE_ROUNDS, tok_bpe_merges
+
+    # classic corpus + an overlap word (aaaa) pinning the greedy semantics
+    docs = [
+        (1, "low low low low low lower lower newest newest"),
+        (2, "newest newest newest newest widest widest aaaa aaaa"),
+        (3, "widest lowest aaaa"),
+    ]
+    counts: dict[str, int] = {}
+    for _, t_ in docs:
+        for w in t_.split():
+            counts[w] = counts.get(w, 0) + 1
+    expect = _reference_bpe(counts, BPE_ROUNDS)
+    sf = _write_docs(spark, tmp_path, docs)
+    got = [
+        (r["pair"], r["merged_token"], r["pair_count"])
+        for r in tok_bpe_merges(spark, sf).collect()
+    ]
+    assert got == [(f"{a}+{b}", a + b, c) for a, b, c in expect]
+
+
+def test_bpe_overlap_chain_merges_greedily(spark, tmp_path):
+    from hudi_examples_spark.operators.llm_pipeline8 import tok_bpe_merges
+
+    # 6 'aaaa' words: round 1 pair (a,a) has count 3 per word * 6 = 18 and
+    # each word merges into [aa, aa]; round 2 then merges (aa, aa)
+    sf = _write_docs(spark, tmp_path, [(1, " ".join(["aaaa"] * 6))])
+    rows = tok_bpe_merges(spark, sf).collect()
+    assert (rows[0]["pair"], rows[0]["pair_count"]) == ("a+a", 18)
+    assert (rows[1]["pair"], rows[1]["pair_count"]) == ("aa+aa", 6)
+
+
 def test_runs_on_sf_small_and_spans_cover_windows(spark):
     spans = dedup_substring_spans(spark, SF_SMALL).collect()
     for r in spans:
