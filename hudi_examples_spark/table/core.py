@@ -3311,19 +3311,31 @@ class Table:
         analogue of Hudi's marker files under ``.hoodie/.temp/<instant>``).
         One JSON per writer — O(1) files, not per-data-file markers, because
         the conflict unit here matches publish OCC (partitions, plus exact
-        rels for the rewrite set)."""
+        rels for the rewrite set).
+
+        Same-millisecond instant ids from DIFFERENT processes are a real
+        cross-process event (publish OCC rejects them too): the tmp name is
+        per-PID so concurrent writers never collide on it, and any OSError
+        from a same-instant writer sweeping the shared dir mid-write maps to
+        ``ConcurrentWriteConflict`` — the caller re-mints and retries, the
+        exact semantics a publish-time id collision has."""
         d = self._marker_dir(instant)
-        os.makedirs(d, exist_ok=True)
-        tmp = os.path.join(d, ".plan.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "rels": sorted(rels),
-                    "partitions": sorted(partitions) if partitions is not None else None,
-                },
-                f,
-            )
-        os.replace(tmp, os.path.join(d, "plan.json"))
+        try:
+            os.makedirs(d, exist_ok=True)
+            tmp = os.path.join(d, f".plan.{os.getpid()}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(
+                    {
+                        "rels": sorted(rels),
+                        "partitions": sorted(partitions) if partitions is not None else None,
+                    },
+                    f,
+                )
+            os.replace(tmp, os.path.join(d, "plan.json"))
+        except OSError as e:
+            raise ConcurrentWriteConflict(
+                f"marker write for {instant} raced a same-instant writer: {e}"
+            ) from e
 
     def _early_conflict_check(
         self, instant: str, rels: list[str], partitions: set | None
