@@ -1741,50 +1741,101 @@ class Table:
             {"operation": "cluster_sort", "sort_cols": cols, "target_files": n},
         )
 
-    def cluster_zorder(self, cols: list[str], n_files: int | None = None, bits: int = 8) -> str | None:
-        """Z-order clustering: interleave the bit representations of uniformly
+    def cluster_zorder(
+        self,
+        cols: list[str],
+        n_files: int | None = None,
+        bits: int = 8,
+        build: str = "uniform",
+    ) -> str | None:
+        """Z-order clustering: interleave the bit representations of
         quantized columns into one morton key, then range-layout on it — files
         get locality in EVERY listed dimension, so ``scan`` prunes on any of
         them (the multi-column answer where ``cluster_sort`` only helps its
-        leading column). Quantization bounds come from one tiny min/max agg;
-        the interleave is pure JVM bit arithmetic."""
-        z = self._zorder_expr(self.read(), cols, bits)
+        leading column). ``build="uniform"`` quantizes between one tiny
+        min/max agg; ``build="sample"`` uses rank-based approxQuantile
+        boundaries (Hudi's sample build) so skewed dimensions keep their
+        pruning power. The interleave is pure JVM bit arithmetic."""
+        z = self._zorder_expr(self.read(), cols, bits, build)
         n = n_files or max(self.spark.sparkContext.defaultParallelism, 8)
         return self._cluster_rewrite(
             [z],
             n,
-            # bits is part of the layout identity: a different quantization
-            # granularity is a different layout, never an incremental no-op
-            {"operation": "cluster_zorder", "zorder_cols": cols, "zorder_bits": bits, "target_files": n},
+            # bits and build are part of the layout identity: a different
+            # quantization is a different layout, never an incremental no-op
+            {
+                "operation": "cluster_zorder",
+                "zorder_cols": cols,
+                "zorder_bits": bits,
+                "zorder_build": build,
+                "target_files": n,
+            },
         )
 
-    def cluster_hilbert(self, cols: list[str], n_files: int | None = None, bits: int = 8) -> str | None:
+    def cluster_hilbert(
+        self,
+        cols: list[str],
+        n_files: int | None = None,
+        bits: int = 8,
+        build: str = "uniform",
+    ) -> str | None:
         """Hilbert-curve clustering (``hoodie.layout.optimize.strategy=
         hilbert``): like :meth:`cluster_zorder` but ordered by Hilbert
         distance — consecutive curve positions are always orthogonal grid
         neighbours, so per-file bucket ranges come out tighter than the
         morton interleave's z-jumps and ``scan`` prunes at least as well on
         every listed dimension."""
-        z = self._hilbert_expr(self.read(), cols, bits)
+        z = self._hilbert_expr(self.read(), cols, bits, build)
         n = n_files or max(self.spark.sparkContext.defaultParallelism, 8)
         return self._cluster_rewrite(
             [z],
             n,
-            {"operation": "cluster_hilbert", "hilbert_cols": cols, "hilbert_bits": bits, "target_files": n},
+            {
+                "operation": "cluster_hilbert",
+                "hilbert_cols": cols,
+                "hilbert_bits": bits,
+                "hilbert_build": build,
+                "target_files": n,
+            },
         )
 
     @staticmethod
-    def _bucket_exprs(df: DataFrame, cols: list[str], bits: int) -> list:
-        """Uniformly quantized bucket expressions (bigint in [0, 2**bits))
-        for each column: bounds come from one tiny min/max agg over ``df``.
-        Bounds are quantization hints only — per-file min/max stats stay
+    def _bucket_exprs(
+        df: DataFrame, cols: list[str], bits: int, build: str = "uniform"
+    ) -> list:
+        """Quantized bucket expressions (bigint in [0, 2**bits)) per column.
+
+        ``build="uniform"``: equal-width buckets between one tiny min/max agg
+        — Hudi's default spatial-curve build. ``build="sample"``: RANK-based
+        boundaries from ``approxQuantile`` (Hudi's
+        ``hoodie.layout.optimize.build.curve.sample.*`` method) — under a
+        skewed dimension equal-width quantization collapses most rows into
+        one bucket and that dimension stops contributing pruning power;
+        equal-HEIGHT buckets keep every bucket populated. The per-row bucket
+        is ``count(boundaries < x)`` over the broadcast boundary array
+        (JVM higher-order filter — O(2^bits) comparisons per row, paid only
+        inside a clustering rewrite that rewrites every byte anyway). Either
+        way bounds are quantization hints only — per-file min/max stats stay
         truthful regardless, which is all ``scan`` pruning relies on."""
+        n_buckets = 1 << bits
+        out = []
+        if build == "sample":
+            probs = [i / n_buckets for i in range(1, n_buckets)]
+            allq = df.approxQuantile([c for c in cols], probs, 0.001)
+            for c, qs in zip(cols, allq):
+                arr = F.array(*[F.lit(float(q)) for q in qs])
+                out.append(
+                    F.size(
+                        F.filter(arr, lambda b: b < F.col(c).cast("double"))
+                    ).cast("bigint")
+                )
+            return out
+        if build != "uniform":
+            raise ValueError(f"unknown curve build method {build!r}")
         bounds = df.agg(
             *[F.min(c).cast("double").alias(f"lo_{c}") for c in cols],
             *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
         ).collect()[0]
-        n_buckets = 1 << bits
-        out = []
         for c in cols:
             lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
             span = ((hi - lo) if lo is not None and hi is not None else 0) or 1.0
@@ -1801,11 +1852,11 @@ class Table:
         return out
 
     @classmethod
-    def _zorder_expr(cls, df: DataFrame, cols: list[str], bits: int):
-        """Morton-interleave expression over uniformly quantized columns —
+    def _zorder_expr(cls, df: DataFrame, cols: list[str], bits: int, build: str = "uniform"):
+        """Morton-interleave expression over quantized columns —
         pure JVM bit arithmetic (no UDF)."""
         z = F.lit(0).cast("bigint")
-        for ci, b in enumerate(cls._bucket_exprs(df, cols, bits)):
+        for ci, b in enumerate(cls._bucket_exprs(df, cols, bits, build)):
             for bit in range(bits):
                 z = z + F.shiftleft(
                     F.shiftright(b, bit).bitwiseAND(F.lit(1)), bit * len(cols) + ci
@@ -1813,15 +1864,15 @@ class Table:
         return z
 
     @classmethod
-    def _hilbert_expr(cls, df: DataFrame, cols: list[str], bits: int):
-        """Hilbert-distance expression over uniformly quantized columns
+    def _hilbert_expr(cls, df: DataFrame, cols: list[str], bits: int, build: str = "uniform"):
+        """Hilbert-distance expression over quantized columns
         (Hudi's third ``hoodie.layout.optimize.strategy``): same quantization
         as z-order, curve position via the Arrow-vectorized Skilling
         transform (see :mod:`hudi_examples_spark.table.hilbert` for why the
         recurrence can't unroll into Catalyst expressions)."""
         from hudi_examples_spark.table.hilbert import hilbert_udf
 
-        return hilbert_udf(len(cols), bits)(*cls._bucket_exprs(df, cols, bits))
+        return hilbert_udf(len(cols), bits)(*cls._bucket_exprs(df, cols, bits, build))
 
     def _cluster_rewrite(self, sort_exprs: list, n_files: int | None, meta: dict) -> str | None:
         """Layout rewrite, published under OCC (table services take the same
@@ -1913,6 +1964,7 @@ class Table:
         zorder: bool = False,
         hilbert: bool = False,
         bits: int = 8,
+        build: str = "uniform",
     ) -> str | None:
         """Cut a ``clusteringplan`` instant (Hudi's ``replacecommit.requested``
         for async clustering — the reference enables exactly this split with
@@ -1937,9 +1989,21 @@ class Table:
             raise ValueError("pick one layout strategy: zorder or hilbert")
         n = n_files or max(self.spark.sparkContext.defaultParallelism, 8)
         if zorder:
-            layout = {"operation": "cluster_zorder", "zorder_cols": cols, "zorder_bits": bits, "target_files": n}
+            layout = {
+                "operation": "cluster_zorder",
+                "zorder_cols": cols,
+                "zorder_bits": bits,
+                "zorder_build": build,
+                "target_files": n,
+            }
         elif hilbert:
-            layout = {"operation": "cluster_hilbert", "hilbert_cols": cols, "hilbert_bits": bits, "target_files": n}
+            layout = {
+                "operation": "cluster_hilbert",
+                "hilbert_cols": cols,
+                "hilbert_bits": bits,
+                "hilbert_build": build,
+                "target_files": n,
+            }
         else:
             layout = {"operation": "cluster_sort", "sort_cols": cols, "target_files": n}
         old_files, _ = self.timeline.live_files()
@@ -2003,11 +2067,21 @@ class Table:
         current = self._snapshot_of(files, rewrite)
         if layout["operation"] == "cluster_zorder":
             sort_exprs = [
-                self._zorder_expr(current, layout["zorder_cols"], layout["zorder_bits"])
+                self._zorder_expr(
+                    current,
+                    layout["zorder_cols"],
+                    layout["zorder_bits"],
+                    layout.get("zorder_build", "uniform"),
+                )
             ]
         elif layout["operation"] == "cluster_hilbert":
             sort_exprs = [
-                self._hilbert_expr(current, layout["hilbert_cols"], layout["hilbert_bits"])
+                self._hilbert_expr(
+                    current,
+                    layout["hilbert_cols"],
+                    layout["hilbert_bits"],
+                    layout.get("hilbert_build", "uniform"),
+                )
             ]
         else:
             sort_exprs = [F.col(c) for c in layout["sort_cols"]]

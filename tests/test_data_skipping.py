@@ -117,6 +117,47 @@ def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
     assert sk_pruned > 0, "z-order must prune on the second dimension too"
 
 
+def test_sample_build_restores_pruning_under_skew(spark, tmp_path):
+    """Hudi's sample curve build vs uniform under a skewed dimension: with
+    95% of values packed into a sliver of the range, equal-width buckets put
+    the dense mass into ONE bucket and the dimension stops pruning; rank-
+    based (approxQuantile) boundaries keep every bucket populated, so a
+    dense-region scan prunes strictly more files. Build method is part of
+    the layout identity (switching it is a rewrite, repeating it a no-op)."""
+    from pyspark.sql import functions as F
+
+    tbl = Table.create(
+        spark,
+        str(tmp_path / "sk"),
+        "a BIGINT, b BIGINT, x DOUBLE",
+        TableConfig(stats_cols=["a", "b"]),
+    )
+    n = 20000
+    df = spark.range(n).select(
+        (F.col("id") % 997).alias("a"),
+        # 95% of rows: b in [0, 20); 5%: spread to 1e6 (the skew)
+        F.when(F.col("id") % 20 != 0, F.col("id") % 20)
+        .otherwise((F.col("id") % 1000) * 1000)
+        .alias("b"),
+        (F.col("id") * 1.0).alias("x"),
+    )
+    tbl.insert(df.repartition(16))
+
+    def dense_scan_stats(build):
+        tbl.cluster_zorder(["a", "b"], n_files=16, build=build)
+        want = _rows(tbl.read().filter("b >= 3 AND b <= 6"))
+        got = tbl.scan([("b", ">=", 3), ("b", "<=", 6)])
+        assert _rows(got) == want
+        return tbl.last_scan
+
+    uni = dense_scan_stats("uniform")
+    inst1 = tbl.cluster_zorder(["a", "b"], n_files=16, build="uniform")
+    assert inst1 is None  # same spec: incremental no-op
+    smp = dense_scan_stats("sample")  # build switch: a real rewrite ran
+    assert smp["scanned"] < uni["scanned"], (uni, smp)
+    assert smp["pruned"] > uni["pruned"]
+
+
 def test_clean_gcs_stats_sidecars(spark, tmp_path):
     """Cleaned files disappear from the key-range index sidecars too, so
     pruning joins stay O(live files) on long-lived tables."""
