@@ -41,6 +41,7 @@ from pyspark.sql.window import Window
 from hudi_examples_spark.functions.text import words
 from hudi_examples_spark.operators.llm_pipeline5 import _docs
 from hudi_examples_spark.operators.spec import QuerySpec
+from hudi_examples_spark.sources.readers import load_sf_table as t
 
 #: Window width in tokens. Lee et al. use 50-token windows at corpus scale;
 #: the test corpus' documents run ~30 tokens, so the battery fixes W=6 —
@@ -369,6 +370,122 @@ WITH wt AS (
 TOK_BPE_ORACLE = _bpe_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd's algorithm) over embeddings
+# ---------------------------------------------------------------------------
+
+#: clusters, Lloyd update rounds, and the integer quantization grid. Every
+#: SemDeDup/IVF-style pipeline stage upstream assumes "cluster assignments
+#: exist"; this op is the one that PRODUCES them. Exact integer math end to
+#: end (quantized coordinates, floor-div centroids, integer distances) so the
+#: driver gate hashes BIGINTs — same trick as text_unigram_lm_score.
+KM_K = 8
+KM_ITERS = 2
+KM_SCALE = 1000
+KM_SHIFT = 1000  # embeddings live in [-1, 1]: shift keeps coordinates >= 0
+KM_DIMS = 64
+
+
+def emb_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
+    """Lloyd's k-means over the embeddings table, KM_ITERS centroid updates
+    then a final assignment — the clustering step SemDeDup/IVF consume.
+
+    Distributed shape (the standard one): centroids are the ONLY global
+    state, K·d rows broadcast each round; assignment is one broadcast join +
+    per-vector aggregation (O(n·K·d) work, no shuffle of the vectors
+    themselves beyond their own key); the centroid update is one
+    map-side-combined groupBy. ``localCheckpoint`` truncates the per-round
+    lineage exactly like ``tok_bpe_merges``.
+
+    Exactness: coordinates quantize to the KM_SCALE grid SHIFTED
+    non-negative, so the floor-division centroid update means truncating and
+    floor division agree between engines; distances and inertia are exact
+    BIGINTs; argmin ties break on the lower cluster id. Clusters that lose
+    every member simply drop out of the next round (deterministic on both
+    sides). Seeds are the first KM_K vec_ids — deterministic, no RNG."""
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    q = e.select("vec_id", F.posexplode("embedding").alias("d0", "x")).select(
+        "vec_id",
+        (F.col("d0") + 1).alias("dim"),
+        (F.floor(F.col("x").cast("double") * KM_SCALE) + KM_SHIFT)
+        .cast("long")
+        .alias("q"),
+    )
+    q = q.localCheckpoint(eager=True)
+    cent = q.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("c"), "dim", F.col("q").alias("cq")
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        d = (
+            q.join(F.broadcast(centroids), "dim")
+            .groupBy("vec_id", "c")
+            .agg(
+                F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))).alias(
+                    "dist"
+                )
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "c")
+        return (
+            d.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "c", "dist")
+        )
+
+    for _ in range(KM_ITERS):
+        a = assign(cent)
+        cent = (
+            q.join(a.select("vec_id", "c"), "vec_id")
+            .groupBy("c", "dim")
+            .agg(F.expr("sum(q) DIV count(1)").cast("long").alias("cq"))
+        ).localCheckpoint(eager=True)
+    final = assign(cent)
+    return final.select(
+        "vec_id",
+        F.col("c").cast("long").alias("cluster"),
+        F.col("dist").cast("long").alias("dist"),
+    ).orderBy("vec_id")
+
+
+def _kmeans_oracle() -> str:
+    assign_tpl = """
+, a{r} AS (
+  SELECT vec_id, c, dist FROM (
+    SELECT vec_id, c, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rk
+    FROM (SELECT q.vec_id, ct.c,
+                 sum((q.q - ct.cq) * (q.q - ct.cq))::BIGINT AS dist
+          FROM q JOIN c{p} ct USING (dim) GROUP BY q.vec_id, ct.c))
+  WHERE rk = 1
+)"""
+    update_tpl = """
+, c{r} AS (
+  SELECT a.c, q.dim, (sum(q.q) // count(*))::BIGINT AS cq
+  FROM q JOIN a{r} a USING (vec_id) GROUP BY a.c, q.dim
+)"""
+    sql = f"""
+WITH q AS (
+  SELECT vec_id, i AS dim,
+         (floor(embedding[i] * {KM_SCALE})::BIGINT + {KM_SHIFT}) AS q
+  FROM (SELECT vec_id, embedding,
+               unnest(generate_series(1, {KM_DIMS})) AS i
+        FROM embeddings)
+), c0 AS (
+  SELECT vec_id AS c, dim, q AS cq FROM q WHERE vec_id < {KM_K}
+)"""
+    for r in range(1, KM_ITERS + 1):
+        sql += assign_tpl.format(r=r, p=r - 1) + update_tpl.format(r=r)
+    sql += assign_tpl.format(r=KM_ITERS + 1, p=KM_ITERS)
+    sql += f"""
+SELECT vec_id, c::BIGINT AS cluster, dist FROM a{KM_ITERS + 1} ORDER BY vec_id
+"""
+    return sql
+
+
+EMB_KMEANS_ORACLE = _kmeans_oracle()
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "dedup_substring_spans",
@@ -387,5 +504,11 @@ SPECS: list[QuerySpec] = [
         tok_bpe_merges,
         TOK_BPE_ORACLE,
         "LLM:tokenizer BPE merge training (Sennrich et al. 2016)",
+    ),
+    QuerySpec(
+        "emb_kmeans_lloyd",
+        emb_kmeans_lloyd,
+        EMB_KMEANS_ORACLE,
+        "LLM:distributed k-means (Lloyd) cluster assignments",
     ),
 ]

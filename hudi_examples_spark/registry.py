@@ -109,7 +109,13 @@ def all_specs() -> list[QuerySpec]:
         # single-dimension sort-clustered pruning is a strict subset of what
         # this spec certifies: same scan ≡ filter equivalence, two dims).
         "tbl_zorder_prune",
-        "tbl_join_view_incremental",
+        # r5 debut: distributed k-means (Lloyd) cluster assignments — the
+        # step SemDeDup/IVF assume already exists; exact-integer math under
+        # the hash gate. Debut ops outrank refreshes — took
+        # tbl_join_view_incremental's slot (r3 evidence, age 2, in policy;
+        # the CDC-IVM machinery stays covered by the seated
+        # tbl_rollup_incremental row).
+        "emb_kmeans_lloyd",
         "tbl_rollup_incremental",
         # r5 debuts: exact-substring (passage-level) dedup — the Lee et al.
         # 2022 family (window-hash spans + removal accounting), the one dedup

@@ -155,6 +155,60 @@ def test_bpe_overlap_chain_merges_greedily(spark, tmp_path):
     assert (rows[1]["pair"], rows[1]["pair_count"]) == ("aa+aa", 6)
 
 
+def test_kmeans_recovers_planted_blobs(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import FloatType
+
+    from hudi_examples_spark.operators.llm_pipeline8 import (
+        KM_DIMS,
+        KM_K,
+        emb_kmeans_lloyd,
+    )
+
+    # 3 tight, well-separated blobs along different axes; seeds 0..KM_K-1
+    # include at least one member of each blob
+    def vec(axis, eps):
+        v = [0.0] * KM_DIMS
+        v[axis] = 0.9
+        v[(axis + 1) % KM_DIMS] = eps
+        return v
+
+    rows = []
+    for i in range(60):
+        blob = i % 3
+        rows.append((i, vec(blob * 10, 0.001 * (i % 5)), blob))
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>, label INT"
+    ).select(
+        "vec_id",
+        F.col("embedding").cast("array<float>").alias("embedding"),
+        "label",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "emb"))
+    import glob as g
+    import shutil as sh
+
+    sh.copy(
+        g.glob(str(tmp_path / "emb" / "*.parquet"))[0],
+        str(tmp_path / "embeddings.parquet"),
+    )
+    out = emb_kmeans_lloyd(spark, str(tmp_path)).collect()
+    assert len(out) == 60
+    # KM_K=8 seeds over 3 blobs: blobs may split into sub-clusters, but no
+    # final cluster may ever MIX blobs (the separation is >> intra-blob eps)
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"] % 3)
+    assert all(len(blobs) == 1 for blobs in by_cluster.values()), by_cluster
+    # all 3 blobs are represented across the final clusters
+    assert {next(iter(b)) for b in by_cluster.values()} == {0, 1, 2}
+    # deterministic: a second run returns the identical assignment
+    again = emb_kmeans_lloyd(spark, str(tmp_path)).collect()
+    assert [(r["vec_id"], r["cluster"], r["dist"]) for r in out] == [
+        (r["vec_id"], r["cluster"], r["dist"]) for r in again
+    ]
+
+
 def test_runs_on_sf_small_and_spans_cover_windows(spark):
     spans = dedup_substring_spans(spark, SF_SMALL).collect()
     for r in spans:
