@@ -223,7 +223,11 @@ def test_run_services_during_write_storm(spark, tmp_path):
     conc = Table.create(spark, str(tmp_path / "conc"), SCHEMA, TableConfig(**CFG))
     conc.insert(base_df)
     conc.create_secondary_index("tag")
-    conc.create_record_index()  # (key → file) mapping must survive the same storm
+    # the record index is built ASYNC, mid-storm: the plan is cut here and a
+    # run_services pass executes it while both writers churn — the
+    # generational build + locked catch-up + publish re-append guard must
+    # yield a complete index even though most commits land during the build
+    conc.schedule_indexing("record_index")
 
     ctx = mp.get_context("spawn")
     q = ctx.Queue()
@@ -258,6 +262,16 @@ def test_run_services_during_write_storm(spark, tmp_path):
     # --- index completeness after the storm --------------------------------
     meta = conc2._index_meta("tag")
     assert meta is not None and meta["valid"] is True
+    # the async indexing plan was executed mid-storm and the resulting
+    # record index is complete: the RLI point read equals the full scan
+    assert conc2.pending_indexings() == []
+    assert conc2._record_index_ready()
+    for probe in (0, N_ROWS // 2 + 1, N_ROWS - 1):
+        via_index = sorted(map(tuple, conc2.lookup_key(probe).collect()))
+        via_scan = sorted(
+            map(tuple, conc2.read().filter(f"k = {probe}").collect())
+        )
+        assert via_index == via_scan, f"k={probe}"
     for tv in ("t0", "t3", "t6"):
         via_index = sorted(r["k"] for r in conc2.lookup("tag", tv).select("k").collect())
         via_scan = sorted(
