@@ -72,8 +72,79 @@ def stream_corpus_ingest(spark: SparkSession, sf: str) -> DataFrame:
 STREAM_CORPUS_ORACLE = quality_sql("doc_id, lang") + "ORDER BY doc_id"
 
 
+def stream_dedup_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming content-hash dedup at ingest — the dedup-as-you-land gate a
+    training pipeline runs so duplicates never reach storage.
+
+    The documents stream in 4 availableNow micro-batches into a table KEYED
+    ON ``md5(text)``: the upsert sink's key merge IS the dedup (exactly-once
+    batch-id instants make replays idempotent; ``precombine=doc_id`` makes
+    the max doc_id the deterministic canonical copy across batch
+    boundaries). The final snapshot is the distinct-content corpus — the
+    streaming equivalent of ``dedup_exact``, certified against the batch
+    GROUP BY oracle. State stays in the TABLE (bloom/RLI-prunable keyed
+    storage), not in stream memory — the 100 TB answer to streaming dedup,
+    where dropDuplicates state would grow without bound."""
+    from hudi_examples_spark.streaming.sinks import stream_upsert_sink
+
+    work = _workdir("stream_dedup_ingest", sf)
+    src = os.path.join(work, "src")
+    docs = t(spark, sf, "documents").select("doc_id", "text", "n_chars")
+    docs.withColumn("chunk", (F.col("doc_id") % 4).cast("int")).write.partitionBy(
+        "chunk"
+    ).parquet(src)
+    tbl = Table.create(
+        spark,
+        os.path.join(work, "tbl"),
+        "h STRING, doc_id BIGINT, text STRING, n_chars BIGINT",
+        TableConfig(record_key=["h"], precombine="doc_id"),
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/chunk=*")
+        .select(F.md5("text").alias("h"), "doc_id", "text", "n_chars")
+    )
+    q = stream_upsert_sink(
+        stream,
+        tbl,
+        os.path.join(work, "ckpt"),
+        sink_name="dedup_gate",
+        trigger={"availableNow": True},
+        compact_every=None,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow drain did not finish within 300s")
+    n_commits = sum(
+        1
+        for i in tbl.timeline.completed_data_instants()
+        if i.meta.get("sink_name") == "dedup_gate"
+    )
+    if n_commits < 2:
+        raise AssertionError(f"expected multiple micro-batch commits, got {n_commits}")
+    return (
+        tbl.read()
+        .select("h", F.col("doc_id").alias("canonical_doc"), "n_chars")
+        .orderBy("h")
+    )
+
+
+STREAM_DEDUP_ORACLE = """
+SELECT md5(text) AS h, max(doc_id)::BIGINT AS canonical_doc,
+       max(n_chars)::BIGINT AS n_chars
+FROM documents GROUP BY md5(text) ORDER BY h
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "stream_corpus_ingest", stream_corpus_ingest, STREAM_CORPUS_ORACLE, "T1,T2,T3 gated"
+    ),
+    QuerySpec(
+        "stream_dedup_ingest",
+        stream_dedup_ingest,
+        STREAM_DEDUP_ORACLE,
+        "T1-T3 + LLM:dedup — streaming content-hash dedup gate",
     ),
 ]

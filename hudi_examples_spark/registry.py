@@ -102,7 +102,13 @@ def all_specs() -> list[QuerySpec]:
         "tbl_time_travel",
         "tbl_incremental",
         "tbl_cdc_query",
-        "tbl_cdc_rollback",
+        # r5 debut: streaming content-hash dedup gate (exactly-once upsert
+        # sink keyed on md5(text) — dedup state lives in the keyed table,
+        # not stream memory). Debut ops outrank refreshes — took
+        # tbl_cdc_rollback's slot (r3 evidence, age 2, in policy; CDC row
+        # kinds stay covered by the seated tbl_cdc_query, rollback recovery
+        # by tbl_batch_schedule's r4 green and the seated tbl_run_services).
+        "stream_dedup_ingest",
         # r5 debut: z-order clustering (morton layout + per-dimension file
         # pruning under the hash gate). Debut ops outrank refreshes — took
         # tbl_scan_pruned's refresh slot (r3 evidence, age 2, in policy; its
