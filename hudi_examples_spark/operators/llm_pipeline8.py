@@ -371,6 +371,82 @@ TOK_BPE_ORACLE = _bpe_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Length-bucketed batch planning (padding-efficient training batches)
+# ---------------------------------------------------------------------------
+
+#: power-of-two token-length buckets and the per-batch document count.
+#: Bucket membership is a CASE ladder over these fixed bounds (never float
+#: log2 — its boundary rounding differs across engines).
+LEN_BUCKETS = (16, 32, 64, 128, 256, 1024)
+LEN_BATCH_SIZE = 8
+LEN_SEED = "len42"
+
+
+def pipe_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-bucketed training batches: documents padded to the nearest
+    power-of-two token bound, batched WITHIN a bucket so batch padding waste
+    is bounded by the bucket's span — the standard dynamic-padding batching
+    step between "packed corpus" and "data loader".
+
+    Shape: one per-row token count, one window per (bucket) key for the
+    seeded rank (md5 order — deterministic, no RNG), batch id by integer
+    division. At 100 TB the bucket key would salt into (bucket, shard)
+    exactly like ``pipe_shuffle_order``; per-doc outputs stay exact ints."""
+    d = _docs(spark, sf).select(
+        "doc_id", F.size(words("text")).cast("long").alias("n_tokens")
+    )
+    bucket = F.lit(None).cast("long")
+    for b in reversed(LEN_BUCKETS):
+        bucket = F.when(F.col("n_tokens") <= b, F.lit(b)).otherwise(bucket)
+    d = d.filter(F.col("n_tokens") <= LEN_BUCKETS[-1]).select(
+        "doc_id",
+        "n_tokens",
+        bucket.alias("bucket"),
+        F.md5(F.concat(F.lit(LEN_SEED + ":"), F.col("doc_id").cast("string"))).alias(
+            "h"
+        ),
+    )
+    w = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "bucket",
+            F.expr(f"CAST((rk - 1) DIV {LEN_BATCH_SIZE} + 1 AS BIGINT)").alias(
+                "batch_id"
+            ),
+            (F.col("bucket") - F.col("n_tokens")).cast("long").alias("pad_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PIPE_LENGTH_BUCKETS_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         len(list_filter(str_split(trim(text), ' '), w -> w <> ''))::BIGINT
+           AS n_tokens
+  FROM documents
+), b AS (
+  SELECT doc_id, n_tokens,
+         CASE {" ".join(f"WHEN n_tokens <= {x} THEN {x}" for x in LEN_BUCKETS)}
+         END::BIGINT AS bucket,
+         md5('{LEN_SEED}:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM d WHERE n_tokens <= {LEN_BUCKETS[-1]}
+), r AS (
+  SELECT doc_id, n_tokens, bucket,
+         row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS rk
+  FROM b
+)
+SELECT doc_id, n_tokens, bucket,
+       ((rk - 1) // {LEN_BATCH_SIZE} + 1)::BIGINT AS batch_id,
+       (bucket - n_tokens)::BIGINT AS pad_tokens
+FROM r ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Distributed k-means (Lloyd's algorithm) over embeddings
 # ---------------------------------------------------------------------------
 
@@ -510,5 +586,11 @@ SPECS: list[QuerySpec] = [
         emb_kmeans_lloyd,
         EMB_KMEANS_ORACLE,
         "LLM:distributed k-means (Lloyd) cluster assignments",
+    ),
+    QuerySpec(
+        "pipe_length_buckets",
+        pipe_length_buckets,
+        PIPE_LENGTH_BUCKETS_ORACLE,
+        "LLM:length-bucketed padding-efficient batch planning",
     ),
 ]

@@ -98,7 +98,12 @@ def all_specs() -> list[QuerySpec]:
         # strict subset of what this spec certifies).
         "tbl_async_compaction",
         "tbl_merge_mixed",
-        "tbl_delete_where",
+        # r5 debut: length-bucketed batch planning (padding-efficient
+        # training batches). Debut ops outrank refreshes — took
+        # tbl_delete_where's slot (r3 evidence, age 2, in policy; the
+        # delete-write path stays covered by tbl_batch_schedule's r4 green,
+        # whose schedule runs delete batches every round).
+        "pipe_length_buckets",
         "tbl_time_travel",
         "tbl_incremental",
         "tbl_cdc_query",

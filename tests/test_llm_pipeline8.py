@@ -209,6 +209,31 @@ def test_kmeans_recovers_planted_blobs(spark, tmp_path):
     ]
 
 
+def test_length_buckets_batches_are_homogeneous_and_bounded(spark):
+    from hudi_examples_spark.operators.llm_pipeline8 import (
+        LEN_BATCH_SIZE,
+        pipe_length_buckets,
+    )
+
+    out = pipe_length_buckets(spark, SF_SMALL).collect()
+    assert out
+    by_batch: dict = {}
+    for r in out:
+        assert r["n_tokens"] <= r["bucket"]
+        assert r["pad_tokens"] == r["bucket"] - r["n_tokens"]
+        assert 0 <= r["pad_tokens"] < r["bucket"]  # never a whole-bucket waste
+        by_batch.setdefault((r["bucket"], r["batch_id"]), []).append(r)
+    for (bucket, _bid), rows in by_batch.items():
+        assert len(rows) <= LEN_BATCH_SIZE
+        assert all(r["bucket"] == bucket for r in rows)
+    # batch ids are dense per bucket: 1..n_batches with only the last partial
+    buckets = {b for b, _ in by_batch}
+    for b in buckets:
+        ids = sorted(bid for bb, bid in by_batch if bb == b)
+        assert ids == list(range(1, len(ids) + 1))
+        assert all(len(by_batch[(b, i)]) == LEN_BATCH_SIZE for i in ids[:-1])
+
+
 def test_runs_on_sf_small_and_spans_cover_windows(spark):
     spans = dedup_substring_spans(spark, SF_SMALL).collect()
     for r in spans:
