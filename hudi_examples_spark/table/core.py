@@ -938,7 +938,7 @@ class Table:
         d = os.path.join(self.base, self.INDEX_DIR, name)
         os.makedirs(d, exist_ok=True)
         snap = self.latest_instant() or ""
-        self._write_index_data(expr, os.path.join(d, "data"))
+        built = self._write_index_data(expr, os.path.join(d, "data"))
         # Publish the meta under the timeline lock, catching up commits that
         # landed after the snapshot read: a concurrent writer either published
         # before we took the lock (the catch-up append derives its entries) or
@@ -948,7 +948,7 @@ class Table:
         os.makedirs(os.path.dirname(lock), exist_ok=True)
         fd = _acquire_lock(lock, self.LOCK_TTL_SECONDS, 30.0)
         try:
-            self._index_catch_up(expr, os.path.join(d, "data"), snap)
+            self._index_catch_up(expr, os.path.join(d, "data"), set(built))
             self._write_index_meta(
                 name,
                 {"name": name, "expr": expr, "built_as_of": snap, "gen": 0, "valid": True},
@@ -1008,21 +1008,18 @@ class Table:
             .parquet(self._index_data_dir(name, meta))
         )
 
-    def _index_catch_up(self, expr: str, data_dir: str, since: str) -> None:
-        """Append (value, key) entries of every live file published after
-        ``since`` into ``data_dir``. Used under the timeline lock by index
-        build/rebuild to close the snapshot-to-swap race; duplicate entries
-        are superset-safe (``lookup`` re-applies the predicate). O(commits
-        since the snapshot), not O(table)."""
-        late = [
-            i
-            for i in self.timeline.completed_data_instants()
-            if i.instant > since and i.files_added
-        ]
-        if not late:
-            return
+    def _index_catch_up(self, expr: str, data_dir: str, built_rels: set[str]) -> None:
+        """Append (value, key) entries of every live file the fresh build did
+        NOT cover into ``data_dir``. Used under the timeline lock by index
+        build/rebuild to close the snapshot-to-swap race. FILE-delta, not
+        instant-delta: a slow writer whose instant id predates the build
+        snapshot can publish between the build's read and this locked swap
+        (its publish guard still saw the old generation) — an id-based
+        filter misses it, the set difference cannot (same fix as
+        ``_record_index_catch_up``). Duplicate entries are superset-safe
+        (``lookup`` re-applies the predicate). O(delta), not O(table)."""
         live = set(self.timeline.live_files()[0])
-        rels = sorted({r for i in late for r in i.files_added if r in live})
+        rels = sorted(live - built_rels)
         if not rels:
             return
         entries = (
@@ -1032,7 +1029,12 @@ class Table:
         )
         entries.write.mode("overwrite").parquet(self._index_append_dir(data_dir))
 
-    def _write_index_data(self, expr: str, data_dir: str) -> None:
+    def _write_index_data(self, expr: str, data_dir: str) -> list[str]:
+        """Build the full (value, key) mapping from the current snapshot;
+        returns the live rel list the snapshot was planned from (captured
+        BEFORE the read, so a file publishing mid-build lands in the
+        catch-up delta — at worst indexed twice, superset-safe)."""
+        built = sorted(self.timeline.live_files()[0])
         entries = (
             self.read(with_meta=True)
             .select(F.expr(expr).alias("val"), F.col(META_KEY).alias("key"))
@@ -1045,6 +1047,7 @@ class Table:
             .write.mode("overwrite")
             .parquet(data_dir)
         )
+        return built
 
     def secondary_index_cols(self) -> list[str]:
         d = os.path.join(self.base, self.INDEX_DIR)
@@ -1099,12 +1102,12 @@ class Table:
         new_gen = meta.get("gen", 0) + 1
         fresh = os.path.join(d, f"data_g{new_gen:04d}")
         shutil.rmtree(fresh, ignore_errors=True)
-        self._write_index_data(meta["expr"], fresh)
+        built = self._write_index_data(meta["expr"], fresh)
         lock = os.path.join(self.base, TIMELINE_DIR, "_lock")
         os.makedirs(os.path.dirname(lock), exist_ok=True)
         fd = _acquire_lock(lock, self.LOCK_TTL_SECONDS, 30.0)
         try:
-            self._index_catch_up(meta["expr"], fresh, snap)
+            self._index_catch_up(meta["expr"], fresh, set(built))
             meta.update({"gen": new_gen, "valid": True, "rebuilt_as_of": snap})
             self._write_index_meta(name, meta)
         finally:
@@ -1316,17 +1319,18 @@ class Table:
         d = os.path.join(self.base, self.RECORD_INDEX_DIR)
         os.makedirs(d, exist_ok=True)
         snap = self.latest_instant() or ""
-        self._write_record_index_data(os.path.join(d, "data"))
+        built = self._write_record_index_data(os.path.join(d, "data"))
         # same locked create protocol as the secondary indexes: catch up
-        # commits that landed after the snapshot read, then publish the meta —
-        # a concurrent writer either published before the lock (catch-up owns
-        # its entries) or publishes after meta exists (its publish-time
-        # maintenance sees the index)
+        # every live file the build did not index (file-delta — closes the
+        # slow-writer race an instant-id filter misses), then publish the
+        # meta — a concurrent writer either published before the lock
+        # (catch-up owns its entries) or publishes after meta exists (its
+        # publish-time maintenance sees the index)
         lock = os.path.join(self.base, TIMELINE_DIR, "_lock")
         os.makedirs(os.path.dirname(lock), exist_ok=True)
         fd = _acquire_lock(lock, self.LOCK_TTL_SECONDS, 30.0)
         try:
-            self._record_index_catch_up(os.path.join(d, "data"), snap)
+            self._record_index_catch_up(os.path.join(d, "data"), set(built))
             self._write_record_index_meta(
                 {"built_as_of": snap, "gen": 0, "valid": True}
             )
@@ -1406,7 +1410,10 @@ class Table:
             out = part if out is None else out.unionByName(part)
         return out
 
-    def _write_record_index_data(self, data_dir: str) -> None:
+    def _write_record_index_data(self, data_dir: str) -> list[str]:
+        """Build the full mapping from the CURRENT live files; returns the
+        rel list actually indexed so the locked catch-up can compute the
+        exact file delta."""
         live = sorted(self.timeline.live_files()[0])
         entries = self._record_entries_for(live)
         if entries is None:
@@ -1418,19 +1425,22 @@ class Table:
             .write.mode("overwrite")
             .parquet(data_dir)
         )
+        return live
 
-    def _record_index_catch_up(self, data_dir: str, since: str) -> None:
-        """Append entries of every live file published after ``since`` —
-        the locked build/rebuild race-closer, O(commits since snapshot)."""
-        late = [
-            i
-            for i in self.timeline.completed_data_instants()
-            if i.instant > since and i.files_added
-        ]
-        if not late:
-            return
+    def _record_index_catch_up(self, data_dir: str, built_rels: set[str]) -> None:
+        """Append entries of every live file the fresh build did NOT index —
+        the locked build/rebuild race-closer. FILE-delta, not instant-delta:
+        a slow writer whose instant id PREDATES the build snapshot can
+        publish between the build's live-file read and this locked swap (its
+        publish guard still saw the old generation, so it re-appended
+        nowhere), and an id-based "commits since snapshot" filter misses
+        exactly that writer — caught once by test_record_index's
+        writer+rebuild storm under heavy host contention. The set difference
+        against what the build actually indexed cannot miss anyone."""
         live = set(self.timeline.live_files()[0])
-        rels = sorted({r for i in late for r in i.files_added if r in live})
+        rels = sorted(live - built_rels)
+        if not rels:
+            return
         entries = self._record_entries_for(rels)
         if entries is not None:
             entries.write.mode("overwrite").parquet(self._index_append_dir(data_dir))
@@ -1449,12 +1459,12 @@ class Table:
         new_gen = meta.get("gen", 0) + 1
         fresh = os.path.join(d, f"data_g{new_gen:04d}")
         shutil.rmtree(fresh, ignore_errors=True)
-        self._write_record_index_data(fresh)
+        built = self._write_record_index_data(fresh)
         lock = os.path.join(self.base, TIMELINE_DIR, "_lock")
         os.makedirs(os.path.dirname(lock), exist_ok=True)
         fd = _acquire_lock(lock, self.LOCK_TTL_SECONDS, 30.0)
         try:
-            self._record_index_catch_up(fresh, snap)
+            self._record_index_catch_up(fresh, set(built))
             meta.update({"gen": new_gen, "valid": True, "rebuilt_as_of": snap})
             self._write_record_index_meta(meta)
         finally:
