@@ -1119,6 +1119,26 @@ class Table:
             c for c in self.schema.names if _re.search(rf"\b{_re.escape(c)}\b", expr)
         }
 
+    def _reject_indexed_column(self, col: str, verb: str) -> None:
+        """Schema evolution guard: a rename/drop of a column some index
+        expression references would leave the index's maintenance expression
+        pointing at a dead name — every later commit's maintenance would
+        fail and invalidate the index (silent lookup degradation at best).
+        Hudi-style answer: the evolution is rejected up front; drop or
+        rebuild the index first. (Defense in depth: if such a state arises
+        anyway via a stale handle, ``_maintain_indexes`` invalidates rather
+        than silently skipping.)"""
+        holders = [
+            name
+            for name in self.secondary_index_cols()
+            if col in self._index_expr_refs((self._index_meta(name) or {}).get("expr", ""))
+        ]
+        if holders:
+            raise ValueError(
+                f"cannot {verb} column {col}: referenced by secondary/expression "
+                f"index(es) {holders}; DROP INDEX first"
+            )
+
     def _maintain_indexes(self, rels: list[str], partial_cols: list[str] | None = None) -> None:
         """Append the (value, key) pairs of files just written to every
         secondary/expression index — one distributed column-pruned job per
@@ -1155,7 +1175,15 @@ class Table:
                     F.expr(meta["expr"]).alias("val"), F.col(META_KEY).alias("key")
                 )
             except Exception:
-                continue  # expression no longer analyzes (e.g. column dropped)
+                # the expression no longer analyzes (a schema change slipped
+                # past the rename/drop guards — e.g. a stale handle's
+                # evolution). A silent skip would leave a VALID-flagged index
+                # missing this commit's mappings: wrong lookup results.
+                # Invalidate instead — lookups fall back to scans until a
+                # rebuild re-certifies, the same contract as rollback.
+                meta["valid"] = False
+                self._write_index_meta(name, meta)
+                continue
             (
                 entries.where(F.col("val").isNotNull())
                 .write.mode("overwrite")
@@ -2345,6 +2373,7 @@ class Table:
                 raise ValueError(f"column {c} does not exist")
             if c in protected:
                 raise ValueError(f"column {c} is a key/precombine/partition column")
+            self._reject_indexed_column(c, "drop")
         drop = set(cols)
         # tombstone the whole rename chain, not just the logical name: old
         # files hold the dropped column's data under every historical name,
@@ -2379,6 +2408,7 @@ class Table:
             )
         if old in self._protected_cols():
             raise ValueError(f"column {old} is a key/precombine/partition column")
+        self._reject_indexed_column(old, "rename")
         self.schema = StructType(
             [
                 StructField(new, f.dataType, f.nullable) if f.name == old else f

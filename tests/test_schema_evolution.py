@@ -274,3 +274,37 @@ def test_drop_sql_rejects_malformed_statements(spark, tmp_path):
         with pytest.raises(ValueError, match="supported"):
             eng.sql(bad)
     assert "note" in eng.sql("SELECT * FROM t2").columns
+
+
+def test_rename_drop_of_indexed_column_rejected(spark, tbl):
+    """Evolving a column an index expression references would leave the
+    index maintenance pointing at a dead name (silently incomplete lookups)
+    — rejected up front; dropping the index unblocks the evolution."""
+    tbl.create_secondary_index("fare")
+    tbl.create_expression_index("fare_band", "CAST(fare / 10 AS INT)")
+    with pytest.raises(ValueError, match="referenced by secondary"):
+        tbl.rename_column("fare", "price")
+    with pytest.raises(ValueError, match="referenced by secondary"):
+        tbl.drop_columns(["fare"])
+    tbl.drop_secondary_index("fare")
+    with pytest.raises(ValueError, match="fare_band"):
+        tbl.rename_column("fare", "price")  # the expression index still holds it
+    tbl.drop_secondary_index("fare_band")
+    tbl.rename_column("fare", "price")
+    assert "price" in tbl.schema.names
+
+
+def test_dead_expr_maintenance_invalidates_not_silently_skips(spark, tbl):
+    """Defense in depth: if an index expression stops analyzing anyway (a
+    stale handle's evolution), commit maintenance must INVALIDATE the index
+    — a valid-flagged index that silently skipped a commit would answer
+    lookups with missing rows."""
+    tbl.create_secondary_index("fare")
+    # simulate the stale-handle outcome: corrupt the meta to a dead name
+    meta = tbl._index_meta("fare")
+    meta["expr"] = "no_such_column"
+    tbl._write_index_meta("fare", meta)
+    tbl.upsert(
+        spark.createDataFrame([(9, "z", 90.0)], "ts BIGINT, uuid STRING, fare DOUBLE")
+    )
+    assert tbl._index_meta("fare").get("valid") is False
