@@ -412,6 +412,16 @@ class Engine:
             cols = [c.strip().strip("'") for c in (arg or "").split(",") if c.strip()]
             if not cols:
                 raise ValueError(f"{proc} requires a column list")
+            # curve build switch (Hudi's sample build): a 'build=sample' /
+            # 'build=uniform' element anywhere in the list
+            build = "uniform"
+            kept = []
+            for c in cols:
+                if c.lower().startswith("build="):
+                    build = c.split("=", 1)[1].lower()
+                else:
+                    kept.append(c)
+            cols = kept
             # async split: a leading 'schedule' cuts a clusteringplan instead
             # of rewriting inline; 'execute' runs the oldest pending plan
             if cols and cols[0].lower() == "schedule":
@@ -419,15 +429,16 @@ class Engine:
                     cols[1:],
                     zorder=proc.endswith("zorder"),
                     hilbert=proc.endswith("hilbert"),
+                    build=build,
                 )
             elif cols and cols[0].lower() in ("execute", "run"):
                 tbl.run_clustering()
             elif proc == "run_clustering_sort":
                 tbl.cluster_sort(cols)
             elif proc == "run_clustering_hilbert":
-                tbl.cluster_hilbert(cols)
+                tbl.cluster_hilbert(cols, build=build)
             else:
-                tbl.cluster_zorder(cols)
+                tbl.cluster_zorder(cols, build=build)
             return None
         if proc == "show_clustering":
             rows = [

@@ -310,6 +310,16 @@ def test_call_clustering_sort_procedures(engine):
         for r in engine.sql("SELECT rider, fare FROM hudi_table").collect()
     }
     assert final == before
+    # the sample (rank-boundary) build is a DIFFERENT layout identity: it
+    # rewrites again and still preserves the view
+    engine.sql("CALL run_clustering_zorder('hudi_table', 'build=sample', 'fare', 'ts')")
+    commits = engine.sql("CALL show_commits('hudi_table')").collect()
+    assert any(c["operation"] == "cluster_zorder" for c in commits)
+    sampled = {
+        (r["rider"], r["fare"])
+        for r in engine.sql("SELECT rider, fare FROM hudi_table").collect()
+    }
+    assert sampled == before
 
 
 def test_create_index_ddl(engine):
