@@ -193,6 +193,105 @@ def test_cross_process_race_early_aborts_are_safe_and_lowest_never_aborts(tmp_pa
     assert not os.path.isdir(markers) or os.listdir(markers) == []
 
 
+def _storm_writer(base, residue, out):
+    """Real-process COW writer with early conflict detection on: retries
+    through both early aborts and publish conflicts until its batches land."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from hudi_examples_spark.table import ConcurrentWriteConflict, Table
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName(f"ecd-storm-{residue}")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    try:
+        done = 0
+        for b in range(3):
+            df = (
+                spark.range(500)
+                .select((F.col("id") * 2 + residue).alias("k"))
+                .select(
+                    "k",
+                    (F.col("k") * 1.0 + b).alias("val"),
+                    F.concat(F.lit("s"), F.col("k") % 3).alias("seg"),
+                    F.lit(b + 2).alias("v"),
+                )
+            )
+            for _attempt in range(80):
+                try:
+                    Table(spark, base).upsert(df)
+                    done += 1
+                    break
+                except ConcurrentWriteConflict:
+                    continue  # early abort or publish loss: fresh snapshot, retry
+        out.put((residue, done))
+    finally:
+        spark.stop()
+
+
+def test_cow_storm_with_early_detection_loses_nothing(spark, tmp_path):
+    """Two COW writer processes churn overlapping partitions WITH early
+    conflict detection on: every batch eventually lands (early aborts are
+    retried like publish conflicts), the final state equals the sequential
+    replay, and no marker debris survives."""
+    import multiprocessing as mp
+
+    from pyspark.sql import functions as F
+
+    base_df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("double").alias("val"),
+        F.concat(F.lit("s"), F.col("id") % 3).alias("seg"),
+        F.lit(1).alias("v"),
+    )
+    cfg = TableConfig(
+        record_key=["k"],
+        precombine="v",
+        partition_by=["seg"],
+        early_conflict_detection=True,
+    )
+    conc = Table.create(spark, str(tmp_path / "conc"), SCHEMA, cfg)
+    conc.insert(base_df)
+
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_storm_writer, args=(conc.base, r, q)) for r in (0, 1)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=600)
+        assert p.exitcode == 0
+    results = dict(q.get(timeout=30) for _ in range(2))
+    assert results == {0: 3, 1: 3}, results
+
+    seq = Table.create(spark, str(tmp_path / "seq"), SCHEMA, cfg)
+    seq.insert(base_df)
+    for residue in (0, 1):
+        for b in range(3):
+            seq.upsert(
+                spark.range(500)
+                .select((F.col("id") * 2 + residue).alias("k"))
+                .select(
+                    "k",
+                    (F.col("k") * 1.0 + b).alias("val"),
+                    F.concat(F.lit("s"), F.col("k") % 3).alias("seg"),
+                    F.lit(b + 2).alias("v"),
+                )
+            )
+    conc2 = Table(spark, conc.base)
+    assert sorted(map(tuple, conc2.read().collect())) == sorted(
+        map(tuple, seq.read().collect())
+    )
+    markers = os.path.join(conc.base, Table.MARKERS_DIR)
+    assert not os.path.isdir(markers) or os.listdir(markers) == []
+
+
 def test_flag_off_ignores_markers(spark, tmp_path):
     t = Table.create(
         spark,
