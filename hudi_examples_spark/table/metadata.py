@@ -37,6 +37,7 @@ METADATA_PARTITIONS = (
     "column_stats",
     "bloom_filters",
     "record_index",
+    "timeline",
 )
 
 _FILES_SCHEMA = (
@@ -136,6 +137,22 @@ def metadata_df(tbl, part: str) -> DataFrame:
         return df.join(F.broadcast(live_df), "file_name").select(
             "record_key", "file_name"
         )
+    if part == "timeline":
+        rows = [
+            (
+                i.instant,
+                i.action,
+                i.meta.get("operation", ""),
+                len(i.files_added),
+                len(i.files_removed),
+            )
+            for i in tbl.timeline.instants()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "instant STRING, action STRING, operation STRING, "
+            "n_files_added INT, n_files_removed INT",
+        ).orderBy("instant")
     raise ValueError(
         f"unknown metadata partition {part!r}; one of {METADATA_PARTITIONS}"
     )

@@ -111,6 +111,17 @@ def test_record_index_partition(tbl, spark):
     assert {r["file_name"] for r in idx.collect()} <= set(live)
 
 
+def test_timeline_partition(tbl, spark):
+    tbl.upsert(_batch(spark, 1, 0, 30))
+    rows = tbl.metadata("timeline").collect()
+    insts = tbl.timeline.instants()
+    assert len(rows) == len(insts)
+    assert [r["instant"] for r in rows] == sorted(i.instant for i in insts)
+    ops = {r["operation"] for r in rows}
+    assert "upsert" in ops
+    assert all(r["n_files_added"] >= 0 for r in rows)
+
+
 def test_unknown_partition_rejected(tbl):
     with pytest.raises(ValueError, match="unknown metadata partition"):
         tbl.metadata("nope")
