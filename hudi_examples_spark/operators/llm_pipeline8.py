@@ -371,6 +371,108 @@ TOK_BPE_ORACLE = _bpe_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Span-corruption planning (T5 denoising, Raffel et al. 2020 arXiv:1910.10683)
+# ---------------------------------------------------------------------------
+
+CORRUPT_SEED = "t5span"
+#: span-start probability (percent) and the 2..4 span-length draw — mean
+#: span 3, expected corruption ≈ 15%, the T5 defaults. Both draws come from
+#: md5 (seeded, per position): deterministic, resumable, engine-portable.
+CORRUPT_START_PCT = 5
+
+
+def pipe_span_corruption(spark: SparkSession, sf: str) -> DataFrame:
+    """T5-style span-corruption plan: which token spans of each document are
+    masked behind sentinels for denoising pretraining. The PLAN is the
+    distributed artifact (the actual text substitution is a trivial per-row
+    map once spans are known); producing it deterministically means a
+    preempted 100 TB job resumes without re-randomizing what it already
+    wrote.
+
+    Per position, a seeded md5 draw starts a span (CORRUPT_START_PCT%), a
+    second draw picks its length in {2,3,4}; spans clip at the document end
+    and overlapping/adjacent spans merge (the same gaps-and-islands pass as
+    ``dedup_substring_spans``). Sentinel ids number the merged spans per
+    document in order — exactly T5's ``<extra_id_k>`` sequence. All exact
+    integers; per-doc window work only."""
+    d = _docs(spark, sf).select("doc_id", words("text").alias("__ws"))
+    toks = d.select(
+        "doc_id",
+        F.size("__ws").alias("n"),
+        F.posexplode("__ws").alias("p", "w"),
+    ).select("doc_id", "n", (F.col("p") + 1).alias("pos"))
+    h = F.md5(
+        F.concat_ws(":", F.lit(CORRUPT_SEED), F.col("doc_id").cast("string"), F.col("pos").cast("string"))
+    )
+    starts = toks.select(
+        "doc_id",
+        "pos",
+        "n",
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 100).alias("u"),
+        (2 + F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint") % 3).alias("slen"),
+    ).filter(F.col("u") < CORRUPT_START_PCT)
+    dw = starts.select(
+        "doc_id",
+        F.col("pos").alias("start"),
+        F.least(F.col("pos") + F.col("slen") - 1, F.col("n")).alias("e"),
+    )
+    spans = _merged_spans(dw)
+    w = Window.partitionBy("doc_id").orderBy("span_start")
+    return (
+        spans.select(
+            "doc_id",
+            (F.row_number().over(w) - 1).cast("long").alias("sentinel_k"),
+            "span_start",
+            "span_end",
+            "span_len",
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+PIPE_SPAN_CORRUPTION_ORACLE = f"""
+WITH ws AS (
+  SELECT doc_id, list_filter(str_split(trim(text), ' '), w -> w <> '') AS w
+  FROM documents
+), toks AS (
+  SELECT doc_id, len(w) AS n, unnest(generate_series(1, len(w))) AS pos FROM ws
+), draws AS (
+  SELECT doc_id, pos, n,
+         md5('{CORRUPT_SEED}:' || CAST(doc_id AS VARCHAR) || ':' ||
+             CAST(pos AS VARCHAR)) AS h
+  FROM toks
+), dw AS (
+  SELECT doc_id, pos AS start,
+         least(pos + (2 + ('0x' || substr(h, 9, 8))::BIGINT % 3) - 1, n) AS e
+  FROM draws
+  WHERE ('0x' || substr(h, 1, 8))::BIGINT % 100 < {CORRUPT_START_PCT}
+), flagged AS (
+  SELECT doc_id, start, e,
+         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR start > max(e) OVER (PARTITION BY doc_id ORDER BY start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+         THEN 1 ELSE 0 END AS nf
+  FROM dw
+), islands AS (
+  SELECT doc_id, start, e,
+         sum(nf) OVER (PARTITION BY doc_id ORDER BY start
+                       ROWS UNBOUNDED PRECEDING) AS isl
+  FROM flagged
+), spans AS (
+  SELECT doc_id, min(start)::BIGINT AS span_start, max(e)::BIGINT AS span_end,
+         (max(e) - min(start) + 1)::BIGINT AS span_len
+  FROM islands GROUP BY doc_id, isl
+)
+SELECT doc_id,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY span_start) - 1)::BIGINT
+         AS sentinel_k,
+       span_start, span_end, span_len
+FROM spans ORDER BY doc_id, span_start
+"""
+
+
+# ---------------------------------------------------------------------------
 # Length-bucketed batch planning (padding-efficient training batches)
 # ---------------------------------------------------------------------------
 
@@ -592,5 +694,11 @@ SPECS: list[QuerySpec] = [
         pipe_length_buckets,
         PIPE_LENGTH_BUCKETS_ORACLE,
         "LLM:length-bucketed padding-efficient batch planning",
+    ),
+    QuerySpec(
+        "pipe_span_corruption",
+        pipe_span_corruption,
+        PIPE_SPAN_CORRUPTION_ORACLE,
+        "LLM:T5 span-corruption denoising plan",
     ),
 ]

@@ -185,8 +185,12 @@ def all_specs() -> list[QuerySpec]:
         # idf/stats, TakeOrdered top-k). Debut ops outrank refreshes — took
         # j_asof_join's refresh slot (r3 evidence, age 2, in policy).
         "text_bm25_topk",
-        # r3-aged refresh: perf-watch (explode+window form kept this round)
-        "fp_winnowing",
+        # r5 debut: T5 span-corruption denoising plan (seeded deterministic
+        # mask spans + sentinel numbering). Debut ops outrank refreshes —
+        # took fp_winnowing's slot (r3 evidence, age 2, in policy; its perf
+        # watch rides the BENCH headline every round regardless, and its
+        # guard fix this round is covered by the short-doc unit test).
+        "pipe_span_corruption",
         # r5 debut: delete_partition lifecycle (metadata-only drop +
         # time-travel retention markers under the hash gate). Took
         # j_range_join's refresh slot (r3 evidence, age 2, in policy).

@@ -209,6 +209,37 @@ def test_kmeans_recovers_planted_blobs(spark, tmp_path):
     ]
 
 
+def test_span_corruption_plan_properties(spark):
+    from hudi_examples_spark.operators.llm_pipeline8 import pipe_span_corruption
+
+    out = pipe_span_corruption(spark, SF_SMALL).collect()
+    assert out
+    n_tok = {
+        r["doc_id"]: r["n"]
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .selectExpr("doc_id", "size(filter(split(trim(text), ' '), w -> w != '')) AS n")
+        .collect()
+    }
+    by_doc: dict = {}
+    for r in out:
+        assert 1 <= r["span_start"] <= r["span_end"] <= n_tok[r["doc_id"]]
+        assert r["span_len"] == r["span_end"] - r["span_start"] + 1
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    total_corrupt = sum(r["span_len"] for r in out)
+    total_tokens = sum(n_tok.values())
+    # ~15% target: loose band, deterministic draw (no flakiness)
+    assert 0.05 < total_corrupt / total_tokens < 0.35
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r["span_start"])
+        # sentinels number 0..k-1 in order; merged spans never touch
+        assert [r["sentinel_k"] for r in rows] == list(range(len(rows)))
+        for a, b in zip(rows, rows[1:]):
+            assert b["span_start"] > a["span_end"] + 1
+    # deterministic: identical plan on re-run
+    again = pipe_span_corruption(spark, SF_SMALL).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
 def test_length_buckets_batches_are_homogeneous_and_bounded(spark):
     from hudi_examples_spark.operators.llm_pipeline8 import (
         LEN_BATCH_SIZE,
