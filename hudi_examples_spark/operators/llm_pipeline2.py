@@ -89,9 +89,21 @@ def dedup_embed_cosine(spark: SparkSession, sf: str, top_k: int = 20, block_size
                 # (cos desc, d1, d2) — value-only argsort keeps arbitrary
                 # ties, which breaks the "global top-k ⊆ local top-ks"
                 # subset property when many pairs share a similarity (e.g.
-                # exact duplicates at cos=1.0 — surfaced by the sf1 sweep)
-                # order on the ROUNDED similarity (the output/oracle sort key)
-                keep = np.lexsort((hi_all, lo_all, -np.round(vals, 6)))[: top_k]
+                # exact duplicates at cos=1.0 — surfaced by the sf1 sweep).
+                # O(P) argpartition narrows to the top-k rounded values plus
+                # every pair TYING the k-th value (ties must all survive so
+                # the (d1,d2) tie-break stays globally correct), then the
+                # full lexsort runs only on that small slice — O(P + s log s)
+                # instead of O(P log P) over ~block_size² candidates.
+                rounded = np.round(vals, 6)
+                if len(rounded) > top_k:
+                    part = np.argpartition(-rounded, top_k - 1)
+                    kth_val = rounded[part[top_k - 1]]
+                    cand = np.nonzero(rounded >= kth_val)[0]
+                else:
+                    cand = np.arange(len(rounded))
+                order = np.lexsort((hi_all[cand], lo_all[cand], -rounded[cand]))
+                keep = cand[order[:top_k]]
                 d1s.extend(lo_all[keep].tolist())
                 d2s.extend(hi_all[keep].tolist())
                 sims.extend(vals[keep].tolist())
