@@ -206,10 +206,17 @@ class Engine:
                 r"ALTER\s+TABLE\s+(\w+)\s+DROP\s+PARTITION\s*\((.+)\)\s*$", s, re.I
             )
             if m:
+                # quote-aware split: partition VALUES may legally contain
+                # commas/quotes (seg='a,b'); the naive split mis-parsed them
                 spec = {}
-                for kv in m.group(2).split(","):
-                    k, _, v = kv.partition("=")
-                    spec[k.strip()] = v.strip().strip("'\"")
+                for kv in self._split_commas(m.group(2)):
+                    k, eq, v = kv.partition("=")
+                    if not eq:
+                        raise ValueError(f"malformed partition spec entry: {kv!r}")
+                    v = v.strip()
+                    if len(v) >= 2 and v[0] == v[-1] and v[0] in ("'", '"'):
+                        v = v[1:-1]
+                    spec[k.strip()] = v
                 self.table(m.group(1)).delete_partition(spec)
                 return None
             m = re.match(  # parenthesized or bare column list, parens balanced

@@ -472,40 +472,68 @@ class Table:
             else:
                 shutil.copy2(path, dest)
             rels.append(os.path.relpath(dest, base))
-        # the synthesis flag must be live before any index/stats maintenance
-        # reads these files through the funnel; the version floor makes
-        # pre-bootstrap engines refuse the table instead of misreading
-        # (bootstrap_instant is load-bearing — see __init__'s gate)
+        # the synthesis flag must be live (IN MEMORY) before any index/stats
+        # maintenance reads these files through the funnel; the version floor
+        # makes pre-bootstrap engines refuse the table instead of misreading
+        # (bootstrap_instant is load-bearing — see __init__'s gate). The
+        # DURABLE save is deferred to the publish lock below: saving before
+        # the emptiness precondition means a lost race or crash leaves
+        # permanent props pointing at a never-published instant, and two
+        # racing bootstraps could each last-writer-win _save_props and
+        # repoint bootstrap_instant away from the winner's published commit
+        # (advisor, round 5).
+        prev_bootstrap = tbl.config.bootstrap_instant
+        prev_version = tbl.config.table_version
         tbl.config.bootstrap_instant = instant
         tbl.config.table_version = max(tbl.config.table_version, BOOTSTRAP_TABLE_VERSION)
-        tbl._save_props()
         if tbl._stat_cols():
             tbl._write_file_stats(instant, rels)  # footer stats for stats_cols
         tbl._merge_stats(instant, tbl._bootstrap_key_stats(rels))
+        props_saved = False
 
         def _empty_check():
+            nonlocal props_saved
             if tbl.timeline.completed_data_instants():
                 raise ConcurrentWriteConflict("bootstrap requires an empty table")
+            # precondition holds and we are under the timeline lock: persist
+            # bootstrap props now, BEFORE the instant becomes visible, so a
+            # concurrent reader can never see the published bootstrap commit
+            # without the synthesis flag
+            tbl._save_props()
+            props_saved = True
 
-        tbl._publish_occ(
-            Instant(
-                instant,
-                "commit",
-                rels,
-                [],
-                {
-                    "operation": "bootstrap",
-                    "mode": mode,
-                    "source_path": source,
-                    "files_linked": linked,
-                },
-            ),
-            since="",
-            partitions={tbl._partition_path_of(r) for r in rels}
-            if tbl.config.partition_by
-            else None,
-            precondition=_empty_check,
-        )
+        try:
+            tbl._publish_occ(
+                Instant(
+                    instant,
+                    "commit",
+                    rels,
+                    [],
+                    {
+                        "operation": "bootstrap",
+                        "mode": mode,
+                        "source_path": source,
+                        "files_linked": linked,
+                    },
+                ),
+                since="",
+                partitions={tbl._partition_path_of(r) for r in rels}
+                if tbl.config.partition_by
+                else None,
+                precondition=_empty_check,
+            )
+        except BaseException:
+            # unwind the props mutation: in-memory always; durable only if
+            # the locked save actually ran (a precondition loss never saved,
+            # so reverting durably there would clobber the WINNER's props)
+            tbl.config.bootstrap_instant = prev_bootstrap
+            tbl.config.table_version = prev_version
+            if props_saved:
+                try:
+                    tbl._save_props()
+                except Exception:
+                    pass
+            raise
         return tbl
 
     @classmethod
@@ -1574,7 +1602,16 @@ class Table:
         keys = self.spark.createDataFrame([(str(value),)], f"{META_KEY} STRING")
         cand = self._record_index_candidates(sorted(files), keys)
         if cand is None:
-            return self.scan([(kcol, "=", value)])
+            out = self.scan([(kcol, "=", value)])
+            # keep the pruning evidence attribute live even on this raced
+            # fallback (index invalidated between the caller's readiness
+            # check and the probe): scan()'s fast path copies
+            # last_record_lookup unconditionally, and a fresh Table handle
+            # would otherwise AttributeError (advisor, round 5)
+            self.last_record_lookup = dict(
+                getattr(self, "last_scan", {"total": len(files), "scanned": len(files)})
+            )
+            return out
         self.last_record_lookup = {"total": len(files), "scanned": len(cand)}
         if not cand:
             return self.read().limit(0)
@@ -2956,6 +2993,15 @@ class Table:
             missing = [c for c in self.config.partition_by if c not in partition]
             if missing:
                 raise ValueError(f"partition spec missing columns: {missing}")
+            unknown = [c for c in partition if c not in self.config.partition_by]
+            if unknown:
+                # a typo'd key would otherwise be silently ignored by the
+                # path construction and drop a different partition-spec
+                # intent than the caller wrote (advisor, round 5)
+                raise ValueError(
+                    f"partition spec has unknown columns {unknown}; "
+                    f"table partitions by {self.config.partition_by}"
+                )
             path = "/".join(
                 f"{c}={partition[c]}" for c in self.config.partition_by
             )
@@ -3319,11 +3365,14 @@ class Table:
                 touched_rels = [
                     r for r in files if self._partition_path_of(r) in touched
                 ]
+        marker_hb = None
         if self.config.early_conflict_detection:
             # marker out our planned footprint, then fail fast on an
-            # in-flight overlap — BEFORE the merge/rewrite job below runs
+            # in-flight overlap — BEFORE the merge/rewrite job below runs;
+            # the heartbeat keeps the marker live however long the merge takes
             self._write_conflict_marker(instant, touched_rels, touched)
             self._early_conflict_check(instant, touched_rels, touched)
+            marker_hb = self._marker_heartbeat(instant)
         try:
             existing = self._read_files(touched_rels, with_deleted=False)
 
@@ -3355,6 +3404,8 @@ class Table:
             )
             return instant
         finally:
+            if marker_hb is not None:
+                marker_hb.set()
             if self.config.early_conflict_detection:
                 shutil.rmtree(self._marker_dir(instant), ignore_errors=True)
 
@@ -3414,9 +3465,40 @@ class Table:
     LOCK_TTL_SECONDS = 60.0
 
     MARKERS_DIR = ".markers"
+    #: markers outlive the lock TTL by design: the expensive-long-merge case
+    #: is exactly what early conflict detection exists for, so expiring a
+    #: marker at LOCK_TTL (60s) silently disarmed it for any merge running
+    #: longer than a minute (advisor, round 5). A live writer HEARTBEATS its
+    #: marker every LOCK_TTL/2 for the merge's duration, so this expiry only
+    #: ever reaps writers that are ~8 missed beats dead.
+    MARKER_TTL_SECONDS = 240.0
 
     def _marker_dir(self, instant: str) -> str:
         return os.path.join(self.base, self.MARKERS_DIR, instant)
+
+    def _marker_heartbeat(self, instant: str):
+        """Keep an in-flight marker's mtime fresh while the merge job runs.
+
+        Returns a stop Event; the caller sets it in ``finally``. The beat is
+        a single ``os.utime`` on the plan file — O(1) metadata, no data IO —
+        so a merge of any duration retains its fail-fast protection. If the
+        marker vanished (we aborted, or a same-instant race swept it) the
+        thread just exits: there is nothing left to keep alive."""
+        import threading
+
+        stop = threading.Event()
+        path = os.path.join(self._marker_dir(instant), "plan.json")
+        interval = max(1.0, self.LOCK_TTL_SECONDS / 2)
+
+        def beat():
+            while not stop.wait(interval):
+                try:
+                    os.utime(path, None)
+                except OSError:
+                    return
+
+        threading.Thread(target=beat, daemon=True, name=f"marker-hb-{instant}").start()
+        return stop
 
     def _write_conflict_marker(
         self, instant: str, rels: list[str], partitions: set | None
@@ -3476,8 +3558,8 @@ class Table:
                 continue
             p = os.path.join(root, other, "plan.json")
             try:
-                if (now - os.path.getmtime(p)) > self.LOCK_TTL_SECONDS:
-                    continue  # dead writer's leftover; heal sweeps it
+                if (now - os.path.getmtime(p)) > self.MARKER_TTL_SECONDS:
+                    continue  # dead writer's leftover (heartbeat long gone); heal sweeps it
                 with open(p) as f:
                     plan = json.load(f)
             except (OSError, ValueError):
@@ -4525,17 +4607,22 @@ class Table:
                 removed.append(os.path.join(".staging", d))
         # crashed early-conflict markers: completed writers clean up after
         # themselves (try/finally in _apply_cow); anything left past the
-        # lock TTL belongs to a dead writer and would fail-fast live writers
-        # for no reason. Age floor = LOCK_TTL even in immediate mode — the
-        # conflict checker itself ignores markers past the TTL, so sweeping
-        # younger ones could only break an IN-FLIGHT writer's cleanup.
+        # MARKER TTL belongs to a dead writer and would fail-fast live
+        # writers for no reason. Live long-running merges HEARTBEAT their
+        # plan.json mtime (marker_heartbeat), so age is judged on the plan
+        # file when present — the dir's own mtime never refreshes — and the
+        # floor is MARKER_TTL (> lock TTL): the conflict checker honors
+        # markers up to that age, so sweeping younger ones would disarm an
+        # in-flight writer's fail-fast protection mid-merge.
         markers_root = os.path.join(self.base, self.MARKERS_DIR)
         if os.path.isdir(markers_root):
-            marker_age = max(min_age_seconds, self.LOCK_TTL_SECONDS)
+            marker_age = max(min_age_seconds, self.MARKER_TTL_SECONDS)
             completed = {i.instant for i in self.timeline.instants()}
             for d in os.listdir(markers_root):
                 p = os.path.join(markers_root, d)
-                if d in completed or _older(p, marker_age):
+                plan = os.path.join(p, "plan.json")
+                freshest = plan if os.path.exists(plan) else p
+                if d in completed or _older(freshest, marker_age):
                     shutil.rmtree(p, ignore_errors=True)
                     removed.append(os.path.join(self.MARKERS_DIR, d))
         for root, dirs, fns in os.walk(self.base):
@@ -4579,14 +4666,33 @@ class Table:
                 if os.path.isdir(p) and _older(p, gen_age):
                     shutil.rmtree(p, ignore_errors=True)
                     removed.append(os.path.join(self.INDEX_DIR, sub))
+        def _gen_of(sub: str) -> int | None:
+            """Generation number encoded in a data dir name (``data`` = 0,
+            ``data_gNNNN`` = N); None for anything else."""
+            if sub == "data":
+                return 0
+            if sub.startswith("data_g"):
+                try:
+                    return int(sub[len("data_g") :])
+                except ValueError:
+                    return None
+            return None
+
         for name in self.secondary_index_cols():
             meta = self._index_meta(name)
             if meta is None:
                 continue
             d = os.path.join(self.base, self.INDEX_DIR, name)
-            current = os.path.basename(self._index_data_dir(name, meta))
+            cur_gen = int(meta.get("gen", 0))
             for sub in sorted(os.listdir(d)):
-                if sub == current or not (sub == "data" or sub.startswith("data_")):
+                g = _gen_of(sub)
+                # only sweep generations strictly LOWER than current: a gen
+                # ABOVE current belongs to an in-flight rebuild whose off-lock
+                # build phase may exceed the age gate (it is a full table
+                # scan) — rmtree'ing it would let the subsequent locked swap
+                # mark a gutted dir valid and silently break the superset
+                # lookup contract (advisor, round 5)
+                if g is None or g >= cur_gen:
                     continue
                 p = os.path.join(d, sub)
                 if os.path.isdir(p) and _older(p, gen_age):
@@ -4596,9 +4702,10 @@ class Table:
         rmeta = self._record_index_meta()
         if rmeta is not None:
             d = os.path.join(self.base, self.RECORD_INDEX_DIR)
-            current = os.path.basename(self._record_index_data_dir(rmeta))
+            cur_gen = int(rmeta.get("gen", 0))
             for sub in sorted(os.listdir(d)):
-                if sub == current or not (sub == "data" or sub.startswith("data_")):
+                g = _gen_of(sub)
+                if g is None or g >= cur_gen:  # future gens: in-flight rebuild
                     continue
                 p = os.path.join(d, sub)
                 if os.path.isdir(p) and _older(p, gen_age):

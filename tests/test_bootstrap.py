@@ -318,3 +318,40 @@ def test_composite_key_with_partition_component(spark, tmp_path):
     )
     assert tbl.read().filter("v = 2").count() == 1
     assert tbl.count() == 120
+
+
+def test_lost_bootstrap_race_never_persists_props(spark, tmp_path, src, monkeypatch):
+    """A bootstrap that loses the empty-table race must leave NO durable
+    trace: props saved before the locked precondition used to point
+    bootstrap_instant at a never-published instant, and a racing pair could
+    last-writer-win _save_props over the real winner (advisor, round 5).
+    The durable save now happens under the publish lock, after the
+    precondition passes — a loser reverts cleanly."""
+    from hudi_examples_spark.table.core import ConcurrentWriteConflict
+    from hudi_examples_spark.table.core import Table as T
+
+    orig = T._publish_occ
+    raced = {"done": False}
+
+    def racing_publish(self, inst, *a, **kw):
+        if inst.meta.get("operation") == "bootstrap" and not raced["done"]:
+            raced["done"] = True
+            # the TOCTOU window: a first writer lands between create() and
+            # the bootstrap publish
+            T(spark, self.base).insert(_src_df(spark, 10))
+        return orig(self, inst, *a, **kw)
+
+    monkeypatch.setattr(T, "_publish_occ", racing_publish)
+    base = str(tmp_path / "raced")
+    with pytest.raises(ConcurrentWriteConflict, match="empty table"):
+        Table.bootstrap(
+            spark,
+            base,
+            src,
+            TableConfig(record_key=["k"], precombine="v", partition_by=["seg"]),
+            schema=SCHEMA,
+        )
+    # durable props carry no bootstrap flag and the racing write is intact
+    fresh = Table(spark, base)
+    assert fresh.config.bootstrap_instant is None
+    assert fresh.count() == 10

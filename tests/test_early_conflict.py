@@ -81,9 +81,39 @@ def test_disjoint_partitions_proceed(tbl, spark):
 
 
 def test_stale_marker_ignored(tbl, spark):
-    _plant(tbl, LOW, ["seg=s0"], age=tbl.LOCK_TTL_SECONDS + 5)
+    _plant(tbl, LOW, ["seg=s0"], age=tbl.MARKER_TTL_SECONDS + 5)
     tbl.upsert(_batch(spark, 1, 0, 10))
     assert tbl.read().filter("v = 2").count() == 10
+
+
+def test_marker_outlives_lock_ttl(tbl, spark):
+    # a marker older than the LOCK TTL but younger than the MARKER TTL must
+    # still fail-fast a conflicting writer: expiring at LOCK_TTL silently
+    # disarmed the feature for exactly the long merges it exists to protect
+    _plant(tbl, LOW, ["seg=s0"], age=tbl.LOCK_TTL_SECONDS + 5)
+    with pytest.raises(ConcurrentWriteConflict, match="early conflict"):
+        tbl.upsert(_batch(spark, 1, 0, 10))
+
+
+def test_heartbeat_refreshes_marker_mtime(tbl, spark):
+    # the heartbeat thread re-touches plan.json while a merge runs, so a
+    # merge longer than any TTL keeps its protection; simulate by starting a
+    # heartbeat on a planted marker backdated past the MARKER TTL
+    d = _plant(tbl, LOW, ["seg=s0"], age=tbl.MARKER_TTL_SECONDS + 5)
+    p = os.path.join(d, "plan.json")
+    old_ttl = type(tbl).LOCK_TTL_SECONDS
+    type(tbl).LOCK_TTL_SECONDS = 0.5  # beat interval = TTL/2
+    try:
+        stop = tbl._marker_heartbeat(LOW)
+        try:
+            deadline = time.time() + 5.0
+            while time.time() - os.path.getmtime(p) > 1.0 and time.time() < deadline:
+                time.sleep(0.1)
+            assert time.time() - os.path.getmtime(p) <= 1.0  # refreshed
+        finally:
+            stop.set()
+    finally:
+        type(tbl).LOCK_TTL_SECONDS = old_ttl
 
 
 def test_later_writer_yields_lower_proceeds(tbl, spark):
@@ -115,7 +145,7 @@ def test_unpartitioned_footprint_conflicts_with_any_marker(spark, tmp_path):
 
 def test_heal_sweeps_dead_markers_only(tbl, spark):
     fresh = _plant(tbl, LOW, ["seg=s0"])
-    dead = _plant(tbl, "1" + "0" * 16, ["seg=s0"], age=tbl.LOCK_TTL_SECONDS + 5)
+    dead = _plant(tbl, "1" + "0" * 16, ["seg=s0"], age=tbl.MARKER_TTL_SECONDS + 5)
     tbl.heal(min_age_seconds=1.0)
     assert os.path.isdir(fresh)  # younger than the TTL floor: kept
     assert not os.path.isdir(dead)

@@ -197,3 +197,31 @@ def test_sql_drop_partition(spark, tmp_path):
     assert rows == [(2, "b")]
     after = {r["partition"] for r in sess.sql("SHOW PARTITIONS pt").collect()}
     assert after == {"seg=b"}
+
+
+def test_delete_partition_rejects_unknown_spec_keys(spark, tmp_path):
+    t = Table.create(spark, str(tmp_path / "t"), SCHEMA, TableConfig(**CFG))
+    t.insert(_batch(spark, [0, 1]))
+    # a typo'd extra key must be an error, not silently ignored (the path
+    # construction only reads declared columns, so 'sgg' would have dropped
+    # whatever the correctly-spelled keys named)
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.delete_partition({"seg": "s0", "sgg": "s1"})
+    assert {r["seg"] for r in t.read().select("seg").distinct().collect()} == {"s0", "s1"}
+
+
+def test_sql_drop_partition_value_with_comma_and_quote(spark, tmp_path):
+    from hudi_examples_spark.sql import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql(
+        "CREATE TABLE pl (k BIGINT, val DOUBLE, seg STRING, v INT) USING hudi "
+        "PARTITIONED BY (seg) "
+        "TBLPROPERTIES (primaryKey = 'k', preCombineField = 'v')"
+    )
+    eng.sql("INSERT INTO pl VALUES (1, 1.0, 'a,b', 1), (2, 2.0, 'plain', 1)")
+    # the partition VALUE contains a comma: a naive comma-split would parse
+    # this as two malformed spec entries
+    eng.sql("ALTER TABLE pl DROP PARTITION (seg='a,b')")
+    segs = {r["seg"] for r in eng.sql("SELECT DISTINCT seg FROM pl").collect()}
+    assert segs == {"plain"}

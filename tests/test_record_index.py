@@ -10,6 +10,7 @@ a no-index replay.
 from __future__ import annotations
 
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -403,3 +404,39 @@ def test_sql_ddl_and_drop(spark, tmp_path):
     assert shown["record_index"] == ("record_index", 1, True)
     sess.sql("DROP INDEX record_index ON rt")
     assert Table(spark, tbl.base)._record_index_meta() is None
+
+
+def test_heal_never_sweeps_future_generations(spark, tbl):
+    """An IN-FLIGHT rebuild's NEW generation dir (gen > meta's current) must
+    survive heal even past the age gate: sweeping it would let the rebuild's
+    subsequent locked swap mark a gutted dir valid and silently break the
+    superset lookup contract. Only strictly-LOWER generations are sweepable."""
+    t = Table(spark, tbl.base)
+    t.rebuild_record_index()  # current gen -> 1, gen0 superseded
+    d = os.path.join(t.base, t.RECORD_INDEX_DIR)
+    future = os.path.join(d, "data_g0002")  # an in-flight rebuild's build dir
+    os.makedirs(future, exist_ok=True)
+    with open(os.path.join(future, "part-00000.parquet"), "wb") as f:
+        f.write(b"x")
+    gen0 = os.path.join(d, "data")
+    old = time.time() - 7200
+    for p in (future, gen0):
+        os.utime(p, (old, old))
+    t.heal(min_age_seconds=1.0)
+    assert os.path.isdir(future), "future generation swept mid-rebuild"
+    assert not os.path.isdir(gen0), "superseded gen0 should be reclaimed"
+
+
+def test_lookup_key_raced_invalidation_keeps_evidence(spark, tbl):
+    """If the index is invalidated between scan()'s readiness check and the
+    probe, lookup_key falls back to a col-stats scan — the pruning-evidence
+    attribute must still be set (a fresh handle used to AttributeError)."""
+    t = Table(spark, tbl.base)
+    meta = t._record_index_meta()
+    meta["valid"] = False
+    t._write_record_index_meta(meta)
+    # simulate the race on a FRESH handle: candidates probe sees invalid meta
+    t2 = Table(spark, tbl.base)
+    rows = t2.lookup_key(7).collect()
+    assert [r["k"] for r in rows] == [7]
+    assert isinstance(t2.last_record_lookup, dict)  # set even on fallback
