@@ -315,6 +315,107 @@ def tok_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("merge_round")
 
 
+def bpe_apply_merges(symbols: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply an ordered list of learned BPE merges to a symbol table — the
+    ENCODE half of the tokenizer (what a training-data pipeline runs per
+    document forever after training runs once).
+
+    ``symbols`` is the (w, cnt, pos, s) word-type table (same shape training
+    uses); ``merges`` are (pa, pb) pairs in rank order, LITERALS in the plan
+    (the broadcast-merge-ranks analogue — at production vocab sizes the rank
+    table rides a broadcast join; at plan-literal sizes Catalyst constant-
+    folds them). Each rank is one gaps-and-islands window pass — identical
+    greedy left-to-right semantics to training, including the aa-chain
+    overlap case — with NO aggregation and NO best-pair job: apply is
+    strictly cheaper than train. The only shuffle is the first window's
+    hash partition on ``w``; every later pass reuses that partitioning.
+    ``localCheckpoint`` truncates lineage per rank so the R-deep plan never
+    re-derives earlier ranks."""
+    cur = symbols
+    for pa, pb in merges:
+        cur = cur.localCheckpoint(eager=True)
+        w_next = Window.partitionBy("w").orderBy("pos")
+        with_nxt = cur.withColumn("nxt", F.lead("s").over(w_next))
+        matches = with_nxt.filter((F.col("s") == F.lit(pa)) & (F.col("nxt") == F.lit(pb)))
+        w_m = Window.partitionBy("w").orderBy("pos")
+        grp = (F.col("pos") - F.row_number().over(w_m)).alias("grp")
+        w_g = Window.partitionBy("w", "grp").orderBy("pos")
+        starts = (
+            matches.select("w", "pos", grp)
+            .withColumn("rk", F.row_number().over(w_g))
+            .filter(F.col("rk") % 2 == 1)  # greedy: odd ranks inside a run
+            .select("w", F.col("pos").alias("mpos"))
+        )
+        st1 = starts.withColumnRenamed("mpos", "pos")
+        st2 = starts.select("w", (F.col("mpos") + 1).alias("pos"), F.lit(1).alias("gone"))
+        rebuilt = (
+            with_nxt.join(st1.withColumn("hit", F.lit(1)), ["w", "pos"], "left")
+            .join(st2, ["w", "pos"], "left")
+            .filter(F.col("gone").isNull())
+            .select(
+                "w",
+                "cnt",
+                "pos",
+                F.when(F.col("hit") == 1, F.lit(pa + pb)).otherwise(F.col("s")).alias("s"),
+            )
+        )
+        cur = rebuilt.select(
+            "w",
+            "cnt",
+            F.row_number().over(Window.partitionBy("w").orderBy("pos")).alias("pos"),
+            "s",
+        )
+    return cur
+
+
+def tok_bpe_encode(spark: SparkSession, sf: str, top_n: int = 50) -> DataFrame:
+    """Tokenize the corpus with the learned BPE merges and report the token
+    vocabulary usage — the encode step every ingest runs per document after
+    training ran once (Sennrich et al. 2016; the apply half ``tok_bpe_merges``
+    trains for).
+
+    Two stages:
+    1. TRAIN: the ``tok_bpe_merges`` plan learns ``BPE_ROUNDS`` merges; the
+       collect is R rows of tokenizer METADATA (pairs), the same bounded
+       planning scalar a 100k-merge production vocab is — merge ranks are
+       broadcast-sized by construction, never data-sized.
+    2. ENCODE: ``bpe_apply_merges`` replays the ranks over the word-TYPE
+       table (distinct words × counts — the state that scales, not the raw
+       token stream) with one islands-window pass per rank and zero
+       aggregation jobs.
+
+    Output: the ``top_n`` most-used tokens after encoding, exact integers
+    (occurrences weighted by word counts, distinct word types containing the
+    token), ordered (occurrences DESC, token). Differential oracle: the same
+    greedy semantics as one generated CTE chain — training AND encoding —
+    validated end-to-end against DuckDB."""
+    merge_rows = tok_bpe_merges(spark, sf).collect()  # R rows of vocab metadata
+    merges = [tuple(r["pair"].split("+", 1)) for r in merge_rows]
+    wt = (
+        _docs(spark, sf)
+        .select(F.explode(words("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    symbols = wt.select(
+        "w",
+        "cnt",
+        F.posexplode(
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        ).alias("p", "s"),
+    ).select("w", "cnt", (F.col("p") + 1).alias("pos"), "s")
+    encoded = bpe_apply_merges(symbols, merges)
+    return (
+        encoded.groupBy(F.col("s").alias("token"))
+        .agg(
+            F.sum("cnt").cast("long").alias("occurrences"),
+            F.countDistinct("w").cast("long").alias("word_types"),
+        )
+        .orderBy(F.desc("occurrences"), F.asc("token"))
+        .limit(top_n)
+    )
+
+
 def _bpe_oracle() -> str:
     """Generate the BPE_ROUNDS-round oracle as one CTE chain (same greedy
     islands formula, same tie-break)."""
@@ -368,6 +469,22 @@ WITH wt AS (
 
 
 TOK_BPE_ORACLE = _bpe_oracle()
+
+#: encode oracle: the SAME generated train CTE chain (merges re-derived in
+#: SQL, so the oracle is self-contained end-to-end), aggregated over the
+#: final symbol table s{R+1} — token usage weighted by word counts. The
+#: chain ends at the last CTE's closing paren; everything after is the
+#: train oracle's merge-table SELECTs, swapped here for the histogram.
+TOK_BPE_ENCODE_ORACLE = (
+    TOK_BPE_ORACLE[: TOK_BPE_ORACLE.rindex(")") + 1]
+    + f"""
+SELECT s AS token, sum(cnt)::BIGINT AS occurrences,
+       count(DISTINCT w)::BIGINT AS word_types
+FROM s{BPE_ROUNDS + 1}
+GROUP BY s
+ORDER BY occurrences DESC, token ASC
+LIMIT 50"""
+)
 
 
 # ---------------------------------------------------------------------------
@@ -682,6 +799,12 @@ SPECS: list[QuerySpec] = [
         tok_bpe_merges,
         TOK_BPE_ORACLE,
         "LLM:tokenizer BPE merge training (Sennrich et al. 2016)",
+    ),
+    QuerySpec(
+        "tok_bpe_encode",
+        tok_bpe_encode,
+        TOK_BPE_ENCODE_ORACLE,
+        "LLM:tokenizer BPE corpus encoding with learned merges",
     ),
     QuerySpec(
         "emb_kmeans_lloyd",

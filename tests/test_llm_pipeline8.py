@@ -277,3 +277,89 @@ def test_runs_on_sf_small_and_spans_cover_windows(spark):
     for r in rem:
         assert 0 <= r["dup_tokens"] <= r["n_tokens"]
         assert r["kept_tokens"] == r["n_tokens"] - r["dup_tokens"]
+
+
+def _reference_bpe_encode(word_counts, rounds):
+    """Reference encode: learn merges, then the final symbol tables —
+    returns {token: (occurrences, word_types)}."""
+    syms = {w: list(w) for w in word_counts}
+    for _ in range(rounds):
+        pairs = {}
+        for w, cnt in word_counts.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] = pairs.get((s[i], s[i + 1]), 0) + cnt
+        (a, b), _c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w in syms:
+            s, new, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    new.append(a + b)
+                    i += 2
+                else:
+                    new.append(s[i])
+                    i += 1
+            syms[w] = new
+    # occurrences count every position (weighted by word count); word_types
+    # count distinct words containing the token
+    hist: dict[str, list[int]] = {}
+    for w, cnt in word_counts.items():
+        for s in syms[w]:
+            hist.setdefault(s, [0, 0])[0] += cnt
+        for s in set(syms[w]):
+            hist[s][1] += 1
+    return hist
+
+
+def test_bpe_encode_matches_reference(spark, tmp_path):
+    from hudi_examples_spark.operators.llm_pipeline8 import BPE_ROUNDS, tok_bpe_encode
+
+    docs = [
+        (1, "low low low low low lower lower newest newest"),
+        (2, "newest newest newest newest widest widest aaaa aaaa"),
+        (3, "widest lowest aaaa"),
+    ]
+    counts: dict[str, int] = {}
+    for _, t_ in docs:
+        for w in t_.split():
+            counts[w] = counts.get(w, 0) + 1
+    ref = _reference_bpe_encode(counts, BPE_ROUNDS)
+    sf = _write_docs(spark, tmp_path, docs)
+    got = {
+        r["token"]: (r["occurrences"], r["word_types"])
+        for r in tok_bpe_encode(spark, sf).collect()
+    }
+    assert got == {t: (o, wt) for t, (o, wt) in ref.items()}
+
+
+def test_bpe_apply_merges_is_pure_apply(spark, tmp_path):
+    """The apply path honors an EXTERNAL merge list (not re-derived): an
+    out-of-corpus-order rank list must be applied exactly as given."""
+    from pyspark.sql import functions as F
+
+    from hudi_examples_spark.functions.text import words
+    from hudi_examples_spark.operators.llm_pipeline8 import bpe_apply_merges
+
+    sf = _write_docs(spark, tmp_path, [(1, "abab abab cc")])
+    from hudi_examples_spark.operators.llm_pipeline5 import _docs
+
+    wt = (
+        _docs(spark, sf)
+        .select(F.explode(words("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    symbols = wt.select(
+        "w",
+        "cnt",
+        F.posexplode(
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        ).alias("p", "s"),
+    ).select("w", "cnt", (F.col("p") + 1).alias("pos"), "s")
+    # rank order: (a,b) then (ab,ab) — "abab" becomes one token
+    enc = bpe_apply_merges(symbols, [("a", "b"), ("ab", "ab")])
+    toks = {
+        (r["w"], r["pos"]): r["s"]
+        for r in enc.collect()
+    }
+    assert toks == {("abab", 1): "abab", ("cc", 1): "c", ("cc", 2): "c"}
