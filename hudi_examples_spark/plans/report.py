@@ -11,6 +11,9 @@ from __future__ import annotations
 
 import os
 
+#: everything below this marker in PLANS.md is preserved across regenerations
+MANUAL_MARKER = "<!-- manual sections below: preserved by plans.report -->"
+
 QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -45,6 +48,15 @@ QUERIES = [
     "pipe_dsir_affinity",
     "sim_pq_topk",
     "sim_rrf_fusion",
+    # round-5/6 additions (the r5-final registry, judge r5 item #7)
+    "dedup_substring_spans",
+    "dedup_substring_removal",
+    "dedup_bloom_prefilter",
+    "tok_bpe_merges",
+    "tok_bpe_encode",
+    "emb_kmeans_lloyd",
+    "pipe_span_corruption",
+    "pipe_length_buckets",
 ]
 
 
@@ -194,10 +206,19 @@ def main(sf_dir: str = "/root/testdata/sf0.01", out_path: str | None = None) -> 
         "",
     ]
     text = "\n".join(lines)
-    out = out_path or os.path.join(os.path.dirname(__file__), "..", "..", "PLANS.md")
-    with open(os.path.abspath(out), "w") as f:
+    out = os.path.abspath(
+        out_path or os.path.join(os.path.dirname(__file__), "..", "..", "PLANS.md")
+    )
+    # hand-written analysis sections (negative results, perf accountings,
+    # host-drift writeups) live BELOW the marker and survive regeneration
+    if os.path.exists(out):
+        with open(out) as f:
+            old = f.read()
+        if MANUAL_MARKER in old:
+            text += "\n" + MANUAL_MARKER + old.split(MANUAL_MARKER, 1)[1]
+    with open(out, "w") as f:
         f.write(text)
-    return os.path.abspath(out)
+    return out
 
 
 if __name__ == "__main__":
