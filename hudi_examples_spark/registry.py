@@ -50,168 +50,83 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(relational_tpch3.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names in registry"
-    # Prefix rotation (round 5): the driver gate samples a 50-query prefix.
-    # Policy (steady state): (1) specs with ZERO driver-green rows in any
-    # round, (2) oldest-evidence refreshes. This round that means: the three
-    # r4 debuts that lost the r4 seating race (tbl_savepoint_restore,
-    # tbl_schema_evolution, corpus_report — the only registered queries with
-    # no driver row ever), the 3 rows whose latest green is r1, the 15 whose
-    # latest green is r2, and 29 of the 48 r3-aged rows — prioritizing the
-    # tbl_* lifecycle specs (their code changes this round: rollback index
-    # invalidation, locked index rebuild, age-gated heal), the dedup/ANN
-    # family (minhash constant work + SemDeDup skew guard), and the
-    # perf-watch items (fp_winnowing). The 50 r4-green rows all rotate out
-    # (freshest evidence). After this round every registered query has >=1
-    # driver-green row and max evidence age is <=2 rounds.
-    r5_prefix = [
-        # never driver-certified (r4 debuts that lost the seating race)
-        "tbl_savepoint_restore",
-        "tbl_schema_evolution",
-        "corpus_report",
-        # r1-aged evidence
-        "q20_excess_suppliers",
-        "a_pivot_event_types",
-        "a_percentile_values",
-        # r2-aged evidence
-        "q1_pricing_summary",
-        "q3_shipping_priority",
-        "q5_local_supplier_volume",
-        "q6_revenue_forecast",
-        "q10_returned_items",
-        "p_filter_projection",
-        "p_case_when",
-        "p_like_filter",
-        "pipe_stratified_sample",
-        "pipe_dataset_mixture",
-        "text_tfidf_topterms",
-        "pipe_doc_chunks",
-        "a_salted_distinct_users",
-        "j_salted_skew_join",
-        "mm_frame_sample",
-        # r3-aged refreshes: full tbl_* lifecycle battery (code touched r5)
-        "tbl_upsert_cow",
-        "tbl_upsert_mor",
-        # r5 debut: async compaction (schedule/execute split; post-plan logs
-        # survive execution under the hash gate). Debut ops outrank
-        # refreshes — took tbl_upsert_mor_compacted's refresh slot (r3
-        # evidence, age 2, in policy; its inline-compaction read path is a
-        # strict subset of what this spec certifies).
-        "tbl_async_compaction",
-        "tbl_merge_mixed",
-        # r5 debut: length-bucketed batch planning (padding-efficient
-        # training batches). Debut ops outrank refreshes — took
-        # tbl_delete_where's slot (r3 evidence, age 2, in policy; the
-        # delete-write path stays covered by tbl_batch_schedule's r4 green,
-        # whose schedule runs delete batches every round).
-        "pipe_length_buckets",
-        "tbl_time_travel",
-        "tbl_incremental",
-        "tbl_cdc_query",
-        # r5 debut: streaming content-hash dedup gate (exactly-once upsert
-        # sink keyed on md5(text) — dedup state lives in the keyed table,
-        # not stream memory). Debut ops outrank refreshes — took
-        # tbl_cdc_rollback's slot (r3 evidence, age 2, in policy; CDC row
-        # kinds stay covered by the seated tbl_cdc_query, rollback recovery
-        # by tbl_batch_schedule's r4 green and the seated tbl_run_services).
-        "stream_dedup_ingest",
-        # r5 debut: z-order clustering (morton layout + per-dimension file
-        # pruning under the hash gate). Debut ops outrank refreshes — took
-        # tbl_scan_pruned's refresh slot (r3 evidence, age 2, in policy; its
-        # single-dimension sort-clustered pruning is a strict subset of what
-        # this spec certifies: same scan ≡ filter equivalence, two dims).
-        "tbl_zorder_prune",
-        # r5 debut: distributed k-means (Lloyd) cluster assignments — the
-        # step SemDeDup/IVF assume already exists; exact-integer math under
-        # the hash gate. Debut ops outrank refreshes — took
-        # tbl_join_view_incremental's slot (r3 evidence, age 2, in policy;
-        # the CDC-IVM machinery stays covered by the seated
-        # tbl_rollup_incremental row).
-        "emb_kmeans_lloyd",
-        "tbl_rollup_incremental",
-        # r5 debuts: exact-substring (passage-level) dedup — the Lee et al.
-        # 2022 family (window-hash spans + removal accounting), the one dedup
-        # granularity the registry lacked. Debut ops outrank refreshes — took
-        # dedup_exact's and sim_ivf_topk's refresh slots (r3 evidence, age 2,
-        # in policy; exact-hash dedup machinery stays covered by the seated
-        # dedup_clusters row, ANN by sim_pq_topk/sim_rrf_fusion).
-        "dedup_substring_spans",
-        "dedup_substring_removal",
-        # r3-aged refreshes: dedup/ANN family (minhash + SemDeDup work r5)
-        "dedup_minhash_lsh",
-        # r5 debuts: log compaction (stitch small MOR logs, no base rewrite)
-        # and async clustering (schedule/execute layout split) — new r5 table
-        # services certified under the hash gate. Debut ops outrank
-        # refreshes — took dedup_ngram_jaccard's and dedup_simhash's refresh
-        # slots (untouched code, r3 evidence, age 2, within policy).
-        "tbl_log_compaction",
-        "tbl_async_clustering",
-        # r5 debut: distributed BPE merge training (word-type statistics,
-        # 1-row best-pair broadcast, islands-window greedy merge — the
-        # tokenizer-training primitive). Debut ops outrank refreshes — took
-        # dedup_clusters's slot (r3 evidence, age 2, in policy; the
-        # cluster-closure machinery stays covered by the seated
-        # dedup_keep_best row's r4 green + sweep).
-        "tok_bpe_merges",
-        # r5 debut: bloom-prefiltered cross-corpus decontamination (partial
-        # blooms OR-merged, vectorized probe, exact confirm join). Took
-        # dedup_cross_corpus's refresh slot (same family, r3 evidence age 2).
-        "dedup_bloom_prefilter",
-        # r5 debut: reciprocal-rank fusion (BM25 ⊕ embedding-cosine hybrid
-        # retrieval). Debut ops outrank refreshes — took dedup_embed_ann's
-        # slot (r3 evidence, age 2, in policy).
-        "sim_rrf_fusion",
-        # r5 debut: the hudi_metadata() TVF (metadata-table partitions must
-        # reproduce the data: partition row counts from footer sums +
-        # column_stats/record_index consistency markers). Debut ops outrank
-        # refreshes — took dedup_embed_cosine's slot (r3 evidence, age 2, in
-        # policy; the cosine path stays covered by sim_rrf_fusion/sim_pq_topk
-        # and the seated dedup_semantic machinery).
-        "tbl_metadata_tvf",
-        # r5 debut: bootstrap (METADATA_ONLY zero-rewrite onboarding + the
-        # upsert lifecycle over linked, skeleton-less files under the hash
-        # gate). Debut ops outrank refreshes — took sim_brute_topk's slot
-        # (r3 evidence, age 2, in policy; its cosine path stays covered by
-        # the seated dedup_embed_cosine and sim_rrf_fusion rows).
-        "tbl_bootstrap",
-        # r5 debut: DSIR-shaped hashed-n-gram importance affinity (capped
-        # broadcast feature table, exact-integer masses). Debut ops outrank
-        # refreshes — took sim_knn_join's slot (r3 evidence, age 2).
-        "pipe_dsir_affinity",
-        # r5 debut: product-quantization ANN (asymmetric-distance scan over
-        # 8-byte codes — the memory-bound 100 TB retrieval path). Debut ops
-        # outrank refreshes — took sim_ann_lsh's slot (r3 evidence, age 2).
-        "sim_pq_topk",
-        # r5 debut: BM25 ranked retrieval (pre-filtered tf shuffle, broadcast
-        # idf/stats, TakeOrdered top-k). Debut ops outrank refreshes — took
-        # j_asof_join's refresh slot (r3 evidence, age 2, in policy).
-        "text_bm25_topk",
-        # r5 debut: T5 span-corruption denoising plan (seeded deterministic
-        # mask spans + sentinel numbering). Debut ops outrank refreshes —
-        # took fp_winnowing's slot (r3 evidence, age 2, in policy; its perf
-        # watch rides the BENCH headline every round regardless, and its
-        # guard fix this round is covered by the short-doc unit test).
-        "pipe_span_corruption",
-        # r5 debut: delete_partition lifecycle (metadata-only drop +
-        # time-travel retention markers under the hash gate). Took
-        # j_range_join's refresh slot (r3 evidence, age 2, in policy).
-        "tbl_partition_lifecycle",
-        # r5 debut: record-level index (Hudi 1.0 RLI — exact key→file write
-        # planning; insert-empty/upsert-scoped/delete-scoped markers under
-        # the hash gate). Debut ops outrank refreshes — took
-        # w_ranking_battery's slot; it keeps r3 evidence (age 2, in policy).
-        "tbl_record_index",
-        # r5 debut: the run_services policy pass (recompaction +
-        # rollback-invalidated index rebuild + lookup parity under the hash
-        # gate). Debut ops outrank refreshes — took mm_feature_pipeline's
-        # slot; it keeps r3 evidence (age 2, within policy).
-        "tbl_run_services",
+    # Prefix rotation (round 6): the driver gate samples a 50-query prefix.
+    # Policy (steady state): (1) debut ops with no driver row yet, (2)
+    # oldest-evidence refreshes. This round: the one r6 debut
+    # (tok_bpe_encode), then ALL 40 rows whose latest driver green is r3
+    # (max evidence age hits 3 without a refresh — the judge's r5 ask #2
+    # names this exact list), then 9 r4-aged backfills prioritizing specs
+    # whose code round 6 touched (index/heal generation sweep, marker
+    # heartbeat on the COW path, SemDeDup family) plus the
+    # driver-canonicalizer risk row fn_array_battery. The 50 r5-green rows
+    # all rotate out (freshest evidence). After this round max driver
+    # evidence age is <=2 again (r4/r5/r6 only) and union coverage stays
+    # complete.
+    r6_prefix = [
+        # r6 debut: BPE corpus encoding with learned merges (the apply half)
+        "tok_bpe_encode",
+        # r3-aged refreshes (all 40; dedup_embed_cosine's blocked top-k
+        # constant changed this round — its re-certification matters most)
+        "dedup_embed_cosine",
+        "a_count_distinct_users",
+        "a_grouping_sets",
+        "dedup_clusters",
+        "dedup_cross_corpus",
+        "dedup_embed_ann",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "doc_fingerprints",
+        "emb_label_centroids",
+        "fn_explode_unnest",
+        "fn_string_agg",
+        "fp_winnowing",
+        "j_asof_join",
+        "j_range_join",
+        "lang_detect_ngram",
+        "lang_distribution",
+        "mm_feature_pipeline",
+        "mm_resize_pipeline",
+        "pipe_decontaminate",
+        "pipe_hash_split",
+        "pipe_pack_sequences",
+        "pipe_pii_redact",
+        "pipe_shuffle_order",
+        "pipe_training_corpus",
+        "s_orc_roundtrip",
+        "sim_ann_lsh",
+        "sim_brute_topk",
+        "sim_ivf_topk",
+        "sim_knn_join",
+        "tbl_cdc_rollback",
+        "tbl_delete_where",
+        "tbl_join_view_incremental",
+        "tbl_scan_pruned",
+        "tbl_upsert_mor_compacted",
+        "text_quality_score",
+        "text_repetition_filter",
+        "text_stats",
+        "w_ranking_battery",
+        # r4-aged backfills: code-touched paths first (heal generation sweep
+        # rides every indexed write; the marker heartbeat rides every COW
+        # rewrite; rollback/heal under services), then the SemDeDup family
+        # and the canonicalizer-risk row
+        "tbl_bloom_upsert",
+        "tbl_secondary_lookup",
+        "tbl_batch_schedule",
+        "tbl_partial_update",
+        "stream_corpus_ingest",
+        "dedup_semantic",
+        "j_merge_full_outer",
+        "w_latest_per_key",
+        "fn_array_battery",
     ]
-    assert len(r5_prefix) == 50 and len(set(r5_prefix)) == 50, "prefix must be 50 unique names"
+    assert len(r6_prefix) == 50 and len(set(r6_prefix)) == 50, "prefix must be 50 unique names"
     by_name = {s.name: s for s in specs}
-    missing = [n for n in r5_prefix if n not in by_name]
+    missing = [n for n in r6_prefix if n not in by_name]
     assert not missing, f"prefix names not in registry: {missing}"
-    prefix_set = set(r5_prefix)
-    specs = [by_name[n] for n in r5_prefix] + [s for s in specs if s.name not in prefix_set]
+    prefix_set = set(r6_prefix)
+    specs = [by_name[n] for n in r6_prefix] + [s for s in specs if s.name not in prefix_set]
     return specs
 
 
