@@ -212,6 +212,117 @@ ORDER BY n.doc_id
 )
 
 
+def pipe_self_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """WITHIN-document repeated-span removal accounting — the intra-doc
+    complement of ``dedup_substring_removal`` (crawl text repeats its own
+    boilerplate: nav bars, footers, templated paragraphs; Lee et al. 2022
+    report intra-doc repeats as a major duplicate class).
+
+    A W-token window is a self-repeat when the same token sequence already
+    occurred EARLIER in the same document (first occurrence kept); repeat
+    windows merge into maximal spans via the shared islands machinery and
+    are accounted per document. Plan: per-doc window hashes (one projection,
+    no corpus-wide state), a (doc_id, hash) window min for first-occurrence
+    detection — the shuffle key carries doc_id, so skew is bounded by the
+    longest DOCUMENT, never the corpus — then the islands merge. Everything
+    is per-document; at 100 TB this is embarrassingly parallel."""
+    d = _docs(spark, sf).select("doc_id", words("text").alias("__ws"))
+    n_wins = F.size("__ws") - (SPAN_W - 1)
+    idx = F.when(n_wins >= 1, F.sequence(F.lit(1), n_wins)).otherwise(
+        F.array().cast("array<int>")
+    )
+    wins = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                idx,
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ", *[F.element_at("__ws", i + k) for k in range(SPAN_W)]
+                    )
+                ),
+            )
+        ).alias("p", "h"),
+    ).select("doc_id", (F.col("p") + 1).alias("start"), "h")
+    w_h = Window.partitionBy("doc_id", "h")
+    repeats = (
+        wins.withColumn("first_start", F.min("start").over(w_h))
+        .filter(F.col("start") > F.col("first_start"))
+        .select("doc_id", "start", (F.col("start") + (SPAN_W - 1)).alias("e"))
+    )
+    per_doc = (
+        _merged_spans(repeats)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("span_len").alias("repeat_tokens"),
+            F.count(F.lit(1)).alias("n_repeat_spans"),
+        )
+    )
+    n_tok = _docs(spark, sf).select(
+        "doc_id", F.size(words("text")).cast("long").alias("n_tokens")
+    )
+    return (
+        n_tok.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("repeat_tokens", F.lit(0)).cast("long").alias("repeat_tokens"),
+            (F.col("n_tokens") - F.coalesce("repeat_tokens", F.lit(0)))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.coalesce("n_repeat_spans", F.lit(0)).cast("long").alias("n_repeat_spans"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PIPE_SELF_DEDUP_ORACLE = f"""
+WITH ws AS (
+  SELECT doc_id, list_filter(str_split(trim(text), ' '), w -> w <> '') AS w
+  FROM documents
+), wins AS (
+  SELECT doc_id, i AS start,
+         md5({" || ' ' || ".join(f"w[i+{k}]" for k in range(SPAN_W))}) AS h
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(1, greatest(len(w) - {SPAN_W - 1}, 0))) AS i
+        FROM ws)
+), rep AS (
+  SELECT doc_id, start, start + {SPAN_W - 1} AS e
+  FROM (SELECT doc_id, start, h,
+               min(start) OVER (PARTITION BY doc_id, h) AS first_start
+        FROM wins)
+  WHERE start > first_start
+), flagged AS (
+  SELECT doc_id, start, e,
+         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR start > max(e) OVER (PARTITION BY doc_id ORDER BY start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+         THEN 1 ELSE 0 END AS nf
+  FROM rep
+), islands AS (
+  SELECT doc_id, start, e,
+         sum(nf) OVER (PARTITION BY doc_id ORDER BY start
+                       ROWS UNBOUNDED PRECEDING) AS isl
+  FROM flagged
+), spans AS (
+  SELECT doc_id, max(e) - min(start) + 1 AS span_len
+  FROM islands GROUP BY doc_id, isl
+), per_doc AS (
+  SELECT doc_id, sum(span_len) AS repeat_tokens, count(*) AS n_repeat_spans
+  FROM spans GROUP BY doc_id
+), n_tok AS (
+  SELECT doc_id, len(w)::BIGINT AS n_tokens FROM ws
+)
+SELECT n.doc_id, n.n_tokens,
+       coalesce(p.repeat_tokens, 0)::BIGINT AS repeat_tokens,
+       (n.n_tokens - coalesce(p.repeat_tokens, 0))::BIGINT AS kept_tokens,
+       coalesce(p.n_repeat_spans, 0)::BIGINT AS n_repeat_spans
+FROM n_tok n LEFT JOIN per_doc p USING (doc_id)
+ORDER BY n.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Distributed BPE merge training (Sennrich et al. 2016, arXiv:1508.07909)
 # ---------------------------------------------------------------------------
@@ -469,6 +580,78 @@ WITH wt AS (
 
 
 TOK_BPE_ORACLE = _bpe_oracle()
+
+
+def tok_fertility_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language tokenizer fertility after BPE encoding — the multilingual
+    budgeting metric (tokens per word, characters per token) every corpus
+    report carries: languages the tokenizer under-serves show high fertility,
+    and mixture weights/compute budgets are set from exactly this table.
+
+    Shape: the learned merges (bounded metadata) replay over the word-TYPE
+    table once; per-type token counts then join the (lang, word) stream on
+    the word — a shuffle keyed on word types, NOT documents — and one
+    low-cardinality per-language aggregation finishes. Exact integer output
+    (DIV surrogates, same convention as ``text_unigram_lm_score``)."""
+    merge_rows = tok_bpe_merges(spark, sf).collect()  # R rows of vocab metadata
+    merges = [tuple(r["pair"].split("+", 1)) for r in merge_rows]
+    wt = (
+        _docs(spark, sf)
+        .select(F.explode(words("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    symbols = wt.select(
+        "w",
+        "cnt",
+        F.posexplode(
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        ).alias("p", "s"),
+    ).select("w", "cnt", (F.col("p") + 1).alias("pos"), "s")
+    tok_per_type = (
+        bpe_apply_merges(symbols, merges)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_sym"))
+    )
+    dw = _docs(spark, sf).select("lang", F.explode(words("text")).alias("w"))
+    return (
+        dw.join(tok_per_type, "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_tokens"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            F.expr("(1000 * n_tokens) DIV n_words").alias("fertility_milli"),
+            F.expr("(1000 * n_chars) DIV n_tokens").alias("chars_per_token_milli"),
+        )
+        .orderBy("lang")
+    )
+
+
+TOK_FERTILITY_ORACLE = (
+    TOK_BPE_ORACLE[: TOK_BPE_ORACLE.rindex(")") + 1]
+    + f"""
+, tok AS (
+  SELECT w, count(*)::BIGINT AS n_sym FROM s{BPE_ROUNDS + 1} GROUP BY w
+), dw AS (
+  SELECT lang, unnest(list_filter(str_split(trim(text), ' '), x -> x <> '')) AS w
+  FROM documents
+)
+SELECT lang,
+       count(*)::BIGINT AS n_words,
+       sum(n_sym)::BIGINT AS n_tokens,
+       sum(length(w))::BIGINT AS n_chars,
+       ((1000 * sum(n_sym)) // count(*))::BIGINT AS fertility_milli,
+       ((1000 * sum(length(w))) // sum(n_sym))::BIGINT AS chars_per_token_milli
+FROM dw JOIN tok USING (w)
+GROUP BY lang ORDER BY lang"""
+)
 
 #: encode oracle: the SAME generated train CTE chain (merges re-derived in
 #: SQL, so the oracle is self-contained end-to-end), aggregated over the
@@ -795,6 +978,12 @@ SPECS: list[QuerySpec] = [
         "LLM:dedup exact-substring removal accounting",
     ),
     QuerySpec(
+        "pipe_self_dedup",
+        pipe_self_dedup,
+        PIPE_SELF_DEDUP_ORACLE,
+        "LLM:within-document repeated-span removal accounting",
+    ),
+    QuerySpec(
         "tok_bpe_merges",
         tok_bpe_merges,
         TOK_BPE_ORACLE,
@@ -805,6 +994,12 @@ SPECS: list[QuerySpec] = [
         tok_bpe_encode,
         TOK_BPE_ENCODE_ORACLE,
         "LLM:tokenizer BPE corpus encoding with learned merges",
+    ),
+    QuerySpec(
+        "tok_fertility_stats",
+        tok_fertility_stats,
+        TOK_FERTILITY_ORACLE,
+        "LLM:per-language tokenizer fertility (tokens/word, chars/token)",
     ),
     QuerySpec(
         "emb_kmeans_lloyd",

@@ -117,9 +117,14 @@ def all_specs() -> list[QuerySpec]:
         "tbl_partial_update",
         "stream_corpus_ingest",
         "dedup_semantic",
-        "j_merge_full_outer",
-        "w_latest_per_key",
         "fn_array_battery",
+        # r6 debuts (seated late in the round; debuts outrank refreshes —
+        # took j_merge_full_outer's and w_latest_per_key's r4-aged backfill
+        # slots, both untouched code with r4 greens + sweep coverage):
+        # within-document repeated-span removal and per-language tokenizer
+        # fertility over the BPE encode path
+        "pipe_self_dedup",
+        "tok_fertility_stats",
     ]
     assert len(r6_prefix) == 50 and len(set(r6_prefix)) == 50, "prefix must be 50 unique names"
     by_name = {s.name: s for s in specs}

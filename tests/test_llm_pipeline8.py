@@ -363,3 +363,26 @@ def test_bpe_apply_merges_is_pure_apply(spark, tmp_path):
         for r in enc.collect()
     }
     assert toks == {("abab", 1): "abab", ("cc", 1): "c", ("cc", 2): "c"}
+
+
+def test_self_dedup_planted_intra_doc_repeat(spark, tmp_path):
+    """A document repeating its own 8-token boilerplate must have the SECOND
+    occurrence accounted (first kept), and a no-repeat doc reports zero."""
+    from hudi_examples_spark.operators.llm_pipeline8 import SPAN_W, pipe_self_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(SPAN_W + 2))  # 8 tokens at W=6
+    clean = " ".join(f"u{i}" for i in range(20))
+    docs = [
+        (1, f"{boiler} mid1 mid2 mid3 {boiler}"),
+        (2, clean),
+    ]
+    sf = _write_docs(spark, tmp_path, docs)
+    got = {r["doc_id"]: r for r in pipe_self_dedup(spark, sf).collect()}
+    # doc 1: 8 + 3 + 8 = 19 tokens; the second boilerplate block's windows
+    # all repeat windows seen at positions 1..3 -> one merged span covering
+    # tokens 12..19 (8 tokens)
+    assert got[1]["n_tokens"] == 19
+    assert got[1]["repeat_tokens"] == SPAN_W + 2
+    assert got[1]["kept_tokens"] == 19 - (SPAN_W + 2)
+    assert got[1]["n_repeat_spans"] == 1
+    assert got[2]["repeat_tokens"] == 0 and got[2]["kept_tokens"] == 20
