@@ -2468,8 +2468,34 @@ class Table:
                 cur = frm
         return out
 
+    def _commit_order_expr(self):
+        """Commit-recency expression for version resolution — Hudi 1.0
+        COMPLETION-time semantics (non-blocking concurrency control): the
+        instant id is the BEGIN time, and two MOR log writers publishing
+        without locks can complete in the opposite order they minted; the
+        version that committed LAST must win ties, whatever its begin time.
+
+        Fast path: when the timeline's completion order equals begin order
+        (single writer, OCC-serialized COW — the overwhelmingly common
+        case), the raw commit column is returned and plans are byte-
+        identical to the begin-ordered ones. Only a timeline that actually
+        experienced out-of-order completion pays for the (bounded, archival-
+        capped) instant→rank literal map; commits absent from the map — the
+        in-flight write's own instant riding a COW merge — rank newest, the
+        same position begin ordering gave them."""
+        order = self.timeline.completion_order()
+        if order is None:
+            return F.col(META_COMMIT)
+        mapping = F.create_map(
+            [F.lit(x) for k in sorted(order) for x in (k, order[k])]
+        )
+        return F.coalesce(
+            F.element_at(mapping, F.col(META_COMMIT)), F.lit(len(order) + 1)
+        )
+
     def _latest_wins(self, df: DataFrame) -> DataFrame:
-        """Resolve multiple versions of a key: max precombine, then newest commit.
+        """Resolve multiple versions of a key: max precombine, then newest commit
+        (completion order — see ``_commit_order_expr``).
 
         Parity: precombine semantics of ``DeltaStreamerExample.scala:16,27`` (larger
         ordering value wins; ties → latest write wins).
@@ -2479,7 +2505,7 @@ class Table:
         order = []
         if self.config.precombine:
             order.append(F.desc(self.config.precombine))
-        order.append(F.desc(META_COMMIT))
+        order.append(F.desc(self._commit_order_expr()))
         w = Window.partitionBy(META_KEY).orderBy(*order)
         return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
@@ -2493,14 +2519,18 @@ class Table:
         """
         if not self.config.record_key:
             return df.filter(~F.col(META_DELETED))
+        # delete epochs follow the same completion-order recency as version
+        # resolution (a tombstone completed last invalidates everything that
+        # completed before it, whatever the begin times)
+        cseq = self._commit_order_expr()
         w = Window.partitionBy(META_KEY)
-        df = df.withColumn(
-            "__last_del", F.max(F.when(F.col(META_DELETED), F.col(META_COMMIT))).over(w)
+        df = df.withColumn("__cseq", cseq).withColumn(
+            "__last_del", F.max(F.when(F.col(META_DELETED), F.col("__cseq"))).over(w)
         )
         alive = df.filter(
             (~F.col(META_DELETED))
-            & (F.col("__last_del").isNull() | (F.col(META_COMMIT) > F.col("__last_del")))
-        ).drop("__last_del")
+            & (F.col("__last_del").isNull() | (F.col("__cseq") > F.col("__last_del")))
+        ).drop("__last_del", "__cseq")
         if META_PARTIAL in df.columns:
             return self._merge_partial(alive)
         return self._latest_wins(alive)
@@ -2519,7 +2549,7 @@ class Table:
         order = []
         if self.config.precombine:
             order.append(F.desc_nulls_last(self.config.precombine))
-        order.append(F.desc(META_COMMIT))
+        order.append(F.desc(self._commit_order_expr()))
         w = (
             Window.partitionBy(META_KEY)
             .orderBy(*order)
@@ -3795,21 +3825,24 @@ class Table:
         wp = self._partial_in(files, log_rels)
         logs = self._read_files(log_rels, with_deleted=True, with_partial=wp)
         if self.config.record_key:
+            # the tombstone epoch follows COMPLETION order, same as the live
+            # merge (_merge_mor): a row minted before a tombstone but
+            # completed after it is alive and must survive the stitch
             w = Window.partitionBy(META_KEY)
-            d = logs.withColumn(
+            d = logs.withColumn("__cseq", self._commit_order_expr()).withColumn(
                 "__last_del",
-                F.max(F.when(F.col(META_DELETED), F.col(META_COMMIT))).over(w),
+                F.max(F.when(F.col(META_DELETED), F.col("__cseq"))).over(w),
             )
             logs = d.filter(
-                (F.col(META_DELETED) & (F.col(META_COMMIT) == F.col("__last_del")))
+                (F.col(META_DELETED) & (F.col("__cseq") == F.col("__last_del")))
                 | (
                     (~F.col(META_DELETED))
                     & (
                         F.col("__last_del").isNull()
-                        | (F.col(META_COMMIT) > F.col("__last_del"))
+                        | (F.col("__cseq") > F.col("__last_del"))
                     )
                 )
-            ).drop("__last_del")
+            ).drop("__last_del", "__cseq")
         instant = new_instant()
         rels = self._write_files(logs, instant)
         self._publish_occ(

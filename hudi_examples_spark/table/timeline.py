@@ -66,6 +66,12 @@ class Instant:
     files_removed: list[str] = field(default_factory=list)
     #: extra metadata (operation name, record counts, clustering plan, …)
     meta: dict = field(default_factory=dict)
+    #: wall-clock publish time (Hudi 1.0 completion time). The instant id is
+    #: the BEGIN time; under non-blocking concurrency two MOR writers can
+    #: publish in the opposite order they minted, and version resolution
+    #: must then follow COMPLETION order (the causal commit order). None on
+    #: instants written before this field existed.
+    committed_at: float | None = None
 
     @property
     def is_data_commit(self) -> bool:
@@ -192,9 +198,29 @@ class Timeline:
                     d.get("files_added", []),
                     d.get("files_removed", []),
                     d.get("meta", {}),
+                    d.get("committed_at"),
                 )
             )
         return out
+
+    def completion_order(self) -> dict[str, int] | None:
+        """Instant → completion rank, or None when completion order equals
+        begin (instant-id) order — the overwhelmingly common case (single
+        writer; COW multi-writer is serialized by OCC), which lets merge
+        plans keep ordering by the raw commit column at zero cost. Only MOR
+        log appends under non-blocking concurrency can complete out of
+        order. Instants predating the committed_at field rank by instant id
+        at epoch 0 (before any stamped instant — their completion order is
+        unknowable and begin order is the historical behavior)."""
+        data = [i for i in self.instants() if i.is_data_commit]
+        by_begin = sorted(i.instant for i in data)
+        by_completion = [
+            i.instant
+            for i in sorted(data, key=lambda i: (i.committed_at or 0.0, i.instant))
+        ]
+        if by_begin == by_completion:
+            return None
+        return {inst: seq for seq, inst in enumerate(by_completion, start=1)}
 
     def write(self, inst: Instant) -> None:
         os.makedirs(self.dir, exist_ok=True)

@@ -1,0 +1,178 @@
+"""Completion-time commit ordering — Hudi 1.0 non-blocking concurrency
+semantics: the instant id is the BEGIN time; MOR log writers publish without
+locks, so two writers can complete in the opposite order they minted. Version
+resolution (precombine ties), delete epochs, partial-update column merge, and
+compaction must all follow COMPLETION order — the causal commit order — not
+begin order.
+
+The out-of-order history is SIMULATED by swapping the two instants'
+``committed_at`` stamps on disk (byte-identical to what a slow first-minted
+writer publishing last would have written), which keeps the test exact and
+deterministic; the cross-process soaks cover the racing-writers machinery.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from hudi_examples_spark.table import Table, TableConfig
+from hudi_examples_spark.table.timeline import TIMELINE_DIR
+
+SCHEMA = "k BIGINT, val STRING, v INT"
+
+
+def _mor(spark, tmp_path, name="t"):
+    t = Table.create(
+        spark,
+        str(tmp_path / name),
+        SCHEMA,
+        TableConfig(record_key=["k"], precombine="v", table_type="mor"),
+    )
+    t.insert(spark.createDataFrame([(1, "base", 1), (2, "keep", 1)], SCHEMA))
+    return t
+
+
+def _swap_completion(base: str, ia: str, ib: str) -> None:
+    """Make instant ``ia`` (minted first) COMPLETE after ``ib``."""
+    d = os.path.join(base, TIMELINE_DIR)
+    paths = {}
+    for fn in os.listdir(d):
+        for inst in (ia, ib):
+            if fn.startswith(inst + ".") and fn.endswith(".json"):
+                paths[inst] = os.path.join(d, fn)
+    assert set(paths) == {ia, ib}
+    docs = {}
+    for inst, p in paths.items():
+        with open(p) as f:
+            docs[inst] = json.load(f)
+    docs[ia]["committed_at"], docs[ib]["committed_at"] = (
+        docs[ib]["committed_at"] + 1.0,
+        docs[ib]["committed_at"],
+    )
+    for inst, p in paths.items():
+        with open(p, "w") as f:
+            json.dump(docs[inst], f, indent=1)
+
+
+def test_begin_order_is_the_zero_cost_default(spark, tmp_path):
+    t = _mor(spark, tmp_path)
+    ia = t.upsert(spark.createDataFrame([(1, "first-minted", 2)], SCHEMA))
+    ib = Table(spark, t.base).upsert(
+        spark.createDataFrame([(1, "second-minted", 2)], SCHEMA)
+    )
+    assert ia < ib
+    t2 = Table(spark, t.base)
+    # completion order equals begin order → fast path (no rank map in plan)
+    assert t2.timeline.completion_order() is None
+    rows = {r["k"]: r["val"] for r in t2.read().collect()}
+    assert rows[1] == "second-minted"
+
+
+def test_equal_precombine_resolves_by_completion_not_begin(spark, tmp_path):
+    t = _mor(spark, tmp_path)
+    # both carry the SAME precombine: recency is the tie-break under test
+    ia = t.upsert(spark.createDataFrame([(1, "minted-early-completed-late", 2)], SCHEMA))
+    ib = Table(spark, t.base).upsert(
+        spark.createDataFrame([(1, "minted-late-completed-early", 2)], SCHEMA)
+    )
+    _swap_completion(t.base, ia, ib)
+    t2 = Table(spark, t.base)
+    assert t2.timeline.completion_order() is not None
+    rows = {r["k"]: r["val"] for r in t2.read().collect()}
+    assert rows[1] == "minted-early-completed-late"
+    assert rows[2] == "keep"
+    # higher precombine still dominates completion order entirely
+    Table(spark, t.base).upsert(spark.createDataFrame([(1, "newer-v", 3)], SCHEMA))
+    assert {
+        r["k"]: r["val"] for r in Table(spark, t.base).read().collect()
+    }[1] == "newer-v"
+
+
+def test_delete_epoch_follows_completion_order(spark, tmp_path):
+    t = _mor(spark, tmp_path)
+    # the delete is MINTED first but COMPLETES after the re-insert: the key
+    # must be dead (tombstone is causally newest), where begin order would
+    # have resurrected it
+    ia = t.delete(spark.createDataFrame([(1,)], "k BIGINT"))
+    ib = Table(spark, t.base).upsert(
+        spark.createDataFrame([(1, "resurrect", 1)], SCHEMA)
+    )
+    assert {r["k"] for r in Table(spark, t.base).read().collect()} == {1, 2}
+    _swap_completion(t.base, ia, ib)
+    assert {r["k"] for r in Table(spark, t.base).read().collect()} == {2}
+
+
+def test_compaction_preserves_completion_semantics(spark, tmp_path):
+    t = _mor(spark, tmp_path)
+    ia = t.upsert(spark.createDataFrame([(1, "late-completer", 2)], SCHEMA))
+    ib = Table(spark, t.base).upsert(
+        spark.createDataFrame([(1, "early-completer", 2)], SCHEMA)
+    )
+    _swap_completion(t.base, ia, ib)
+    before = sorted(map(tuple, Table(spark, t.base).read().collect()))
+    c = Table(spark, t.base)
+    c.compact()
+    after = sorted(map(tuple, Table(spark, t.base).read().collect()))
+    assert before == after
+    assert {r["k"]: r["val"] for r in Table(spark, t.base).read().collect()}[1] == (
+        "late-completer"
+    )
+
+
+def test_partial_update_columns_follow_completion_order(spark, tmp_path):
+    t = Table.create(
+        spark,
+        str(tmp_path / "p"),
+        "k BIGINT, a STRING, b STRING, v INT",
+        TableConfig(record_key=["k"], precombine="v", table_type="mor"),
+    )
+    t.insert(spark.createDataFrame([(1, "a0", "b0", 1)], t.schema))
+    ia = t.update_partial(
+        spark.createDataFrame([(1, "a-late-completer", 2)], "k BIGINT, a STRING, v INT")
+    )
+    ib = Table(spark, t.base).update_partial(
+        spark.createDataFrame([(1, "a-early-completer", 2)], "k BIGINT, a STRING, v INT")
+    )
+    _swap_completion(t.base, ia, ib)
+    row = Table(spark, t.base).read().filter(F.col("k") == 1).collect()[0]
+    assert row["a"] == "a-late-completer" and row["b"] == "b0"
+
+
+def test_legacy_instants_without_stamp_keep_begin_order(spark, tmp_path):
+    t = _mor(spark, tmp_path)
+    t.upsert(spark.createDataFrame([(1, "w1", 2)], SCHEMA))
+    # strip committed_at everywhere (a pre-completion-time table)
+    d = os.path.join(t.base, TIMELINE_DIR)
+    for fn in os.listdir(d):
+        if not fn.endswith(".json"):
+            continue
+        p = os.path.join(d, fn)
+        with open(p) as f:
+            doc = json.load(f)
+        doc.pop("committed_at", None)
+        with open(p, "w") as f:
+            json.dump(doc, f, indent=1)
+    t2 = Table(spark, t.base)
+    assert t2.timeline.completion_order() is None  # begin order, fast path
+    assert {r["k"]: r["val"] for r in t2.read().collect()}[1] == "w1"
+
+
+def test_log_compaction_keeps_completion_alive_rows(spark, tmp_path):
+    t = _mor(spark, tmp_path)
+    # the delete is minted first but completes last: k=1 must stay dead
+    # through a log stitch (begin-order stitching would have treated the
+    # later-minted upsert as post-tombstone and kept it alive)
+    ia = t.delete(spark.createDataFrame([(1,)], "k BIGINT"))
+    ib = Table(spark, t.base).upsert(
+        spark.createDataFrame([(1, "resurrect", 1)], SCHEMA)
+    )
+    _swap_completion(t.base, ia, ib)
+    c = Table(spark, t.base)
+    assert {r["k"] for r in c.read().collect()} == {2}
+    out = c.compact_logs(min_logs_per_partition=1)
+    assert out is not None
+    c2 = Table(spark, t.base)
+    assert {r["k"] for r in c2.read().collect()} == {2}
