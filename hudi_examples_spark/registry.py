@@ -116,8 +116,11 @@ def all_specs() -> list[QuerySpec]:
         "tbl_batch_schedule",
         "tbl_partial_update",
         "stream_corpus_ingest",
-        "dedup_semantic",
         "fn_array_battery",
+        # r6 debut: token-budgeted shard planning via distributed prefix sum
+        # (took dedup_semantic's r4-aged backfill slot — its SemDeDup guard
+        # is r4-certified + swept, untouched this round)
+        "pipe_shard_plan",
         # r6 debuts (seated late in the round; debuts outrank refreshes —
         # took j_merge_full_outer's and w_latest_per_key's r4-aged backfill
         # slots, both untouched code with r4 greens + sweep coverage):

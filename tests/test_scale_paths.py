@@ -243,3 +243,31 @@ def test_writer_rolls_files_at_max_records(spark, tmp_path):
     for r in files:
         assert pq.ParquetFile(os.path.join(tbl.base, r)).metadata.num_rows <= 30
     assert tbl.count() == 100
+
+
+def test_distributed_prefix_sum_equals_global_window(spark):
+    """The two-level prefix sum must be bit-identical to the naive
+    single-partition global window, while spreading the data window across
+    bucket partitions (only the 256-row offsets table is single-partition)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from hudi_examples_spark.operators.scale_ops import distributed_prefix_sum
+
+    df = spark.range(5000).select(
+        F.md5(F.col("id").cast("string")).alias("h"),
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 37, F.lit(100)) + 1).alias("val"),
+    )
+    got = {
+        r["doc_id"]: r["__prefix"]
+        for r in distributed_prefix_sum(df, ["h", "doc_id"], "val").collect()
+    }
+    w = Window.orderBy("h", "doc_id")
+    want = {
+        r["doc_id"]: r["p"]
+        for r in df.withColumn(
+            "p", F.coalesce(F.sum("val").over(w) - F.col("val"), F.lit(0))
+        ).collect()
+    }
+    assert got == want
