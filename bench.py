@@ -257,17 +257,19 @@ def main() -> None:
             f.write(json.dumps(entry) + "\n")
         cutoff = entry["ts"] - 48 * 3600  # same host era: the last two days
         with open(DAYLOG) as f:
-            for line in f:
-                try:
-                    e = json.loads(line)
-                except ValueError:
-                    continue
-                if e.get("ts", 0) >= cutoff and e.get("sf") == entry["sf"] and (
-                    e["micro"] < best["micro"]
-                    or (e["micro"] == best["micro"] and e["raw_total"] < best["raw_total"])
-                ):
-                    best = e
-    except OSError:
+            todays = [
+                e
+                for e in (json.loads(ln) for ln in f if ln.strip())
+                if e.get("ts", 0) >= cutoff and e.get("sf") == entry["sf"]
+            ]
+        # min-raw at min-micro, with a tolerance band: micro has ±20% run
+        # noise, so "at min micro" means within 15% of the day's floor —
+        # a strict lexicographic (micro, raw) pick would let a 0.4% micro
+        # blip discard a 20%-faster raw reading
+        floor = min(e["micro"] for e in todays)
+        quiet = [e for e in todays if e["micro"] <= floor * 1.15]
+        best = min(quiet, key=lambda e: e["raw_total"])
+    except (OSError, ValueError):
         pass
     out["best_of_day"] = {
         "raw_total": best["raw_total"],
