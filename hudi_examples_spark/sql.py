@@ -371,6 +371,7 @@ class Engine:
         run_clustering_sort('t'[, 'schedule'|'execute'], 'c1'[, 'c2', ...]) |
         run_clustering_zorder('t'[, 'schedule'|'execute'], 'c1', 'c2'[, ...]) |
         run_clustering_hilbert('t'[, 'schedule'|'execute'], 'c1', 'c2'[, ...]) |
+        run_clustering_smallfiles('t'[, target_bytes]) — bin-pack small files |
         show_clustering('t') — pending clustering plans |
         run_log_compaction('t'[, min_logs]) — stitch small MOR logs |
         run_clean('t'[, retain]) | rebuild_index('t', 'name') |
@@ -414,6 +415,12 @@ class Engine:
             )
         if proc == "run_clustering":
             tbl.cluster(int(arg)) if arg else tbl.cluster(tbl.config.n_buckets or 4)
+            return None
+        if proc == "run_clustering_smallfiles":
+            # CALL run_clustering_smallfiles('t'[, target_bytes]) — bin-pack
+            # small base files into ~target-size files (Hudi's small-file
+            # clustering strategy; see Table.cluster_small_files)
+            tbl.cluster_small_files(int(arg.strip().strip("'"))) if arg else tbl.cluster_small_files()
             return None
         if proc in ("run_clustering_sort", "run_clustering_zorder", "run_clustering_hilbert"):
             cols = [c.strip().strip("'") for c in (arg or "").split(",") if c.strip()]

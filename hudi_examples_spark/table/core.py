@@ -1799,6 +1799,95 @@ class Table:
         df = self._snapshot_of(files, rels).drop(*META_COLS)
         return df.filter(conds) if conds is not None else df
 
+    def cluster_small_files(
+        self, target_bytes: int = 8 * 1024 * 1024, small_limit: int | None = None
+    ) -> str | None:
+        """Small-file clustering — Hudi's most-exercised clustering mode
+        (``hoodie.clustering.plan.strategy.small.file.limit`` +
+        ``target.file.max.bytes``): per partition, bin-pack live base files
+        smaller than ``small_limit`` into bins of ~``target_bytes`` and
+        rewrite each bin as one file. Planning is file-size METADATA only
+        (one os.stat per live file — no data reads, no snapshot job);
+        execution is a pure copy (rows keep their original
+        ``_hoodie_commit``), so commits landing between plan and publish
+        still supersede the output at read time and the publish conflicts
+        only within the rewritten partitions.
+
+        Streaming ingest at 100 TB produces exactly this pathology — many
+        small per-trigger files per partition — and consolidating them is
+        O(small bytes), never a table rewrite. Bins are first-fit-decreasing;
+        single-file bins are left alone (rewriting one file buys nothing).
+        MOR tables with live logs return None (compact first — same rule as
+        layout clustering, for the same cross-partition log-chain reason).
+        Returns the replacecommit instant, or None if nothing to do."""
+        small_limit = small_limit or target_bytes // 2
+        files, latest = self.timeline.live_files()
+        if any(a == "deltacommit" for _, a in files.values()):
+            return None
+        cand: dict[str, list[tuple[int, str]]] = {}
+        for r in sorted(files):
+            p = os.path.join(self.base, r)
+            try:
+                sz = os.path.getsize(p)
+            except OSError:
+                continue  # raced a cleaner; the publish re-validates
+            if sz < small_limit:
+                cand.setdefault(self._partition_of(r), []).append((sz, r))
+        bins: list[list[str]] = []
+        for part in sorted(cand):
+            part_bins: list[list] = []  # [remaining_bytes, [rels]]
+            for sz, r in sorted(cand[part], reverse=True):  # first-fit decreasing
+                for b in part_bins:
+                    if b[0] >= sz:
+                        b[0] -= sz
+                        b[1].append(r)
+                        break
+                else:
+                    part_bins.append([target_bytes - sz, [r]])
+            bins.extend(b[1] for b in part_bins if len(b[1]) >= 2)
+        if not bins:
+            return None
+        rewrite = sorted(r for b in bins for r in b)
+        # route every row to its bin by source-file BASENAME (unique per
+        # Spark part-file; sidesteps input_file_name URI-encoding, same
+        # device _record_entries_for uses); one range partition per bin →
+        # one output file per bin
+        bin_of = {os.path.basename(r): i for i, b in enumerate(bins) for r in b}
+        mapping = F.create_map(
+            [F.lit(x) for k in sorted(bin_of) for x in (k, bin_of[k])]
+        )
+        instant = new_instant()
+        current = self._snapshot_of(files, rewrite)
+        out = (
+            current.withColumn(
+                "__bin",
+                F.element_at(
+                    mapping, F.element_at(F.split(F.input_file_name(), "/"), -1)
+                ),
+            )
+            .repartitionByRange(len(bins), "__bin")
+            .drop("__bin")
+        )
+        rels = self._write_files(out, instant, preserve_layout=True)
+        self._publish_occ(
+            Instant(
+                instant,
+                "replacecommit",
+                rels,
+                rewrite,
+                {
+                    "operation": "cluster_small_files",
+                    "numFilesIn": len(rewrite),
+                    "numOutputFileGroups": len(rels),
+                    "target_bytes": target_bytes,
+                    "small_limit": small_limit,
+                },
+            ),
+            since=latest,
+            partitions={self._partition_of(r) for r in rewrite},
+        )
+        return instant
+
     def cluster_sort(self, cols: list[str], n_files: int | None = None) -> str | None:
         """Sort-based clustering (Hudi clustering sort strategy): rewrite live
         files range-partitioned + sorted on ``cols`` so their min/max ranges
