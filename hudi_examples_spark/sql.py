@@ -382,7 +382,9 @@ class Engine:
         run_archival('t'[, retain]) | split_bucket('t', lower) |
         convert_to_ranges('t', buckets) |
         run_bootstrap('t', '<src>'[, 'record_key=..', ...]) — onboard
-        existing parquet without a rewrite (see ``_run_bootstrap``).
+        existing parquet without a rewrite (see ``_run_bootstrap``) |
+        export_snapshot('t', '<dest>'[, 'hudi'|'parquet'][, '<as_of>']) —
+        consistent snapshot copy (O(files) hardlink clone or plain parquet).
         The sort/zorder forms are
         incremental: already-in-layout partitions are skipped (see
         ``Table._cluster_rewrite``)."""
@@ -415,6 +417,16 @@ class Engine:
             )
         if proc == "run_clustering":
             tbl.cluster(int(arg)) if arg else tbl.cluster(tbl.config.n_buckets or 4)
+            return None
+        if proc == "export_snapshot":
+            # CALL export_snapshot('t', '<dest>'[, 'hudi'|'parquet'][, '<as_of>'])
+            parts = [a.strip().strip("'") for a in self._split_commas(arg or "")]
+            if not parts:
+                raise ValueError("export_snapshot requires a destination path")
+            dest, rest = parts[0], parts[1:]
+            emode = next((a for a in rest if a in ("hudi", "parquet")), "hudi")
+            as_of = next((a for a in rest if a not in ("hudi", "parquet")), None)
+            tbl.export_snapshot(dest, as_of=as_of, mode=emode)
             return None
         if proc == "run_clustering_smallfiles":
             # CALL run_clustering_smallfiles('t'[, target_bytes]) — bin-pack

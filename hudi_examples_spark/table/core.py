@@ -536,6 +536,80 @@ class Table:
             raise
         return tbl
 
+    def export_snapshot(
+        self, dest: str, as_of: str | None = None, mode: str = "hudi", link: bool = True
+    ) -> int:
+        """Materialize a CONSISTENT snapshot of the table — Hudi's
+        ``HoodieSnapshotExporter`` (``--output-format hudi|parquet``), the
+        DR-copy / dev-clone / downstream-handoff tool.
+
+        - ``mode="hudi"``: O(files) metadata clone. Every live file (as of
+          ``as_of``) hardlinks (or copies) into ``dest`` under the same hive
+          layout, the props file copies verbatim, and the timeline is
+          re-synthesized as one instant per ORIGINAL (instant, action) group
+          — so base/log routing, row-level ``_hoodie_commit`` merge order,
+          partial-update payloads, and a bootstrap table's synthesized-meta
+          alignment all survive unchanged, and the clone is a fully
+          queryable Table. Cloning 100 TB costs file-metadata work, not a
+          read. Index/stats sidecars are intentionally NOT cloned (they are
+          derived state — rebuild on the clone if wanted); reads stay
+          correct, just unpruned, until then.
+        - ``mode="parquet"``: one Spark rewrite of ``read(as_of)`` into
+          ``dest`` — plain data columns, no engine metadata, for consumers
+          that just want parquet.
+
+        The export is read-only on the source (same guarantee bootstrap
+        gives its source) and returns the number of data files exported."""
+        if mode not in ("hudi", "parquet"):
+            raise ValueError(f"mode must be hudi|parquet, got {mode!r}")
+        if mode == "parquet":
+            df = self.read(as_of=as_of)
+            if self.config.partition_by:
+                df.write.partitionBy(*self.config.partition_by).parquet(dest)
+            else:
+                df.write.parquet(dest)
+            return sum(
+                1
+                for _root, _d, fns in os.walk(dest)
+                for fn in fns
+                if fn.endswith(".parquet")
+            )
+        if Table.exists(dest):
+            raise ValueError(f"export destination {dest!r} already holds a table")
+        files, _latest = self.timeline.live_files(
+            as_of=normalize_as_of(as_of) if as_of is not None else None
+        )
+        os.makedirs(dest, exist_ok=True)
+        shutil.copy2(os.path.join(self.base, PROPS_FILE), os.path.join(dest, PROPS_FILE))
+        groups: dict[tuple[str, str], list[str]] = {}
+        n = 0
+        for rel in sorted(files):
+            inst, action = files[rel]
+            src = os.path.join(self.base, rel)
+            dst = os.path.join(dest, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if link:
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)
+            else:
+                shutil.copy2(src, dst)
+            groups.setdefault((inst, action), []).append(rel)
+            n += 1
+        clone_tl = Timeline(dest)
+        for (inst, action), rels in sorted(groups.items()):
+            clone_tl.write(
+                Instant(
+                    inst,
+                    action,
+                    rels,
+                    [],
+                    {"operation": "snapshot_export", "source": self.base},
+                )
+            )
+        return n
+
     @classmethod
     def exists(cls, base: str) -> bool:
         return os.path.exists(os.path.join(base, PROPS_FILE))
