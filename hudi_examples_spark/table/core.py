@@ -4645,18 +4645,46 @@ class Table:
                 rolled.append(inst.instant)
         return rolled
 
-    def clean(self, retain_commits: int = 10) -> list[str]:
+    def clean(
+        self,
+        retain_commits: int = 10,
+        policy: str = "commits",
+        retain_hours: float = 24.0,
+    ) -> list[str]:
         """M16: physically delete files no longer referenced by the retained
-        window — keeping every file needed to reconstruct ANY of the last
-        ``retain_commits`` snapshots (Hudi KEEP_LATEST_COMMITS: time travel
-        within the retained window must survive cleaning), plus files live as
-        of any active savepoint (pinned)."""
+        window — keeping every file needed to reconstruct ANY retained
+        snapshot (time travel within the window must survive cleaning), plus
+        files live as of any active savepoint (pinned).
+
+        Policies (``hoodie.cleaner.policy``):
+        - ``commits`` (KEEP_LATEST_COMMITS, default): retain the last
+          ``retain_commits`` snapshots.
+        - ``hours`` (KEEP_LATEST_BY_HOURS): retain every snapshot younger
+          than ``retain_hours`` (age from the instant id's UTC timestamp),
+          and always at least the latest one — the calendar-driven retention
+          ops teams actually configure. (KEEP_LATEST_FILE_VERSIONS is
+          deliberately absent: this engine's COW rewrites carry no file-group
+          identity chain, so "versions of a file group" has no referent —
+          the commits/hours policies express the same retention intents.)"""
         insts = self.timeline.completed_data_instants()
-        if len(insts) <= retain_commits:
-            return []
-        cutoff = insts[-retain_commits].instant
+        if policy == "hours":
+            from datetime import datetime, timedelta, timezone
+
+            cut_dt = datetime.now(timezone.utc) - timedelta(hours=retain_hours)
+            cutoff = cut_dt.strftime("%Y%m%d%H%M%S%f")[:-3] + "000"
+            retained = [i for i in insts if i.instant >= cutoff] or insts[-1:]
+            if len(retained) >= len(insts):
+                return []
+            cutoff = retained[0].instant
+        elif policy == "commits":
+            if len(insts) <= retain_commits:
+                return []
+            cutoff = insts[-retain_commits].instant
+            retained = insts[-retain_commits:]
+        else:
+            raise ValueError(f"clean policy must be commits|hours, got {policy!r}")
         keep: set[str] = set(self.timeline.live_files()[0])
-        for inst in insts[-retain_commits:]:
+        for inst in retained:
             keep.update(self.timeline.live_files(inst.instant)[0])
         for sp in self.savepoints():
             keep.update(self.timeline.live_files(sp)[0])

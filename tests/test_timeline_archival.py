@@ -129,3 +129,33 @@ def test_crash_between_checkpoint_and_instant_removal_is_safe(tmp_path):
     tl.archive(retain_data_instants=10)
     assert tl.live_files() == want
     assert len(tl.instants()) == 10
+
+
+def test_clean_keep_latest_by_hours(spark, tmp_path):
+    """KEEP_LATEST_BY_HOURS: snapshots younger than the window survive
+    cleaning (with time travel intact); an enormous window is a no-op; a
+    zero window keeps at least the latest snapshot."""
+    from pyspark.sql import functions as F
+
+    from hudi_examples_spark.table import Table, TableConfig
+
+    t = Table.create(
+        spark,
+        str(tmp_path / "h"),
+        "k BIGINT, v INT",
+        TableConfig(record_key=["k"], precombine="v"),
+    )
+    for b in range(1, 6):
+        t.upsert(spark.range(50).select(F.col("id").alias("k"), F.lit(b).alias("v")))
+    # everything is seconds old: a 1-hour window retains all → no-op
+    assert Table(spark, t.base).clean(policy="hours", retain_hours=1.0) == []
+    # a zero-hour window keeps only the latest snapshot; older-only files go
+    removed = Table(spark, t.base).clean(policy="hours", retain_hours=0.0)
+    assert removed
+    t2 = Table(spark, t.base)
+    assert t2.read().count() == 50
+    assert {r["v"] for r in t2.read().collect()} == {5}
+    import pytest
+
+    with pytest.raises(ValueError, match="commits|hours"):
+        t2.clean(policy="versions")
