@@ -57,6 +57,9 @@ QUERIES = [
     "emb_kmeans_lloyd",
     "pipe_span_corruption",
     "pipe_length_buckets",
+    "tok_fertility_stats",
+    "pipe_self_dedup",
+    "pipe_shard_plan",
 ]
 
 
