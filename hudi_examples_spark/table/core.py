@@ -2988,6 +2988,45 @@ class Table:
             out = out.filter(F.col(META_COMMIT) <= normalize_as_of(end))
         return out
 
+    def table_changes_by_completion(
+        self, start_ct: float = 0.0, end_ct: float | None = None
+    ) -> DataFrame:
+        """Completion-time incremental query — the Hudi 1.0 companion to
+        :meth:`table_changes` that closes the TIMELINE HOLE a begin-id cursor
+        has under non-blocking concurrency: if writer A mints instant t1,
+        writer B mints t2 > t1 and publishes FIRST, a consumer that polled
+        after B's publish advances its cursor to t2 and then skips A's commit
+        forever (t1 < cursor even though it published later). Bounding the
+        window by COMPLETION time instead makes the poll cursor = max
+        ``committed_at`` seen — publish order IS cursor order, so nothing can
+        land behind the cursor.
+
+        Returns the latest state of records whose last change's instant
+        COMPLETED in ``(start_ct, end_ct]`` (same latest_state semantics as
+        ``table_changes``). The instant set is bounded timeline metadata;
+        rows filter by an ``isin`` over it — still a metadata-only filter on
+        the snapshot. Advance cursors with :meth:`latest_completion`.
+        Single-host clocks make completion stamps totally ordered here; a
+        multi-writer fleet needs the same monotonic-clock discipline Hudi's
+        TrueTime-style completion times assume."""
+        insts = self.timeline.completed_data_instants()
+        window = [
+            i.instant
+            for i in insts
+            if (i.committed_at or 0.0) > start_ct
+            and (end_ct is None or (i.committed_at or 0.0) <= end_ct)
+        ]
+        snap = self.read(with_meta=True)
+        if not window:
+            return snap.limit(0)
+        return snap.filter(F.col(META_COMMIT).isin(window))
+
+    def latest_completion(self) -> float:
+        """Max completion stamp over completed data instants — the cursor
+        value a completion-time incremental consumer stores after a poll."""
+        insts = self.timeline.completed_data_instants()
+        return max((i.committed_at or 0.0) for i in insts) if insts else 0.0
+
     def table_changes_cdc(self, start: str, end: str | None = None) -> DataFrame:
         """CDC-format incremental query (Hudi ``hoodie.table.cdc.enabled``
         semantics on top of M11/M13): per changed key over (start, end], the

@@ -176,3 +176,41 @@ def test_log_compaction_keeps_completion_alive_rows(spark, tmp_path):
     assert out is not None
     c2 = Table(spark, t.base)
     assert {r["k"] for r in c2.read().collect()} == {2}
+
+
+def test_incremental_begin_cursor_hole_closed_by_completion_query(spark, tmp_path):
+    """The NBCC timeline hole: writer A mints t1, writer B mints t2>t1 and
+    publishes first; a consumer that polled after B's publish and advanced a
+    BEGIN-id cursor to t2 skips A's commit forever. A COMPLETION-time cursor
+    cannot be landed behind — publish order is cursor order."""
+    t = Table.create(
+        spark,
+        str(tmp_path / "inc"),
+        SCHEMA,
+        TableConfig(record_key=["k"], precombine="v", table_type="mor"),
+    )
+    t.insert(spark.createDataFrame([(0, "base", 1)], SCHEMA))
+    ia = t.upsert(spark.createDataFrame([(1, "slow-writer", 1)], SCHEMA))
+    ib = Table(spark, t.base).upsert(spark.createDataFrame([(2, "fast-writer", 1)], SCHEMA))
+    assert ia < ib
+    _swap_completion(t.base, ia, ib)  # A minted first, completed last
+
+    t2 = Table(spark, t.base)
+    # the consumer's previous poll ended at B's publish: begin cursor = ib,
+    # completion cursor = B's stamp
+    ct_b = next(
+        i.committed_at for i in t2.timeline.completed_data_instants() if i.instant == ib
+    )
+    # begin-id poll from ib: A's commit (t1 < t2) is invisible — the hole
+    begin_rows = {r["k"] for r in t2.table_changes(start=ib).collect()}
+    assert 1 not in begin_rows
+    # completion-time poll from B's stamp: A's commit is exactly what arrives
+    comp = t2.table_changes_by_completion(start_ct=ct_b)
+    assert {r["k"] for r in comp.collect()} == {1}
+    # cursor advance covers everything; a re-poll from the new cursor is empty
+    cur = t2.latest_completion()
+    assert t2.table_changes_by_completion(start_ct=cur).count() == 0
+    # and the full-window completion read equals the full begin read
+    all_begin = {r["k"] for r in t2.table_changes(start="earliest").collect()}
+    all_comp = {r["k"] for r in t2.table_changes_by_completion(0.0).collect()}
+    assert all_begin == all_comp == {0, 1, 2}
