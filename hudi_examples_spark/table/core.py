@@ -3905,7 +3905,7 @@ class Table:
 
     # ------------------------------------------------------------- services
 
-    def _compaction_plan(self) -> dict | None:
+    def _compaction_plan(self, max_io_bytes: int | None = None) -> dict | None:
         """Plan one compaction against the CURRENT snapshot: which live log
         files to resolve and which base files they pull into the merge.
 
@@ -3925,6 +3925,42 @@ class Table:
         log_rels = sorted(r for r, (_, a) in files.items() if a == "deltacommit")
         if not log_rels:
             return None
+        if max_io_bytes is not None:
+            # Hudi's LogFileSizeBased + BoundedIO compaction strategies
+            # (hoodie.compaction.strategy / target.io): rank file groups by
+            # live LOG bytes descending — the groups where compaction buys
+            # the most read amplification back — and keep groups while the
+            # running (log + in-group base) byte total fits the budget;
+            # always at least one group. Sizing is one os.stat per file —
+            # metadata-only planning. The plan stays partition-exact: the
+            # moved-base pull-in below keys off the KEPT logs only, and
+            # uncompacted groups simply stay live for the next schedule.
+            group_logs: dict[str, list[str]] = {}
+            for r in log_rels:
+                group_logs.setdefault(os.path.dirname(r), []).append(r)
+
+            def _sz(rel: str) -> int:
+                try:
+                    return os.path.getsize(os.path.join(self.base, rel))
+                except OSError:
+                    return 0
+
+            base_by_dir: dict[str, int] = {}
+            for r, (_, a) in files.items():
+                if a != "deltacommit":
+                    d = os.path.dirname(r)
+                    base_by_dir[d] = base_by_dir.get(d, 0) + _sz(r)
+            ranked = sorted(
+                group_logs, key=lambda d: sum(_sz(r) for r in group_logs[d]), reverse=True
+            )
+            kept, total = [], 0
+            for d in ranked:
+                cost = sum(_sz(r) for r in group_logs[d]) + base_by_dir.get(d, 0)
+                if kept and total + cost > max_io_bytes:
+                    continue
+                kept.append(d)
+                total += cost
+            log_rels = sorted(r for d in kept for r in group_logs[d])
         log_dirs = {os.path.dirname(r) for r in log_rels}
         base_rels = sorted(r for r, (_, a) in files.items() if a != "deltacommit")
         in_dirs = [r for r in base_rels if os.path.dirname(r) in log_dirs]
@@ -4065,7 +4101,7 @@ class Table:
         )
         return instant
 
-    def schedule_compaction(self) -> str | None:
+    def schedule_compaction(self, max_io_bytes: int | None = None) -> str | None:
         """Write a ``compactionplan`` instant (Hudi's ``compaction.requested``;
         the schedule half of the reference's standalone HoodieCompactor run —
         ``--mode scheduleAndExecute``, ``flink/.README.md:63-70``):
@@ -4077,7 +4113,7 @@ class Table:
         that invalidates one (clustering, delete_partition, a competing
         compactor) is detected at execute time and the plan is discarded, so
         scheduling never blocks or conflicts with writers."""
-        plan = self._compaction_plan()
+        plan = self._compaction_plan(max_io_bytes=max_io_bytes)
         if plan is None:
             return None
         instant = new_instant()

@@ -206,3 +206,64 @@ def test_late_remover_rejected_at_publish(spark, tmp_path):
             partitions=None,
             occ_scope="files",
         )
+
+
+def test_bounded_io_compaction_strategy(spark, tmp_path):
+    """LogFileSizeBased + BoundedIO: a budget that fits only the heaviest
+    file group plans exactly that group; uncompacted logs stay live and
+    reads are unchanged; the next schedule picks up the remainder."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hudi_examples_spark.table import Table, TableConfig
+
+    t = Table.create(
+        spark,
+        str(tmp_path / "bio"),
+        "k BIGINT, val DOUBLE, seg STRING, v INT",
+        TableConfig(record_key=["k"], precombine="v", partition_by=["seg"], table_type="mor"),
+    )
+
+    def batch(lo, hi, seg, v):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 1.0).alias("val"),
+            F.lit(seg).alias("seg"),
+            F.lit(v).alias("v"),
+        )
+
+    t.insert(batch(0, 200, "s0", 1).unionAll(batch(200, 400, "s1", 1)))
+    # heavy log churn in s0, one light log in s1
+    for v in (2, 3, 4):
+        Table(spark, t.base).upsert(batch(0, 200, "s0", v))
+    Table(spark, t.base).upsert(batch(200, 220, "s1", 2))
+
+    t2 = Table(spark, t.base)
+    files, _ = t2.timeline.live_files()
+    logs = [r for r, (_, a) in files.items() if a == "deltacommit"]
+    s0_bytes = sum(
+        os.path.getsize(os.path.join(t2.base, r))
+        for r in files
+        if r.startswith("seg=s0")
+    )
+    plan_inst = t2.schedule_compaction(max_io_bytes=int(s0_bytes * 1.2))
+    assert plan_inst is not None
+    plan = t2.pending_compactions()[0]
+    planned_dirs = {os.path.dirname(r) for r in plan.meta["log_rels"]}
+    assert planned_dirs == {"seg=s0"}
+    before = sorted(map(tuple, t2.read().collect()))
+    assert Table(spark, t.base).run_compaction() is not None
+    t3 = Table(spark, t.base)
+    assert sorted(map(tuple, t3.read().collect())) == before
+    # s1's log is still live (not silently dropped by the partial plan)
+    files3, _ = t3.timeline.live_files()
+    assert any(
+        a == "deltacommit" and r.startswith("seg=s1") for r, (_, a) in files3.items()
+    )
+    # the remainder compacts on the next unbounded schedule
+    t3.schedule_compaction()
+    assert Table(spark, t.base).run_compaction() is not None
+    files4, _ = Table(spark, t.base).timeline.live_files()
+    assert not any(a == "deltacommit" for _, a in files4.values())
+    assert sorted(map(tuple, Table(spark, t.base).read().collect())) == before
