@@ -793,6 +793,24 @@ class Engine:
             flags=re.I,
         )
 
+        # Hudi 1.0 completion-time incremental form:
+        # hudi_table_changes('tbl', 'latest_state_completion', '<start_ct>'[, '<end_ct>'])
+        # — bounds by publish stamps, closing the NBCC begin-cursor hole
+        def ct_repl(mm):
+            name, start_ct, end_ct = mm.group(1), mm.group(2), mm.group(3)
+            df = self.table(name).table_changes_by_completion(
+                float(start_ct), float(end_ct) if end_ct else None
+            )
+            return self._fresh_view(df, "changes_ct")
+
+        s = re.sub(
+            r"hudi_table_changes\(\s*'(\w+)'\s*,\s*'latest_state_completion'\s*,"
+            r"\s*'([^']+)'(?:\s*,\s*'([^']+)')?\s*\)",
+            ct_repl,
+            s,
+            flags=re.I,
+        )
+
         # M11/M13 CDC form: hudi_table_changes('tbl', 'cdc', 'begin'[, 'end'])
         # — change type + before/after images (Hudi hoodie.table.cdc semantics)
         def cdc_repl(mm):

@@ -214,3 +214,21 @@ def test_incremental_begin_cursor_hole_closed_by_completion_query(spark, tmp_pat
     all_begin = {r["k"] for r in t2.table_changes(start="earliest").collect()}
     all_comp = {r["k"] for r in t2.table_changes_by_completion(0.0).collect()}
     assert all_begin == all_comp == {0, 1, 2}
+
+
+def test_sql_tvf_latest_state_completion(spark, tmp_path):
+    from hudi_examples_spark.sql import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql(
+        "CREATE TABLE ct (k BIGINT, val STRING, v INT) USING hudi "
+        "TBLPROPERTIES (primaryKey = 'k', preCombineField = 'v', type = 'mor')"
+    )
+    eng.sql("INSERT INTO ct VALUES (1, 'a', 1)")
+    t = eng.table("ct")
+    cur = t.latest_completion()
+    eng.sql("INSERT INTO ct VALUES (2, 'b', 1)")
+    rows = eng.sql(
+        f"SELECT k FROM hudi_table_changes('ct', 'latest_state_completion', '{cur}')"
+    ).collect()
+    assert {r["k"] for r in rows} == {2}
