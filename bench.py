@@ -52,11 +52,12 @@ HEADLINE = [
 MICRO_AGG_REF_R4 = 0.089
 
 #: Live calibration anchor (judge round 5, item #3): the observed r5+ host
-#: floor — the committed quiet-window run recorded micro 0.219 and the
-#: all-day sweep bottomed at ~0.19, so 0.19 is the best case this host-era
-#: can produce. drift_factor is computed against THIS; a factor ≤1.3 means
-#: the run is comparable round-over-round on the current host.
-MICRO_AGG_REF = 0.19
+#: floor — the best RECORDED reading of the era, 0.219 from the committed
+#: quiet-window run (tools/bench_r5_quiet_window.log; the all-day sweep's
+#: estimated bottom was 0.19-0.25). drift_factor is computed against THIS;
+#: a factor ≤1.3 means the run is comparable round-over-round on the
+#: current host.
+MICRO_AGG_REF = 0.219
 
 #: Best-of-day protocol: every run APPENDS its (raw, op, micro) summary to
 #: this committed JSONL; the round's honest number is the raw total of the
