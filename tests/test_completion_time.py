@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import functions as F
 
@@ -232,3 +233,81 @@ def test_sql_tvf_latest_state_completion(spark, tmp_path):
         f"SELECT k FROM hudi_table_changes('ct', 'latest_state_completion', '{cur}')"
     ).collect()
     assert {r["k"] for r in rows} == {2}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=int(os.environ.get("PROP_EXAMPLES", "6")),
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(data=st.data())
+def test_random_completion_permutations_resolve_to_max_stamp(
+    spark, tmp_path_factory, data
+):
+    """Property: for ANY completion-order permutation of K equal-precombine
+    MOR log commits, each key resolves to the commit with the LATEST
+    completion stamp among those that wrote it — live read, post-compaction,
+    and post-log-stitch alike."""
+    tmp_path = tmp_path_factory.mktemp("ct_prop")
+    k_commits = data.draw(st.integers(min_value=2, max_value=4))
+    # which keys (0..3) each commit writes — at least one key per commit
+    writes = [
+        data.draw(st.sets(st.integers(0, 3), min_size=1, max_size=4))
+        for _ in range(k_commits)
+    ]
+    perm = data.draw(st.permutations(list(range(k_commits))))
+
+    t = Table.create(
+        spark,
+        str(tmp_path / "t"),
+        SCHEMA,
+        TableConfig(record_key=["k"], precombine="v", table_type="mor"),
+    )
+    t.insert(
+        spark.createDataFrame([(k, "base", 1) for k in range(4)], SCHEMA)
+    )
+    insts = []
+    for c, keys in enumerate(writes):
+        inst = Table(spark, t.base).upsert(
+            spark.createDataFrame([(k, f"c{c}", 2) for k in sorted(keys)], SCHEMA)
+        )
+        insts.append(inst)
+    # permute completion stamps: commit c gets rank perm[c]
+    d = os.path.join(t.base, TIMELINE_DIR)
+    base_ct = time.time() + 100
+    for fn in os.listdir(d):
+        if not fn.endswith(".json"):
+            continue
+        p = os.path.join(d, fn)
+        with open(p) as f:
+            doc = json.load(f)
+        if doc["instant"] in insts:
+            doc["committed_at"] = base_ct + perm[insts.index(doc["instant"])]
+            with open(p, "w") as f:
+                json.dump(doc, f, indent=1)
+
+    def expected():
+        out = {k: "base" for k in range(4)}
+        for k in range(4):
+            writers = [c for c, keys in enumerate(writes) if k in keys]
+            if writers:
+                out[k] = f"c{max(writers, key=lambda c: perm[c])}"
+        return out
+
+    want = expected()
+    t2 = Table(spark, t.base)
+    got = {r["k"]: r["val"] for r in t2.read().collect()}
+    assert got == want, f"writes={writes} perm={perm}"
+    t2.compact_logs(min_logs_per_partition=1)
+    assert {
+        r["k"]: r["val"] for r in Table(spark, t.base).read().collect()
+    } == want
+    Table(spark, t.base).compact()
+    assert {
+        r["k"]: r["val"] for r in Table(spark, t.base).read().collect()
+    } == want
+
