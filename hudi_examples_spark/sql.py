@@ -418,6 +418,9 @@ class Engine:
         if proc == "run_clustering":
             tbl.cluster(int(arg)) if arg else tbl.cluster(tbl.config.n_buckets or 4)
             return None
+        if proc == "validate":
+            # CALL validate('t') — integrity report (one row per check)
+            return tbl.validate()
         if proc == "export_snapshot":
             # CALL export_snapshot('t', '<dest>'[, 'hudi'|'parquet'][, '<as_of>'])
             parts = [a.strip().strip("'") for a in self._split_commas(arg or "")]

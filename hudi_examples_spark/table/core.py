@@ -610,6 +610,71 @@ class Table:
             )
         return n
 
+    def validate(self) -> DataFrame:
+        """Table integrity report — the ops-facing consistency checker
+        (Hudi's ``CALL validate_metadata_table`` / repair-procedure family).
+        Pure metadata work: one manifest replay, one filesystem walk, one
+        JSON stat per timeline file; no data reads at any table size.
+
+        Checks: every live manifest file exists on disk; no unreferenced
+        parquet orphans outside sidecar dirs (crash leftovers — heal's
+        dry-run view); timeline instants parse with unique ids and carry
+        completion stamps; index/record-index metas are coherent (a valid
+        meta must point at an existing generation dir). Returns one row per
+        check: (check, status ok|fail, detail)."""
+        rows: list[tuple[str, str, str]] = []
+        files, _latest = self.timeline.live_files()
+        missing = [r for r in sorted(files) if not os.path.exists(os.path.join(self.base, r))]
+        rows.append(
+            ("manifest_files_exist", "ok" if not missing else "fail",
+             "" if not missing else f"{len(missing)} missing: {missing[:3]}")
+        )
+        known = set(files)
+        for inst in self.timeline.instants():
+            known.update(inst.files_added)
+        orphans = []
+        skip_dirs = {
+            TIMELINE_DIR, ".staging", self.MARKERS_DIR,
+            self.INDEX_DIR, self.RECORD_INDEX_DIR, self.STATS_DIR, self.BLOOMS_DIR,
+        }
+        for root, dirs, fns in os.walk(self.base):
+            dirs[:] = [d for d in dirs if d not in skip_dirs and not d.startswith(".trash-")]
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(root, fn), self.base)
+                    if rel not in known:
+                        orphans.append(rel)
+        rows.append(
+            ("no_orphan_files", "ok" if not orphans else "fail",
+             "" if not orphans else f"{len(orphans)} orphans: {orphans[:3]}")
+        )
+        insts = self.timeline.instants()
+        ids = [i.instant for i in insts]
+        dup = len(ids) != len(set(ids))
+        unstamped = [i.instant for i in insts if i.is_data_commit and i.committed_at is None]
+        rows.append(("timeline_unique_ids", "ok" if not dup else "fail", ""))
+        rows.append(
+            ("timeline_completion_stamps", "ok" if not unstamped else "fail",
+             "" if not unstamped else f"unstamped: {unstamped[:3]}")
+        )
+        bad_idx = []
+        for name in self.secondary_index_cols():
+            meta = self._index_meta(name)
+            if meta is not None and meta.get("valid") and not os.path.isdir(
+                self._index_data_dir(name, meta)
+            ):
+                bad_idx.append(name)
+        rmeta = self._record_index_meta()
+        if rmeta is not None and rmeta.get("valid") and not os.path.isdir(
+            self._record_index_data_dir(rmeta)
+        ):
+            bad_idx.append("_record")
+        rows.append(
+            ("index_meta_coherent", "ok" if not bad_idx else "fail",
+             "" if not bad_idx else f"valid meta, missing data dir: {bad_idx}")
+        )
+        return self.spark.createDataFrame(rows, "check STRING, status STRING, detail STRING")
+
     @classmethod
     def exists(cls, base: str) -> bool:
         return os.path.exists(os.path.join(base, PROPS_FILE))

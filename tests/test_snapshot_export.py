@@ -150,3 +150,45 @@ def test_sql_call_export_snapshot(spark, tmp_path):
     pq = str(tmp_path / "sqlpq")
     eng.sql(f"CALL export_snapshot('ex', '{pq}', 'parquet')")
     assert spark.read.parquet(pq).count() == 2
+
+
+def test_validate_reports_health_and_damage(spark, tmp_path):
+    t = Table.create(
+        spark, str(tmp_path / "v"), SCHEMA,
+        TableConfig(record_key=["k"], precombine="v", partition_by=["seg"]),
+    )
+    t.insert(_batch(spark, 0))
+    t.upsert(_batch(spark, 1, n=20))
+    rep = {r["check"]: (r["status"], r["detail"]) for r in t.validate().collect()}
+    assert all(s == "ok" for s, _ in rep.values()), rep
+    assert set(rep) >= {
+        "manifest_files_exist",
+        "no_orphan_files",
+        "timeline_unique_ids",
+        "timeline_completion_stamps",
+        "index_meta_coherent",
+    }
+    # damage 1: delete a live file → manifest check fails
+    files, _ = t.timeline.live_files()
+    victim = sorted(files)[0]
+    os.remove(os.path.join(t.base, victim))
+    rep2 = {r["check"]: r["status"] for r in Table(spark, t.base).validate().collect()}
+    assert rep2["manifest_files_exist"] == "fail"
+    # damage 2: plant an orphan parquet → orphan check fails
+    with open(os.path.join(t.base, "seg=s0", "zzz_orphan.parquet"), "wb") as f:
+        f.write(b"x")
+    rep3 = {r["check"]: r["status"] for r in Table(spark, t.base).validate().collect()}
+    assert rep3["no_orphan_files"] == "fail"
+
+
+def test_sql_call_validate(spark, tmp_path):
+    from hudi_examples_spark.sql import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql(
+        "CREATE TABLE vt (k BIGINT, val DOUBLE, seg STRING, v INT) USING hudi "
+        "PARTITIONED BY (seg) TBLPROPERTIES (primaryKey = 'k', preCombineField = 'v')"
+    )
+    eng.sql("INSERT INTO vt VALUES (1, 1.0, 's0', 1)")
+    rows = eng.sql("CALL validate('vt')").collect()
+    assert rows and all(r["status"] == "ok" for r in rows)
