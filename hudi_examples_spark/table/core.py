@@ -4360,6 +4360,8 @@ class Table:
         split_threshold_bytes: int = 128 * 1024 * 1024,
         partition_ttl_seconds: float | None = None,
         log_compact_after: int = 8,
+        small_file_trigger: int = 0,
+        small_file_target_bytes: int = 8 * 1024 * 1024,
     ) -> dict:
         """Hudi's async table services as one policy-driven maintenance pass
         (the standalone compactor/cleaner/clustering jobs of
@@ -4452,6 +4454,29 @@ class Table:
                 report["clustering_plan_executed"] = self.run_clustering()
             except ConcurrentWriteConflict:
                 report["clustering_plan_executed"] = None
+        if small_file_trigger:
+            # small-file clustering policy (Hudi's small-file plan strategy
+            # inside the services loop): a partition holding >= the trigger
+            # count of sub-limit base files gets its bins packed. Planning is
+            # one os.stat per live file; a no-op table costs nothing else.
+            limit = small_file_target_bytes // 2
+            by_part: dict[str, int] = {}
+            for r, (_i, a) in self.timeline.live_files()[0].items():
+                if a == "deltacommit":
+                    continue
+                try:
+                    if os.path.getsize(os.path.join(self.base, r)) < limit:
+                        p = self._partition_of(r)
+                        by_part[p] = by_part.get(p, 0) + 1
+                except OSError:
+                    continue
+            if any(n >= small_file_trigger for n in by_part.values()):
+                try:
+                    report["small_files_clustered"] = self.cluster_small_files(
+                        target_bytes=small_file_target_bytes
+                    )
+                except ConcurrentWriteConflict:
+                    report["small_files_clustered"] = None
         if self.config.bucket_ranges or self.config.n_buckets:
             try:
                 report["bucket_split"] = self.maybe_split_buckets(

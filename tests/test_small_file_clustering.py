@@ -118,3 +118,18 @@ def test_sql_call_smallfiles(spark, tmp_path):
     t2 = Table(spark, t.base)
     assert len(t2.timeline.live_files()[0]) < n_before
     assert t2.read().count() == 4 * 200
+
+
+def test_run_services_small_file_trigger(spark, tmp_path):
+    t = _mk(spark, tmp_path, n_commits=5)
+    n_before = len(t.timeline.live_files()[0])
+    # trigger disabled by default: pass stays hands-off
+    rep0 = Table(spark, t.base).run_services()
+    assert "small_files_clustered" not in rep0
+    rep = Table(spark, t.base).run_services(
+        small_file_trigger=3, small_file_target_bytes=1024 * 1024
+    )
+    assert rep.get("small_files_clustered") is not None
+    t2 = Table(spark, t.base)
+    assert len(t2.timeline.live_files()[0]) < n_before
+    assert t2.read().count() == 5 * 200
