@@ -258,9 +258,69 @@ FROM ranked GROUP BY cluster_id ORDER BY cluster_id
 DEDUP_KEEP_BEST_ORACLE = _keep_best_oracle()
 
 
+def pipe_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-split contamination audit: every near-duplicate pair annotated
+    with its documents' train/val/test assignments and a ``leaks`` flag for
+    pairs straddling a split boundary — the check a pipeline runs AFTER
+    splitting, because the content-hash split co-locates byte-identical
+    duplicates but NEAR-duplicates (template churn, edits) can still land on
+    opposite sides and leak evaluation signal into training.
+
+    Pure composition of two certified plans: the DF-capped shingle-Jaccard
+    pair join and the per-row hash-split projection, stitched by two
+    broadcast-size key joins. No new shuffle beyond what the pair join
+    already does; at 100 TB the pair source swaps to the minhash/LSH
+    variant with the same downstream shape."""
+    pairs = dedup_ngram_jaccard(spark, sf)
+    splits = pipe_hash_split(spark, sf).select("doc_id", "split")
+    s1 = splits.select(F.col("doc_id").alias("d1"), F.col("split").alias("split1"))
+    s2 = splits.select(F.col("doc_id").alias("d2"), F.col("split").alias("split2"))
+    return (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            "jaccard",
+            "split1",
+            "split2",
+            F.when(F.col("split1") != F.col("split2"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("leaks"),
+        )
+        .orderBy("d1", "d2")
+    )
+
+
+PIPE_SPLIT_LEAKAGE_ORACLE = f"""
+WITH splits AS (
+  SELECT doc_id,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           (ascii(substr(md5(text), 1, 1)) * 16 + ascii(substr(md5(text), 2, 1))) % 100 AS b
+    FROM documents
+  )
+)
+SELECT p.d1, p.d2, p.jaccard, sa.split AS split1, sb.split AS split2,
+       (CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END)::BIGINT AS leaks
+FROM ({DEDUP_JACCARD_ORACLE}) p
+JOIN splits sa ON sa.doc_id = p.d1
+JOIN splits sb ON sb.doc_id = p.d2
+ORDER BY p.d1, p.d2
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("pipe_hash_split", pipe_hash_split, PIPE_HASH_SPLIT_ORACLE, "LLM:split"),
     QuerySpec("pipe_pack_sequences", pipe_pack_sequences, PIPE_PACK_ORACLE, "LLM:packing"),
     QuerySpec("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE, "LLM:dedup-clusters"),
     QuerySpec("dedup_keep_best", dedup_keep_best, DEDUP_KEEP_BEST_ORACLE, "LLM:dedup-canonical"),
+    QuerySpec(
+        "pipe_split_leakage",
+        pipe_split_leakage,
+        PIPE_SPLIT_LEAKAGE_ORACLE,
+        "LLM:cross-split near-dup contamination audit",
+    ),
 ]

@@ -115,8 +115,12 @@ def all_specs() -> list[QuerySpec]:
         "tbl_secondary_lookup",
         "tbl_batch_schedule",
         "tbl_partial_update",
-        "stream_corpus_ingest",
         "fn_array_battery",
+        # r6 debut: cross-split near-dup contamination audit (took
+        # stream_corpus_ingest's r4-aged backfill slot — streaming
+        # exactly-once stays covered by the seated stream_dedup_ingest
+        # machinery's r5 green + sweep)
+        "pipe_split_leakage",
         # r6 debut: token-budgeted shard planning via distributed prefix sum
         # (took dedup_semantic's r4-aged backfill slot — its SemDeDup guard
         # is r4-certified + swept, untouched this round)
