@@ -60,6 +60,7 @@ QUERIES = [
     "tok_fertility_stats",
     "pipe_self_dedup",
     "pipe_shard_plan",
+    "pipe_split_leakage",
 ]
 
 

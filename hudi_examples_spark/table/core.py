@@ -2717,8 +2717,16 @@ class Table:
         mapping = F.create_map(
             [F.lit(x) for k in sorted(order) for x in (k, order[k])]
         )
+        # commits absent from the map are either ARCHIVED (folded into the
+        # checkpoint — older than every active instant, rank 0) or the
+        # in-flight write's own instant (newer than everything, rank len+1);
+        # the active-instant floor separates the two exactly
+        floor = min(order)
         return F.coalesce(
-            F.element_at(mapping, F.col(META_COMMIT)), F.lit(len(order) + 1)
+            F.element_at(mapping, F.col(META_COMMIT)),
+            F.when(F.col(META_COMMIT) < F.lit(floor), F.lit(0)).otherwise(
+                F.lit(len(order) + 1)
+            ),
         )
 
     def _latest_wins(self, df: DataFrame) -> DataFrame:

@@ -311,3 +311,36 @@ def test_random_completion_permutations_resolve_to_max_stamp(
         r["k"]: r["val"] for r in Table(spark, t.base).read().collect()
     } == want
 
+
+
+def test_archived_commit_rows_rank_oldest_under_divergence(spark, tmp_path):
+    """Live rows can carry ARCHIVED commit ids (pre-boundary instants folded
+    into the checkpoint). Under a completion-divergent active window those
+    ids are absent from the rank map — they must rank OLDEST (they predate
+    every active instant), never default to newest."""
+    t = Table.create(
+        spark,
+        str(tmp_path / "arch"),
+        SCHEMA,
+        TableConfig(record_key=["k"], precombine="v", table_type="mor"),
+    )
+    # k=1's base row lands in a commit that will be archived; k=2 rows churn
+    t.insert(spark.createDataFrame([(1, "archived-base", 2), (2, "x", 1)], SCHEMA))
+    for b in range(24):  # push the first commit past the archive boundary
+        Table(spark, t.base).upsert(
+            spark.createDataFrame([(2, f"w{b}", 1)], SCHEMA)
+        )
+    archived = Table(spark, t.base).archive_timeline(retain_instants=20)
+    assert archived
+    # two divergent-completion commits on k=1 with the SAME precombine as
+    # the archived base row: the archived row must lose to both
+    t2 = Table(spark, t.base)
+    ia = t2.upsert(spark.createDataFrame([(1, "minted-early-completed-late", 2)], SCHEMA))
+    ib = Table(spark, t.base).upsert(
+        spark.createDataFrame([(1, "minted-late-completed-early", 2)], SCHEMA)
+    )
+    _swap_completion(t.base, ia, ib)
+    t3 = Table(spark, t.base)
+    assert t3.timeline.completion_order() is not None
+    rows = {r["k"]: r["val"] for r in t3.read().collect()}
+    assert rows[1] == "minted-early-completed-late"
