@@ -399,9 +399,13 @@ class Engine:
             # Hudi's op switch: CALL run_compaction('t'[, 'schedule'|'execute'])
             # — 'schedule' cuts a compactionplan instant for an async executor,
             # 'execute' runs the oldest pending plan; no arg = inline both.
-            op = (arg or "").strip().strip("'").lower()
+            # optional trailing number = max_io_bytes for the schedule form
+            # (the bounded-IO / LogFileSizeBased strategy budget)
+            parts = [a.strip().strip("'") for a in self._split_commas(arg or "")]
+            op = parts[0].lower() if parts else ""
+            budget = int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else None
             if op == "schedule":
-                tbl.schedule_compaction()
+                tbl.schedule_compaction(max_io_bytes=budget)
             elif op in ("execute", "run"):
                 tbl.run_compaction()
             else:
