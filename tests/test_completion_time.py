@@ -344,3 +344,20 @@ def test_archived_commit_rows_rank_oldest_under_divergence(spark, tmp_path):
     assert t3.timeline.completion_order() is not None
     rows = {r["k"]: r["val"] for r in t3.read().collect()}
     assert rows[1] == "minted-early-completed-late"
+
+
+def test_fast_path_expr_is_the_raw_commit_column(spark, tmp_path):
+    """The byte-identical-plans claim, pinned: on a begin-ordered history
+    _commit_order_expr returns the raw commit column itself — no rank map
+    enters any merge plan until a history actually diverges."""
+    t = _mor(spark, tmp_path)
+    t.upsert(spark.createDataFrame([(1, "w", 2)], SCHEMA))
+    t2 = Table(spark, t.base)
+    from pyspark.sql import functions as F2
+
+    assert str(t2._commit_order_expr()) == str(F2.col("_hoodie_commit_time"))
+    ia = Table(spark, t.base).upsert(spark.createDataFrame([(1, "x", 3)], SCHEMA))
+    ib = Table(spark, t.base).upsert(spark.createDataFrame([(1, "y", 3)], SCHEMA))
+    _swap_completion(t.base, ia, ib)
+    t3 = Table(spark, t.base)
+    assert str(t3._commit_order_expr()) != str(F2.col("_hoodie_commit_time"))
