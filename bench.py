@@ -276,7 +276,7 @@ def main() -> None:
         "raw_total": best["raw_total"],
         "op_total": best["op_total"],
         "micro": best["micro"],
-        "is_this_run": best is entry,
+        "is_this_run": best.get("ts") == entry["ts"],
     }
     out.update(extras)
     print(json.dumps(out))
