@@ -403,7 +403,16 @@ class Engine:
             # (the bounded-IO / LogFileSizeBased strategy budget)
             parts = [a.strip().strip("'") for a in self._split_commas(arg or "")]
             op = parts[0].lower() if parts else ""
-            budget = int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else None
+            budget = None
+            if len(parts) > 1:
+                # a malformed budget must ERROR, not silently schedule an
+                # unbounded compaction ('128MB' is a typo, not "no budget")
+                if not parts[1].isdigit() or int(parts[1]) <= 0:
+                    raise ValueError(
+                        f"run_compaction budget must be a positive integer "
+                        f"(bytes), got {parts[1]!r}"
+                    )
+                budget = int(parts[1])
             if op == "schedule":
                 tbl.schedule_compaction(max_io_bytes=budget)
             elif op in ("execute", "run"):

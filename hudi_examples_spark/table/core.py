@@ -597,6 +597,15 @@ class Table:
                 shutil.copy2(src, dst)
             groups.setdefault((inst, action), []).append(rel)
             n += 1
+        # carry each source instant's completion stamp into the clone —
+        # version/delete-epoch resolution follows COMPLETION order (NBCC),
+        # so re-stamping at clone time would flip a divergent history back
+        # to begin order and the clone's merged view could differ from the
+        # exported snapshot. Archived-era stamps come from the audit log.
+        stamps: dict[str, float | None] = {
+            i.instant: i.committed_at for i in self.timeline.archived_audit()
+        }
+        stamps.update({i.instant: i.committed_at for i in self.timeline.instants()})
         clone_tl = Timeline(dest)
         for (inst, action), rels in sorted(groups.items()):
             clone_tl.write(
@@ -606,6 +615,11 @@ class Table:
                     rels,
                     [],
                     {"operation": "snapshot_export", "source": self.base},
+                    # unstamped legacy instants pin to epoch 0.0 — identical
+                    # to None under completion_order's (stamp or 0.0, id)
+                    # sort; letting write() stamp them "now" would hoist a
+                    # legacy instant past the source's stamped ones
+                    committed_at=stamps.get(inst) or 0.0,
                 )
             )
         return n
@@ -632,6 +646,12 @@ class Table:
         known = set(files)
         for inst in self.timeline.instants():
             known.update(inst.files_added)
+        # files referenced only by ARCHIVED instants (retained for savepoints
+        # or awaiting clean) are accounted-for, not orphans: union the
+        # checkpoint-era live set plus every archived instant's additions
+        known.update(self.timeline.checkpoint_files())
+        for inst in self.timeline.archived_audit():
+            known.update(inst.files_added)
         orphans = []
         skip_dirs = {
             TIMELINE_DIR, ".staging", self.MARKERS_DIR,
@@ -651,12 +671,20 @@ class Table:
         insts = self.timeline.instants()
         ids = [i.instant for i in insts]
         dup = len(ids) != len(set(ids))
-        unstamped = [i.instant for i in insts if i.is_data_commit and i.committed_at is None]
+        data = [i for i in insts if i.is_data_commit]
+        unstamped = [i.instant for i in data if i.committed_at is None]
         rows.append(("timeline_unique_ids", "ok" if not dup else "fail", ""))
-        rows.append(
-            ("timeline_completion_stamps", "ok" if not unstamped else "fail",
-             "" if not unstamped else f"unstamped: {unstamped[:3]}")
-        )
+        # a table written entirely before completion stamps existed is
+        # healthy by completion_order's own contract (all-unstamped = begin
+        # order) — report it as 'legacy', not a failure; only a MIX of
+        # stamped and unstamped data instants is an integrity problem
+        if data and len(unstamped) == len(data):
+            stamp_status, stamp_detail = "legacy", "pre-upgrade table: no completion stamps"
+        elif unstamped:
+            stamp_status, stamp_detail = "fail", f"unstamped: {unstamped[:3]}"
+        else:
+            stamp_status, stamp_detail = "ok", ""
+        rows.append(("timeline_completion_stamps", stamp_status, stamp_detail))
         bad_idx = []
         for name in self.secondary_index_cols():
             meta = self._index_meta(name)
@@ -2710,7 +2738,16 @@ class Table:
         experienced out-of-order completion pays for the (bounded, archival-
         capped) instant→rank literal map; commits absent from the map — the
         in-flight write's own instant riding a COW merge — rank newest, the
-        same position begin ordering gave them."""
+        same position begin ordering gave them.
+
+        The slow path returns a ``struct(rank, begin_instant)`` — Spark
+        structs compare lexicographically, so every consumer (window
+        orderBy, ``max`` delete-epoch windows, ``>`` comparisons) gets begin
+        order as the tiebreak among equal ranks for free. That matters for
+        the shared rank-0 ARCHIVED bucket: two archived commits (e.g. a
+        tombstone then a re-insert, both folded past the active floor) still
+        resolve among themselves by instant id, so the re-insert's
+        ``cseq > last_del`` holds and read/compaction keep the row."""
         order = self.timeline.completion_order()
         if order is None:
             return F.col(META_COMMIT)
@@ -2722,12 +2759,13 @@ class Table:
         # in-flight write's own instant (newer than everything, rank len+1);
         # the active-instant floor separates the two exactly
         floor = min(order)
-        return F.coalesce(
+        rank = F.coalesce(
             F.element_at(mapping, F.col(META_COMMIT)),
             F.when(F.col(META_COMMIT) < F.lit(floor), F.lit(0)).otherwise(
                 F.lit(len(order) + 1)
             ),
         )
+        return F.struct(rank.alias("r"), F.col(META_COMMIT).alias("b"))
 
     def _latest_wins(self, df: DataFrame) -> DataFrame:
         """Resolve multiple versions of a key: max precombine, then newest commit

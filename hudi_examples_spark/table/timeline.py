@@ -164,6 +164,10 @@ class Timeline:
                             "files_added": inst.files_added,
                             "files_removed": inst.files_removed,
                             "meta": inst.meta,
+                            # completion stamps are load-bearing (NBCC merge
+                            # order) — they must survive archival in the audit
+                            # log even though the checkpoint folds the files
+                            "committed_at": inst.committed_at,
                         }
                     )
                     + "\n"
@@ -222,6 +226,32 @@ class Timeline:
             return None
         return {inst: seq for seq, inst in enumerate(by_completion, start=1)}
 
+    def archived_audit(self) -> list[Instant]:
+        """Instants folded past the checkpoint boundary, replayed from the
+        ``_archive/instants.jsonl`` audit log (oldest first). Empty when the
+        table never archived. ``committed_at`` is None for records written
+        before stamps were kept in the audit log."""
+        p = os.path.join(self.dir, self.ARCHIVE_DIR, "instants.jsonl")
+        if not os.path.exists(p):
+            return []
+        out = []
+        with open(p) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                d = json.loads(line)
+                out.append(
+                    Instant(
+                        d["instant"],
+                        d["action"],
+                        d.get("files_added", []),
+                        d.get("files_removed", []),
+                        d.get("meta", {}),
+                        d.get("committed_at"),
+                    )
+                )
+        return out
+
     def write(self, inst: Instant) -> None:
         os.makedirs(self.dir, exist_ok=True)
         path = os.path.join(self.dir, f"{inst.instant}.{inst.action}.json")
@@ -234,7 +264,14 @@ class Timeline:
                     "files_added": inst.files_added,
                     "files_removed": inst.files_removed,
                     "meta": inst.meta,
-                    "committed_at": time.time(),
+                    # publish time: stamp now UNLESS the caller carries an
+                    # explicit stamp (snapshot export re-synthesizing a clone
+                    # timeline must preserve the SOURCE's completion order —
+                    # re-stamping would silently flip a divergent NBCC
+                    # history back to begin order on the clone)
+                    "committed_at": (
+                        inst.committed_at if inst.committed_at is not None else time.time()
+                    ),
                 },
                 f,
                 indent=1,
