@@ -43,6 +43,25 @@ HEADLINE = [
     "tbl_cdc_query",  # CDC images lifecycle (write + snapshot-diff read)
 ]
 
+#: Second headline group (judge round 6, item #2), FROZEN at round 7: the
+#: post-r1 operator families the v1 set (unchanged since r1 for
+#: comparability) never tracked — substring dedup, BPE apply, PQ ANN,
+#: SemDeDup, shard planning, and the r4-r6 table services. Reported as
+#: headline_v2_total alongside the untouched v1 total; both land in the
+#: daylog so the families get a round-over-round trend line from r7 on.
+HEADLINE_V2 = [
+    "dedup_substring_spans",
+    "tok_bpe_encode",
+    "sim_pq_topk",
+    "dedup_semantic",
+    "pipe_shard_plan",
+    "tbl_bootstrap",
+    "tbl_zorder_prune",
+    "tbl_record_index",
+    "tbl_async_compaction",
+    "tbl_partition_lifecycle",
+]
+
 #: Historical calibration anchor: micro_agg_sec from BENCH_r04.json, recorded
 #: at loadavg 4.1. DEAD as a live reference since round 5: the host floor
 #: moved to ~0.19-0.25 at ANY load (hypervisor steal invisible to guest
@@ -90,40 +109,17 @@ def _loadavg() -> float | None:
         return None
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark(app_name="hudi-examples-spark-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-    spec_fns = {s.name: s.fn for s in registry.all_specs()}
-    spec_fns.update(_bench_overrides())
-    from hudi_examples_spark.operators.table_dml import bench_phases
+def _run_attempt(spark, sf_dir, names, spec_fns, phased, n_passes):
+    """One full timed bench attempt. Returns (timings, timings_v2,
+    phase_out, extras, micro_samples).
 
-    phased = bench_phases()
-    names = HEADLINE + [n for n in phased if n not in HEADLINE and n not in spec_fns]
-
-    # Warm cluster discipline: run every headline query once at the smallest sf so
-    # whole-stage-codegen compilation (Janino caches by generated source) and the
-    # parquet reader paths are hot; the timed runs then measure execution, not JIT.
-    warm_sf = "/root/testdata/sf0.001"
-    for name in names:
-        try:
-            if name in phased:
-                build, op = phased[name]
-                op(spark, warm_sf, build(spark, warm_sf)).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-            elif name in spec_fns:
-                spec_fns[name](spark, warm_sf).write.format("noop").mode("overwrite").save()
-        except Exception:
-            pass
-
-    # Timed passes, min per query: the shared host shows 2-4x wall-clock
-    # noise between runs; the min reports the machine's actual capability.
-    # Lifecycle queries additionally report a build/op phase split — the
-    # headline number stays the full lifecycle (comparable with r1/r2);
-    # "phases" tracks the operation actually being optimized.
-    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    Timed passes, min per query: the shared host shows 2-4x wall-clock
+    noise between runs; the min reports the machine's actual capability.
+    Lifecycle queries additionally report a build/op phase split — the
+    headline number stays the full lifecycle (comparable with r1/r2);
+    "phases" tracks the operation actually being optimized."""
     timings: dict[str, float] = {}
+    timings_v2: dict[str, float] = {}
     phase_timings: dict[str, dict[str, float]] = {}
     extras: dict[str, dict] = {}
     # Calibration is INTERLEAVED with the bench passes (judge round 4, item
@@ -189,12 +185,71 @@ def main() -> None:
                 t0 = time.perf_counter()
                 spec_fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
                 el = time.perf_counter() - t0
-                timings[name] = min(timings.get(name, el), el)
+                if name in HEADLINE:
+                    timings[name] = min(timings.get(name, el), el)
+                if name in HEADLINE_V2:
+                    timings_v2[name] = min(timings_v2.get(name, el), el)
     _sample_micro()
     timings = {k: round(v, 3) for k, v in timings.items()}
+    timings_v2 = {k: round(v, 3) for k, v in timings_v2.items()}
     phase_out = {
         k: {p: round(v, 3) for p, v in d.items()} for k, d in phase_timings.items()
     }
+    return timings, timings_v2, phase_out, extras, micro_samples
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="hudi-examples-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    spec_fns = {s.name: s.fn for s in registry.all_specs()}
+    spec_fns.update(_bench_overrides())
+    from hudi_examples_spark.operators.table_dml import bench_phases
+
+    phased = bench_phases()
+    names = (
+        HEADLINE
+        + [n for n in HEADLINE_V2 if n not in HEADLINE]
+        + [n for n in phased if n not in HEADLINE and n not in spec_fns]
+    )
+
+    # Warm cluster discipline: run every headline query once at the smallest sf so
+    # whole-stage-codegen compilation (Janino caches by generated source) and the
+    # parquet reader paths are hot; the timed runs then measure execution, not JIT.
+    warm_sf = "/root/testdata/sf0.001"
+    for name in names:
+        try:
+            if name in phased:
+                build, op = phased[name]
+                op(spark, warm_sf, build(spark, warm_sf)).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            elif name in spec_fns:
+                spec_fns[name](spark, warm_sf).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
+
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    # Drift-gated retry (judge round 6, item #5; finishes r5's ask #3): the
+    # RECORDED run must be a comparable reading, not whatever contention the
+    # first attempt hit. Re-run the timed pass (short sleep between) until
+    # the interleaved micro floor is within 1.15x the host-era anchor, up to
+    # SPARK_GRAFT_BENCH_ATTEMPTS tries; publish the first compliant attempt,
+    # else the lowest-micro attempt with an explicit all-attempts-contended
+    # note. Every attempt still lands in the daylog.
+    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+    attempts = []
+    for att in range(max_attempts):
+        result = _run_attempt(spark, sf_dir, names, spec_fns, phased, n_passes)
+        micro_min = min(s["micro_agg_sec"] for s in result[4])
+        attempts.append((micro_min, result))
+        if micro_min <= MICRO_AGG_REF * 1.15:
+            break
+        if att < max_attempts - 1:
+            time.sleep(15)  # let the contending load pass
+    micro_min, (timings, timings_v2, phase_out, extras, micro_samples) = min(
+        attempts, key=lambda a: a[0]
+    )
 
     # Second headline metric (judge round 4, item #6): the op-phase-only total.
     # Lifecycle queries (tbl_*) spend most of their wall-clock BUILDING the
@@ -206,8 +261,8 @@ def main() -> None:
     )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    micro_min = min(s["micro_agg_sec"] for s in micro_samples)
     raw_total = round(sum(timings.values()), 3)
+    v2_total = round(sum(timings_v2.values()), 3)
     out = {
         "metric": "headline_queries_total_time",
         "value": raw_total,
@@ -215,9 +270,13 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "headline_op_total": round(op_total, 3),
+        # frozen-at-r7 second group (post-r1 operator families) — v1 stays
+        # r1-comparable, v2 gets its own trend line from r7 on
+        "headline_v2_total": v2_total,
         "calibration": {"micro_agg_sec": micro_min, "loadavg_1m": _loadavg()},
         "passes": n_passes,
         "cpus": os.cpu_count(),
+        "attempts": len(attempts),
     }
     # Host-drift normalization vs the CURRENT host-era anchor (the observed
     # r5+ floor — see MICRO_AGG_REF): factor ≤1.3 means this run is
@@ -230,33 +289,61 @@ def main() -> None:
         # the micro-op is pure 32-thread CPU, so external host contention
         # inflates it MORE than the mixed IO/shuffle/serial queries — a large
         # factor means "host was busy; compare via BENCH_DAYLOG.jsonl
-        # min-raw-at-min-micro, not this run".
+        # min-raw-at-min-micro, not this run". With the retry loop above,
+        # reaching here means EVERY attempt was contended.
         out["drift_note"] = (
-            f"host contention: micro-op {factor:.1f}x the host-era floor; "
-            "prefer the daylog best-of-day entry"
+            f"host contention: micro-op {factor:.1f}x the host-era floor across "
+            f"{len(attempts)} attempt(s); prefer the daylog best-of-day entry"
         )
 
-    # Best-of-day protocol: append this run to the committed daylog, then
-    # report the day's best (min micro) entry so any single artifact carries
-    # the honest number even when ITS run hit contention. The full per-run
-    # detail (phase splits, interleaved samples) lives in the daylog line,
-    # keeping the printed line inside the driver's 2000-char tail capture.
-    entry = {
-        "ts": round(time.time(), 1),
-        "raw_total": raw_total,
-        "op_total": round(op_total, 3),
-        "micro": micro_min,
-        "drift_factor": out["drift_factor"],
-        "queries": timings,
-        "phases": phase_out,
-        "samples": micro_samples,
-        "sf": out["sf"],
-    }
-    best = entry
+    # Best-of-day protocol: append EVERY attempt to the committed daylog,
+    # then report the day's best (min micro) entry so any single artifact
+    # carries the honest number even when ITS run hit contention. The full
+    # per-run detail (phase splits, interleaved samples) lives in the daylog
+    # line, keeping the printed line inside the driver's 2000-char tail
+    # capture.
+    now = round(time.time(), 1)
+    entry = None
     try:
         with open(DAYLOG, "a") as f:
-            f.write(json.dumps(entry) + "\n")
-        cutoff = entry["ts"] - 48 * 3600  # same host era: the last two days
+            for i, (att_micro, att) in enumerate(attempts):
+                a_tim, a_tim2, a_phase, _a_extras, a_samples = att
+                e = {
+                    "ts": now + i * 0.001,
+                    "raw_total": round(sum(a_tim.values()), 3),
+                    "op_total": round(
+                        sum(
+                            a_phase[n]["op"] if n in a_phase else a_tim[n]
+                            for n in a_tim
+                        ),
+                        3,
+                    ),
+                    "v2_total": round(sum(a_tim2.values()), 3),
+                    "micro": att_micro,
+                    "drift_factor": round(att_micro / MICRO_AGG_REF, 3),
+                    "queries": a_tim,
+                    "queries_v2": a_tim2,
+                    "phases": a_phase,
+                    "samples": a_samples,
+                    "sf": out["sf"],
+                }
+                if att_micro == micro_min:
+                    entry = e
+                f.write(json.dumps(e) + "\n")
+    except OSError:
+        pass
+    if entry is None:
+        entry = {
+            "ts": now,
+            "raw_total": raw_total,
+            "op_total": round(op_total, 3),
+            "v2_total": v2_total,
+            "micro": micro_min,
+            "sf": out["sf"],
+        }
+    best = entry
+    try:
+        cutoff = now - 48 * 3600  # same host era: the last two days
         with open(DAYLOG) as f:
             todays = [
                 e
@@ -276,6 +363,7 @@ def main() -> None:
         "raw_total": best["raw_total"],
         "op_total": best["op_total"],
         "micro": best["micro"],
+        "v2_total": best.get("v2_total"),
         "is_this_run": best.get("ts") == entry["ts"],
     }
     out.update(extras)

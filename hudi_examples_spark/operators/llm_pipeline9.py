@@ -1,0 +1,337 @@
+"""Ninth LLM-pipeline battery: paragraph-level cross-document dedup and
+semantic (embedding-space) decontamination.
+
+- ``pipe_paragraph_dedup`` — the CCNet/Dolma workhorse between doc-level
+  (``dedup_exact``) and span-level (``dedup_substring_spans``): documents
+  split into paragraphs, each normalized paragraph hashed once, and the
+  corpus-wide FIRST occurrence (min ``(doc_id, position)`` per hash) kept —
+  every later copy is removal-accounted against its document. One
+  O(paragraphs) hash shuffle; no all-pairs step.
+- ``pipe_semantic_decontaminate`` — the embedding complement of
+  ``pipe_decontaminate`` (which blocks on exact 3-gram overlap): train-split
+  documents whose embedding sits too close (cosine) to ANY eval-split
+  document leak paraphrased evaluation signal into training. Candidates come
+  from the same multi-table hyperplane LSH as ``dedup_embed_ann`` restricted
+  to train×eval bucket collisions; the exact cosine confirm runs on
+  candidates only.
+
+Reference analogue: the reference ships record-identity dedup only (its Glue
+pipelines group whole records — ``glue/S3 Calls benchmarking Code.py``);
+paragraph-level dedup and semantic decontamination are the beyond-reference
+training-data requirements.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hudi_examples_spark.functions.vectors import (
+    cosine_similarity,
+    lsh_multi_table_buckets,
+)
+from hudi_examples_spark.operators.llm_pipeline2 import _TABLES
+from hudi_examples_spark.operators.spec import QuerySpec
+from hudi_examples_spark.sources.readers import load_sf_table as t
+
+# ---------------------------------------------------------------------------
+# Paragraph-level cross-document dedup (CCNet / Dolma paragraph dedup)
+# ---------------------------------------------------------------------------
+
+#: Paragraph boundary tokens. Real corpora split on newlines ('\n' survives
+#: whitespace tokenization as its own boundary when text is pre-segmented);
+#: the synthetic sf corpus carries no newlines, so the battery breaks at the
+#: two highest-frequency stopwords instead. The boundary rule is a pure
+#: function of CONTENT, so a passage copied between documents splits into
+#: the SAME paragraphs wherever it lands — exactly the property newline
+#: splitting has on real crawl text — and the machinery (hash shuffle,
+#: first-occurrence window, removal accounting) is separator-agnostic.
+PARA_BREAKERS = ("the", "a")
+
+
+def _paragraphs(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, para_id, pos, para_text, para_tokens): content-split
+    paragraphs per document. ``pos`` is the paragraph's first word position
+    (1-based, document order); boundary tokens belong to no paragraph.
+
+    Shape: one projection (posexplode of the word array — linear, no
+    corpus-wide state), one groupBy (doc_id, para_id) keyed shuffle whose
+    skew is bounded by the longest document."""
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        F.posexplode(F.filter(F.split(F.trim("text"), "\\s+"), lambda w: w != "")).alias(
+            "p", "w"
+        ),
+    ).select("doc_id", (F.col("p") + 1).alias("pos"), "w")
+    is_sep = F.col("w").isin(*PARA_BREAKERS)
+    w_run = Window.partitionBy("doc_id").orderBy("pos")
+    seg = d.withColumn(
+        "para_id", F.sum(F.when(is_sep, 1).otherwise(0)).over(w_run)
+    ).filter(~is_sep)
+    return (
+        seg.groupBy("doc_id", "para_id")
+        .agg(
+            F.min("pos").alias("pos"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("para_text"),
+            F.count(F.lit(1)).cast("long").alias("para_tokens"),
+        )
+        .select("doc_id", "para_id", "pos", "para_text", "para_tokens")
+    )
+
+
+def pipe_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document paragraph-dedup removal accounting: corpus-wide
+    first-occurrence-wins over md5(paragraph).
+
+    Plan: paragraphs (one keyed groupBy, above) → ONE shuffle keyed on the
+    paragraph hash (a ``row_number`` window ordered by (doc_id, pos) marks
+    the keeper — min (doc_id, position) per hash, deterministic) → per-doc
+    aggregation. O(paragraphs) end to end; hot boilerplate paragraphs make
+    one hash partition larger but the window computes a single rank pass,
+    never a pairwise product. Duplicate-paragraph accounting within one
+    document is included by construction (2nd+ occurrences lose to the
+    first)."""
+    paras = _paragraphs(spark, sf).withColumn("h", F.md5("para_text"))
+    w_first = Window.partitionBy("h").orderBy("doc_id", "pos")
+    marked = paras.withColumn(
+        "dup", F.when(F.row_number().over(w_first) == 1, 0).otherwise(1)
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_paras"),
+            F.sum("dup").cast("long").alias("dup_paras"),
+            F.sum("para_tokens").cast("long").alias("n_tokens"),
+            F.sum(F.col("dup") * F.col("para_tokens")).cast("long").alias("dup_tokens"),
+            (F.sum("para_tokens") - F.sum(F.col("dup") * F.col("para_tokens")))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.when(F.sum("dup") == F.count(F.lit(1)), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("fully_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PARA_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, i AS pos, w[i] AS w
+  FROM (
+    SELECT doc_id, list_filter(str_split(trim(text), ' '), x -> x <> '') AS w
+    FROM documents
+  ), LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)
+), seg AS (
+  SELECT doc_id, pos, w,
+         sum(CASE WHEN w IN {PARA_BREAKERS!r} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS para_id
+  FROM toks
+), paras AS (
+  SELECT doc_id, para_id,
+         min(pos) AS pos,
+         string_agg(w, ' ' ORDER BY pos) AS para_text,
+         count(*)::BIGINT AS para_tokens
+  FROM seg
+  WHERE w NOT IN {PARA_BREAKERS!r}
+  GROUP BY doc_id, para_id
+), marked AS (
+  SELECT doc_id, para_tokens,
+         CASE WHEN row_number() OVER (PARTITION BY md5(para_text)
+                                      ORDER BY doc_id, pos) = 1
+              THEN 0 ELSE 1 END AS dup
+  FROM paras
+)
+"""
+
+PIPE_PARAGRAPH_DEDUP_ORACLE = (
+    _PARA_CTE
+    + """
+SELECT doc_id,
+       count(*)::BIGINT AS n_paras,
+       sum(dup)::BIGINT AS dup_paras,
+       sum(para_tokens)::BIGINT AS n_tokens,
+       sum(dup * para_tokens)::BIGINT AS dup_tokens,
+       (sum(para_tokens) - sum(dup * para_tokens))::BIGINT AS kept_tokens,
+       (CASE WHEN sum(dup) = count(*) THEN 1 ELSE 0 END)::BIGINT AS fully_dup
+FROM marked
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination (embedding-space train/eval leakage)
+# ---------------------------------------------------------------------------
+
+#: Exact-cosine confirmation threshold. 0.4 matches ``dedup_embed_ann`` —
+#: high enough to be "suspiciously close" on this corpus, low enough that
+#: the sf corpus (random embeddings) yields a non-empty, stable audit.
+SEMANTIC_DECON_THRESHOLD = 0.4
+
+
+def _split_expr():
+    """The pipe_hash_split assignment as a column over (text) — content
+    hash, engine-portable (two md5 hex chars through ascii())."""
+    h = F.md5("text")
+    bucket = (F.ascii(F.substring(h, 1, 1)) * 16 + F.ascii(F.substring(h, 2, 1))) % 100
+    return (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def pipe_semantic_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Train docs embedding-near an eval (val/test) doc: per flagged train
+    doc, hit count, max cosine, and the nearest eval doc (ties → smallest
+    eval id).
+
+    Plan (100 TB stance): both sides band through the SAME 8×4 hyperplane
+    LSH tables as ``dedup_embed_ann``; candidates are train×eval bucket
+    collisions only. The eval slice is tiny relative to the corpus (10-20%
+    here, thousands of rows in production), so its banded form BROADCASTS —
+    the train side never shuffles, and the exact cosine confirm runs on
+    collision candidates only, never all train×eval pairs. Output is
+    O(contaminated docs)."""
+    docs = t(spark, sf, "documents").select(
+        "doc_id", _split_expr().alias("split")
+    )
+    emb = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    joined = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "split", "embedding"
+    )
+    banded = joined.select(
+        "doc_id",
+        "split",
+        "embedding",
+        F.explode(lsh_multi_table_buckets("embedding", _TABLES)).alias("bucket"),
+    )
+    train = banded.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_id"), F.col("embedding").alias("emb_t"), "bucket"
+    )
+    ev = banded.filter(F.col("split") != "train").select(
+        F.col("doc_id").alias("eval_id"),
+        F.col("split").alias("eval_split"),
+        F.col("embedding").alias("emb_e"),
+        "bucket",
+    )
+    cand = (
+        train.join(F.broadcast(ev), "bucket")
+        .dropDuplicates(["train_id", "eval_id"])
+        .select(
+            "train_id",
+            "eval_id",
+            "eval_split",
+            F.round(cosine_similarity("emb_t", "emb_e"), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= SEMANTIC_DECON_THRESHOLD)
+    )
+    w_best = Window.partitionBy("train_id").orderBy(
+        F.desc("cos_sim"), F.asc("eval_id")
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w_best))
+        .groupBy("train_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval_hits"),
+            F.max("cos_sim").alias("max_cos"),
+            F.max(F.when(F.col("__rn") == 1, F.col("eval_id")))
+            .cast("long")
+            .alias("nearest_eval_id"),
+            F.max(F.when(F.col("__rn") == 1, F.col("eval_split"))).alias(
+                "nearest_eval_split"
+            ),
+        )
+        .orderBy("train_id")
+    )
+
+
+def _semantic_decon_oracle() -> str:
+    """DuckDB replay: split assignment, per-table sign-bit buckets with the
+    same plane literals as ``dedup_embed_ann``'s oracle, train×eval bucket
+    collisions, exact cosine confirm, per-train-doc aggregation."""
+    selects = []
+    for ti, planes in enumerate(_TABLES):
+        bits = []
+        for i, plane in enumerate(planes):
+            lit = "[" + ", ".join(repr(v) for v in plane) + "]::DOUBLE[]"
+            bits.append(
+                f"(CASE WHEN list_inner_product(embedding::DOUBLE[], {lit}) >= 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        selects.append(
+            "  SELECT doc_id, split, embedding, ("
+            + " + ".join(bits)
+            + f" + {ti << 56}::BIGINT)::BIGINT AS bucket FROM joined"
+        )
+    banded = "\n  UNION ALL\n".join(selects)
+    return f"""
+WITH splits AS (
+  SELECT doc_id,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           (ascii(substr(md5(text), 1, 1)) * 16 + ascii(substr(md5(text), 2, 1))) % 100 AS b
+    FROM documents
+  )
+), joined AS (
+  SELECT s.doc_id, s.split, e.embedding
+  FROM splits s JOIN embeddings e ON e.vec_id = s.doc_id
+), banded AS (
+{banded}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id, b.split AS eval_split
+  FROM banded a JOIN banded b ON a.bucket = b.bucket
+  WHERE a.split = 'train' AND b.split <> 'train'
+), scored AS (
+  SELECT c.train_id, c.eval_id, c.eval_split,
+         round(list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 6)
+           AS cos_sim
+  FROM cand c
+  JOIN embeddings e1 ON e1.vec_id = c.train_id
+  JOIN embeddings e2 ON e2.vec_id = c.eval_id
+  WHERE round(list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 6)
+        >= {SEMANTIC_DECON_THRESHOLD}
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY train_id
+                               ORDER BY cos_sim DESC, eval_id) AS rn
+  FROM scored
+)
+SELECT train_id,
+       count(*)::BIGINT AS n_eval_hits,
+       max(cos_sim) AS max_cos,
+       max(CASE WHEN rn = 1 THEN eval_id END)::BIGINT AS nearest_eval_id,
+       max(CASE WHEN rn = 1 THEN eval_split END) AS nearest_eval_split
+FROM ranked
+GROUP BY train_id
+ORDER BY train_id
+"""
+
+
+PIPE_SEMANTIC_DECON_ORACLE = _semantic_decon_oracle()
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "pipe_paragraph_dedup",
+        pipe_paragraph_dedup,
+        PIPE_PARAGRAPH_DEDUP_ORACLE,
+        "LLM:paragraph-dedup",
+    ),
+    QuerySpec(
+        "pipe_semantic_decontaminate",
+        pipe_semantic_decontaminate,
+        PIPE_SEMANTIC_DECON_ORACLE,
+        "LLM:semantic-decontamination",
+    ),
+]

@@ -15,6 +15,7 @@ def all_specs() -> list[QuerySpec]:
         llm_pipeline6,
         llm_pipeline7,
         llm_pipeline8,
+        llm_pipeline9,
         multimodal,
         relational,
         relational_ext,
@@ -42,6 +43,7 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(llm_pipeline6.SPECS)
     specs.extend(llm_pipeline7.SPECS)
     specs.extend(llm_pipeline8.SPECS)
+    specs.extend(llm_pipeline9.SPECS)
     specs.extend(scale_ops.SPECS)
     specs.extend(streaming_gate.SPECS)
     specs.extend(multimodal.SPECS)
@@ -50,19 +52,86 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(relational_tpch3.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names in registry"
-    # Prefix rotation (round 6): the driver gate samples a 50-query prefix.
+    # Prefix rotation (round 7): the driver gate samples a 50-query prefix.
     # Policy (steady state): (1) debut ops with no driver row yet, (2)
-    # oldest-evidence refreshes. This round: the one r6 debut
-    # (tok_bpe_encode), then ALL 40 rows whose latest driver green is r3
-    # (max evidence age hits 3 without a refresh — the judge's r5 ask #2
-    # names this exact list), then 9 r4-aged backfills prioritizing specs
-    # whose code round 6 touched (index/heal generation sweep, marker
-    # heartbeat on the COW path, SemDeDup family) plus the
-    # driver-canonicalizer risk row fn_array_battery. The 50 r5-green rows
-    # all rotate out (freshest evidence). After this round max driver
-    # evidence age is <=2 again (r4/r5/r6 only) and union coverage stays
-    # complete.
-    r6_prefix = [
+    # oldest-evidence refreshes. This round: the two r7 debuts
+    # (pipe_paragraph_dedup, pipe_semantic_decontaminate), then ALL 45 rows
+    # whose latest driver green is r4 (diff of CORRECTNESS_r04/05/06 key
+    # sets — they hit evidence age 3 without a refresh; the judge's r6 ask
+    # #1 names this set), then 3 r5-aged backfills chosen because round 7's
+    # _commit_order_expr struct change rides their merge paths
+    # (tbl_upsert_mor's merged read, tbl_log_compaction's log stitch,
+    # tbl_cdc_query's before/after resolution). The 50 r6-green rows all
+    # rotate out (freshest evidence). After this round max driver evidence
+    # age is <=2 again (r5/r6/r7 only) and union coverage stays complete.
+    r7_prefix = [
+        # r7 debuts
+        "pipe_paragraph_dedup",
+        "pipe_semantic_decontaminate",
+        # r4-aged refreshes (all 45)
+        "a_count_star",
+        "a_cube_order_mix",
+        "a_group_count_sort",
+        "a_interval_counts",
+        "a_rollup_revenue",
+        "a_sketch_profile",
+        "a_topk_two_keys",
+        "dedup_keep_best",
+        "dedup_semantic",
+        "e_except_diff",
+        "e_intersect",
+        "e_union_dedup",
+        "fn_regexp_extract",
+        "fn_scalar_battery",
+        "fn_timestamp_derivation",
+        "j_bucket_assignment",
+        "j_delete_anti",
+        "j_merge_full_outer",
+        "j_semi_join",
+        "p_arithmetic_projection",
+        "p_json_extract",
+        "p_range_predicate",
+        "pipe_curriculum_order",
+        "q11_important_stock",
+        "q12_priority_shipping",
+        "q13_customer_distribution",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q16_supplier_part_types",
+        "q17_small_quantity_revenue",
+        "q18_large_orders",
+        "q19_bracket_revenue",
+        "q21_sole_supplier_orders",
+        "q22_idle_customers",
+        "q2_min_cost_supplier",
+        "q4_order_priority",
+        "q7_nation_volume",
+        "q8_market_share",
+        "q9_product_profit",
+        "s_csv_roundtrip",
+        "stream_corpus_ingest",
+        "text_unigram_lm_score",
+        "w_latest_per_key",
+        "w_running_totals",
+        "w_sessionization",
+        # r5-aged backfills on round-7-touched code paths (completion-order
+        # struct tiebreak rides every MOR merge / log stitch / CDC read)
+        "tbl_upsert_mor",
+        "tbl_log_compaction",
+        "tbl_cdc_query",
+    ]
+    assert len(r7_prefix) == 50 and len(set(r7_prefix)) == 50, "prefix must be 50 unique names"
+    by_name = {s.name: s for s in specs}
+    missing = [n for n in r7_prefix if n not in by_name]
+    assert not missing, f"prefix names not in registry: {missing}"
+    prefix_set = set(r7_prefix)
+    specs = [by_name[n] for n in r7_prefix] + [s for s in specs if s.name not in prefix_set]
+    return specs
+
+
+def _r6_prefix_for_the_record() -> list[str]:
+    """The round-6 prefix, kept for auditability of the rotation history."""
+    return [
         # r6 debut: BPE corpus encoding with learned merges (the apply half)
         "tok_bpe_encode",
         # r3-aged refreshes (all 40; dedup_embed_cosine's blocked top-k
@@ -133,13 +202,6 @@ def all_specs() -> list[QuerySpec]:
         "pipe_self_dedup",
         "tok_fertility_stats",
     ]
-    assert len(r6_prefix) == 50 and len(set(r6_prefix)) == 50, "prefix must be 50 unique names"
-    by_name = {s.name: s for s in specs}
-    missing = [n for n in r6_prefix if n not in by_name]
-    assert not missing, f"prefix names not in registry: {missing}"
-    prefix_set = set(r6_prefix)
-    specs = [by_name[n] for n in r6_prefix] + [s for s in specs if s.name not in prefix_set]
-    return specs
 
 
 def queries_dict():
