@@ -361,3 +361,97 @@ def test_fast_path_expr_is_the_raw_commit_column(spark, tmp_path):
     _swap_completion(t.base, ia, ib)
     t3 = Table(spark, t.base)
     assert str(t3._commit_order_expr()) != str(F2.col("_hoodie_commit_time"))
+
+
+def test_multi_writer_divergence_soak(spark, tmp_path):
+    """Soak (judge round 6, item #8): two interleaved MOR writers with EQUAL
+    precombine churn overlapping keys across FOUR divergence windows — in
+    each, the earlier-minted instant is forced to publish LAST (the NBCC
+    late-publisher) — with log compaction and full compaction interleaved
+    between windows. The final merged state must hash-match a sequential
+    replay of the identical batches applied in COMPLETION order (where begin
+    order IS completion order, the certified baseline)."""
+    t = Table.create(
+        spark,
+        str(tmp_path / "soak"),
+        SCHEMA,
+        TableConfig(record_key=["k"], precombine="v", table_type="mor"),
+    )
+    base_rows = [(k, "base", 1) for k in range(8)]
+    t.insert(spark.createDataFrame(base_rows, SCHEMA))
+    # completion-ordered op log for the sequential replay: (kind, payload)
+    oplog: list[tuple[str, list]] = [("upsert", base_rows)]
+
+    def _diverge(batch_early, batch_late, kind_early="upsert", kind_late="upsert"):
+        """Writer 1 mints first, writer 2 mints later but PUBLISHES first;
+        the stamp swap makes writer 1 the causally-newest commit."""
+        w1, w2 = Table(spark, t.base), Table(spark, t.base)
+        if kind_early == "delete":
+            ia = w1.delete(spark.createDataFrame([(k,) for k in batch_early], "k BIGINT"))
+        else:
+            ia = w1.upsert(spark.createDataFrame(batch_early, SCHEMA))
+        if kind_late == "delete":
+            ib = w2.delete(spark.createDataFrame([(k,) for k in batch_late], "k BIGINT"))
+        else:
+            ib = w2.upsert(spark.createDataFrame(batch_late, SCHEMA))
+        assert ia < ib
+        _swap_completion(t.base, ia, ib)
+        # completion order: ib (published first), then ia
+        oplog.append((kind_late, batch_late))
+        oplog.append((kind_early, batch_early))
+
+    # window 1: overlapping upserts (keys 0-3 vs 2-5), equal precombine
+    _diverge(
+        [(k, "w1-early", 2) for k in range(0, 4)],
+        [(k, "w1-late", 2) for k in range(2, 6)],
+    )
+    assert Table(spark, t.base).timeline.completion_order() is not None
+    Table(spark, t.base).compact_logs(min_logs_per_partition=1)
+
+    # window 2: delete minted first completes LAST vs a re-insert — the
+    # tombstone must win (keys 1-2 dead)
+    _diverge([1, 2], [(k, "w2-resurrect", 2) for k in [1, 2]], kind_early="delete")
+    Table(spark, t.base).compact()
+
+    # window 3: fresh divergence after compaction baked windows 1-2 in
+    _diverge(
+        [(k, "w3-early", 3) for k in range(4, 8)],
+        [(k, "w3-late", 3) for k in range(5, 7)],
+    )
+
+    # window 4: re-insert one window-2-dead key under divergence (re-insert
+    # minted first, completes last → alive), plus an overlapping upsert
+    _diverge(
+        [(1, "w4-back", 3), (6, "w4-early", 4)],
+        [(6, "w4-late", 4), (7, "w4-late", 4)],
+    )
+    Table(spark, t.base).compact_logs(min_logs_per_partition=1)
+
+    got = sorted(map(tuple, Table(spark, t.base).read().collect()))
+
+    # sequential replay in completion order — begin order equals completion
+    # order here, the plain certified path
+    r = Table.create(
+        spark,
+        str(tmp_path / "replay"),
+        SCHEMA,
+        TableConfig(record_key=["k"], precombine="v", table_type="mor"),
+    )
+    for kind, payload in oplog:
+        h = Table(spark, r.base)
+        if kind == "delete":
+            h.delete(spark.createDataFrame([(k,) for k in payload], "k BIGINT"))
+        else:
+            h.upsert(spark.createDataFrame(payload, SCHEMA))
+    assert Table(spark, r.base).timeline.completion_order() is None
+    want = sorted(map(tuple, Table(spark, r.base).read().collect()))
+    assert got == want, f"diverged state != sequential replay\n{got}\nvs\n{want}"
+    # spot-check the headline semantics: tombstone won window 2 on key 2,
+    # key 1 came back in window 4, late-completers won their overlaps
+    vals = {r0[0]: r0[1] for r0 in got}
+    assert 2 not in vals
+    assert vals[1] == "w4-back"
+    assert vals[6] == "w4-early"  # minted first, completed last
+    # one more full compaction must not change the state
+    Table(spark, t.base).compact()
+    assert sorted(map(tuple, Table(spark, t.base).read().collect())) == want
