@@ -61,6 +61,9 @@ QUERIES = [
     "pipe_self_dedup",
     "pipe_shard_plan",
     "pipe_split_leakage",
+    # round-7 additions (the r7-final registry)
+    "pipe_paragraph_dedup",
+    "pipe_semantic_decontaminate",
 ]
 
 
