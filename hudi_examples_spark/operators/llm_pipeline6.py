@@ -211,24 +211,32 @@ FROM d GROUP BY lang, source ORDER BY lang, source
 def semantic_dup_pairs(
     e: DataFrame,
     threshold: float,
-    max_cluster_size: int = 10_000,
+    max_cluster_size: int = 96,
     block_size: int = 1024,
 ) -> DataFrame:
     """Within-cluster exact near-dup pairs (d1 < d2, rounded cosine ≥
-    threshold) with a GIANT-CLUSTER GUARD.
+    threshold), with clusters routed by size between two EXACT physical
+    plans that produce identical output.
 
     Clusters at or under ``max_cluster_size`` take the plain cluster-keyed
-    self-join (one hash shuffle on the cluster id; Catalyst/codegen cosine).
-    A cluster larger than the cap would put its entire O(c²) pair space into
-    a single join task — the SemDeDup skew failure mode — so oversized
-    clusters are RE-CHUNKED by the block-pair pattern of
-    ``dedup_embed_cosine``: members hash into ~``block_size`` sub-blocks,
-    every unordered sub-block pair is scored once by a vectorized BLAS
-    matmul in an independent task, and ALL pairs over the threshold are
-    emitted (no top-k — this is exact dedup, so results are identical to the
-    naive join; only the physical chunking changes). Per-task work is
-    bounded at ~block_size² comparisons regardless of cluster size.
-    """
+    self-join (one hash shuffle on the cluster id). Larger clusters are
+    RE-CHUNKED by the block-pair pattern of ``dedup_embed_cosine``: members
+    hash into ~``block_size`` sub-blocks, every unordered sub-block pair is
+    scored once by a vectorized BLAS matmul in an independent task, and ALL
+    pairs over the threshold are emitted (no top-k — this is exact dedup, so
+    results are identical to the naive join; only the physical chunking
+    changes). Per-task work is bounded at ~block_size² comparisons
+    regardless of cluster size, which kills the SemDeDup giant-cluster skew
+    failure mode.
+
+    Why the cutover sits at ~100 members rather than "only guard the
+    skewed": the join path evaluates cosine through ``zip_with``/
+    ``aggregate`` HIGHER-ORDER functions, which Spark executes interpreted
+    (they never enter whole-stage codegen) — measured ~30 µs per 64-dim
+    pair, so a 200-member cluster's 20k pairs already cost more than one
+    Arrow batch + BLAS matmul. Above ~100 members BLAS wins outright; below
+    it, pair counts (<5k) are too small to repay the mapInPandas batch
+    overhead."""
     import math
 
     import numpy as np

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from hudi_examples_spark.functions.text import words
 from hudi_examples_spark.functions.vectors import (
     cosine_similarity,
     lsh_multi_table_buckets,
@@ -321,6 +322,208 @@ ORDER BY train_id
 PIPE_SEMANTIC_DECON_ORACLE = _semantic_decon_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve (tokenizer/vocab budgeting)
+# ---------------------------------------------------------------------------
+
+#: coverage thresholds reported: what fraction of token OCCURRENCES the
+#: top-K most frequent word types cover — the curve that sizes a tokenizer
+#: vocabulary against a corpus
+COVERAGE_KS = (10, 50, 200)
+
+
+def text_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Token coverage of the top-K word types, for K in ``COVERAGE_KS``.
+
+    The naive form ranks EVERY word type through one global sort. This
+    implementation needs no type-level order at all: covered tokens depend
+    only on the COUNT-OF-COUNTS histogram — if K cuts inside a group of
+    equal-count types, any choice among them contributes the same count, so
+    coverage is well-defined from (count, n_types) pairs alone. Plan: one
+    token-count aggregation (the only corpus-scale shuffle, map-side
+    combined), one histogram aggregation over word TYPES, then a window over
+    the histogram — whose row count is the number of DISTINCT frequency
+    values, O(sqrt(total tokens)) under Zipf: bounded statistics metadata,
+    the same class as the shard planner's 256-row offset table. Exact
+    integer output (coverage in hundredths of a percent via DIV)."""
+    toks = t(spark, sf, "documents").select(F.explode(words("text")).alias("w"))
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    hist = counts.groupBy("c").agg(F.count(F.lit(1)).alias("n_types"))
+    w_cum = Window.orderBy(F.desc("c")).rowsBetween(Window.unboundedPreceding, -1)
+    hist = hist.withColumn(
+        "types_before", F.coalesce(F.sum("n_types").over(w_cum), F.lit(0))
+    )
+    ks = F.explode(F.array(*[F.lit(k) for k in COVERAGE_KS])).alias("top_k")
+    per = hist.select("c", "n_types", "types_before", ks).select(
+        "top_k",
+        (
+            F.col("c")
+            * F.greatest(
+                F.lit(0),
+                F.least(F.col("n_types"), F.col("top_k") - F.col("types_before")),
+            )
+        ).alias("covered"),
+        (F.col("c") * F.col("n_types")).alias("tok"),
+    )
+    return (
+        per.groupBy("top_k")
+        .agg(
+            F.sum("covered").cast("long").alias("covered_tokens"),
+            F.sum("tok").cast("long").alias("total_tokens"),
+        )
+        .select(
+            F.col("top_k").cast("long").alias("top_k"),
+            "covered_tokens",
+            "total_tokens",
+            F.expr("(10000 * covered_tokens) DIV total_tokens").alias(
+                "coverage_bp"
+            ),
+        )
+        .orderBy("top_k")
+    )
+
+
+TEXT_VOCAB_COVERAGE_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(str_split(trim(text), ' '), w -> w <> '')) AS w
+  FROM documents
+), counts AS (
+  SELECT w, count(*) AS c FROM toks GROUP BY w
+), hist AS (
+  SELECT c, count(*) AS n_types FROM counts GROUP BY c
+), cum AS (
+  SELECT c, n_types,
+         coalesce(sum(n_types) OVER (ORDER BY c DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS types_before
+  FROM hist
+), per AS (
+  SELECT k.top_k,
+         c * greatest(0, least(n_types, k.top_k - types_before)) AS covered,
+         c * n_types AS tok
+  FROM cum, (SELECT unnest({list(COVERAGE_KS)!r}) AS top_k) k
+)
+SELECT top_k::BIGINT AS top_k,
+       sum(covered)::BIGINT AS covered_tokens,
+       sum(tok)::BIGINT AS total_tokens,
+       ((10000 * sum(covered)) // sum(tok))::BIGINT AS coverage_bp
+FROM per GROUP BY top_k ORDER BY top_k
+"""
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM scoring (the KenLM-filter shape)
+# ---------------------------------------------------------------------------
+
+#: Jelinek-Mercer interpolation weight for the bigram term, in tenths:
+#: p = (LM_LAMBDA_TENTHS·p_bi + (10-LM_LAMBDA_TENTHS)·p_uni) / 10
+LM_LAMBDA_TENTHS = 7
+
+
+def text_bigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document interpolated bigram LM score — the n-gram-LM quality
+    filter (CCNet scores documents with a KenLM 5-gram; this is the same
+    pipeline shape at n=2 with Jelinek-Mercer smoothing and exact integer
+    surrogates, like ``text_unigram_lm_score``).
+
+    Per bigram position: p_bi_milli = (1000·C(w1 w2)) DIV C(w1·) (conditional
+    MLE), p_uni_milli = (1000·C(w2)) DIV total_tokens, interpolated in
+    integer milli-probability space. Per doc: sum and DIV-average.
+
+    Plan: the token stream shuffles twice into count tables (unigram,
+    bigram — both map-side combined); the doc's bigram stream equi-joins
+    each count table on its word key (sharded joins — the bigram table is
+    corpus-scale state and is NEVER broadcast or collected, exactly how
+    distributed KenLM scoring shards its model), then one per-doc
+    aggregation. Docs with <2 tokens have no bigrams and are excluded on
+    both sides."""
+    d = t(spark, sf, "documents").select("doc_id", words("text").alias("__ws"))
+    toks = d.select(F.explode("__ws").alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    bi_stream = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("__ws", 1, F.size("__ws") - 1),
+                F.slice("__ws", 2, F.size("__ws") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bi = bi_stream.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    total = toks.count()  # one scalar (total token occurrences)
+    lam = LM_LAMBDA_TENTHS
+    scored = (
+        bi_stream.join(bi, ["w1", "w2"])
+        .join(uni.select(F.col("w").alias("w1"), "cu"), "w1")
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("cu").alias("cu2")), "w2"
+        )
+        .select(
+            "doc_id",
+            (
+                (
+                    F.lit(lam) * F.expr("(1000 * cb) DIV cu")
+                    + F.lit(10 - lam) * F.expr(f"(1000 * cu2) DIV {total}")
+                )
+                / F.lit(10)
+            ).cast("long").alias("p_milli"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("p_milli").cast("long").alias("score_num"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "score_num",
+            F.expr("score_num DIV n_bigrams").alias("avg_p_milli"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bigram_oracle() -> str:
+    lam = LM_LAMBDA_TENTHS
+    return f"""
+WITH ws AS (
+  SELECT doc_id, list_filter(str_split(trim(text), ' '), w -> w <> '') AS w
+  FROM documents
+), toks AS (
+  SELECT unnest(w) AS w FROM ws
+), total AS (
+  SELECT count(*) AS t FROM toks
+), uni AS (
+  SELECT w, count(*) AS cu FROM toks GROUP BY w
+), bi_stream AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+  FROM ws, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+), bi AS (
+  SELECT w1, w2, count(*) AS cb FROM bi_stream GROUP BY w1, w2
+), scored AS (
+  SELECT s.doc_id,
+         (({lam} * ((1000 * b.cb) // u1.cu)
+           + {10 - lam} * ((1000 * u2.cu) // total.t)) // 10)::BIGINT AS p_milli
+  FROM bi_stream s
+  JOIN bi b USING (w1, w2)
+  JOIN uni u1 ON u1.w = s.w1
+  JOIN uni u2 ON u2.w = s.w2
+  CROSS JOIN total
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_bigrams,
+       sum(p_milli)::BIGINT AS score_num,
+       (sum(p_milli) // count(*))::BIGINT AS avg_p_milli
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+TEXT_BIGRAM_LM_ORACLE = _bigram_oracle()
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "pipe_paragraph_dedup",
@@ -333,5 +536,17 @@ SPECS: list[QuerySpec] = [
         pipe_semantic_decontaminate,
         PIPE_SEMANTIC_DECON_ORACLE,
         "LLM:semantic-decontamination",
+    ),
+    QuerySpec(
+        "text_vocab_coverage",
+        text_vocab_coverage,
+        TEXT_VOCAB_COVERAGE_ORACLE,
+        "LLM:vocab-coverage",
+    ),
+    QuerySpec(
+        "text_bigram_lm_score",
+        text_bigram_lm_score,
+        TEXT_BIGRAM_LM_ORACLE,
+        "LLM:bigram-lm-quality",
     ),
 ]

@@ -158,3 +158,78 @@ def test_semantic_decontaminate_threshold_gates_random_pairs(spark, tmp_path):
     )
     assert pipe_semantic_decontaminate(spark, sf).count() == 0
     assert 0 < SEMANTIC_DECON_THRESHOLD < 1
+
+
+# ---------------------------------------------------------------------------
+# text_vocab_coverage
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_coverage_hand_computed(spark, tmp_path):
+    from hudi_examples_spark.operators import llm_pipeline9 as m
+
+    # corpus token counts: x appears 6x, y 3x, z 1x  (total 10)
+    sf = _write_docs(spark, tmp_path, [(1, "x x x y y"), (2, "x x x y z")])
+    rows = {r["top_k"]: r for r in m.text_vocab_coverage(spark, sf).collect()}
+    assert set(rows) == set(m.COVERAGE_KS)
+    for k in m.COVERAGE_KS:
+        assert rows[k]["total_tokens"] == 10
+    # smallest K (>=10 in the battery) already covers all 3 types here, so
+    # assert against a direct recomputation for any K semantics
+    counts = sorted([6, 3, 1], reverse=True)
+    for k, r in rows.items():
+        want = sum(counts[: min(k, len(counts))])
+        assert r["covered_tokens"] == want
+        assert r["coverage_bp"] == (10000 * want) // 10
+
+
+def test_vocab_coverage_tie_groups_are_count_determined(spark, tmp_path):
+    """K cutting inside an equal-count tie group: coverage depends only on
+    the histogram, and partial tie-group consumption takes exactly
+    (K - types_before) of the tied types' count each."""
+    from hudi_examples_spark.operators import llm_pipeline9 as m
+    import hudi_examples_spark.operators.llm_pipeline9 as mod
+
+    # 12 types each with count 2, plus one type with count 5
+    text1 = " ".join(f"t{i}" for i in range(12)) + " big big big"
+    text2 = " ".join(f"t{i}" for i in range(12)) + " big big"
+    sf = _write_docs(spark, tmp_path, [(1, text1), (2, text2)])
+    rows = {r["top_k"]: r for r in m.text_vocab_coverage(spark, sf).collect()}
+    # K=10: top type 'big'(5) + 9 of the twelve tied count-2 types = 5+18
+    assert rows[10]["covered_tokens"] == 5 + 9 * 2
+    assert rows[10]["total_tokens"] == 5 + 24
+
+
+# ---------------------------------------------------------------------------
+# text_bigram_lm_score
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_lm_hand_computed(spark, tmp_path):
+    from hudi_examples_spark.operators.llm_pipeline9 import (
+        LM_LAMBDA_TENTHS,
+        text_bigram_lm_score,
+    )
+
+    # corpus: doc1 = "a b a b", doc2 = "a b"  (avoid the para breakers'
+    # special role — irrelevant here, bigram op has no separators)
+    sf = _write_docs(spark, tmp_path, [(1, "u v u v"), (2, "u v")])
+    # counts: C(u)=3, C(v)=3, total=6; C(u v)=3, C(v u)=1
+    # p_bi(u->v) = (1000*3)//3 = 1000 ; p_uni(v) = (1000*3)//6 = 500
+    # p_bi(v->u) = (1000*1)//3 = 333  ; p_uni(u) = 500
+    lam, inv = LM_LAMBDA_TENTHS, 10 - LM_LAMBDA_TENTHS
+    p_uv = (lam * 1000 + inv * 500) // 10
+    p_vu = (lam * 333 + inv * 500) // 10
+    rows = {r["doc_id"]: r for r in text_bigram_lm_score(spark, sf).collect()}
+    assert rows[1]["n_bigrams"] == 3
+    assert rows[1]["score_num"] == 2 * p_uv + p_vu
+    assert rows[1]["avg_p_milli"] == (2 * p_uv + p_vu) // 3
+    assert rows[2]["n_bigrams"] == 1 and rows[2]["score_num"] == p_uv
+
+
+def test_bigram_lm_short_docs_excluded(spark, tmp_path):
+    from hudi_examples_spark.operators.llm_pipeline9 import text_bigram_lm_score
+
+    sf = _write_docs(spark, tmp_path, [(1, "solo"), (2, "p q")])
+    rows = {r["doc_id"] for r in text_bigram_lm_score(spark, sf).collect()}
+    assert rows == {2}
