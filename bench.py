@@ -70,13 +70,19 @@ HEADLINE_V2 = [
 #: context only.
 MICRO_AGG_REF_R4 = 0.089
 
-#: Live calibration anchor (judge round 5, item #3): the observed r5+ host
-#: floor — the best RECORDED reading of the era, 0.219 from the committed
-#: quiet-window run (tools/bench_r5_quiet_window.log; the all-day sweep's
-#: estimated bottom was 0.19-0.25). drift_factor is computed against THIS;
-#: a factor ≤1.3 means the run is comparable round-over-round on the
-#: current host.
-MICRO_AGG_REF = 0.219
+#: r5/r6 era anchor: the hypervisor-steal era's observed floor (0.219 from
+#: the committed r5 quiet-window run). That era ENDED during round 7 — kept
+#: for cross-era context only, like the r4 constant above.
+MICRO_AGG_REF_R5R6 = 0.219
+
+#: Live calibration anchor (third host era, measured round 7): 10 back-to-
+#: back idle micro-ops gave [0.186, 0.184, 0.171, 0.149, 0.147, 0.163,
+#: 0.182, 0.144, 0.146] → floor 0.144 at loadavg <1 — between the r4 fast
+#: era (0.089) and the r5/r6 steal era (0.219). drift_factor is computed
+#: against THIS; a factor ≤1.3 means the run is comparable round-over-round
+#: on the current host. A factor BELOW 1 just means the sampled moment beat
+#: the anchor (burst clocks) — runs are never penalized for that.
+MICRO_AGG_REF = 0.144
 
 #: Best-of-day protocol: every run APPENDS its (raw, op, micro) summary to
 #: this committed JSONL; the round's honest number is the raw total of the
@@ -284,7 +290,10 @@ def main() -> None:
     # min-raw-at-min-micro entry instead of this run's raw numbers.
     factor = micro_min / MICRO_AGG_REF
     out["drift_factor"] = round(factor, 3)
-    out["drift_normalized_total"] = round(raw_total / factor, 3) if factor > 0 else None
+    # normalization corrects for a SLOWER-than-anchor host only; a factor
+    # below 1 (burst clocks, one lucky sample) must not inflate the
+    # normalized number — the raw total already is the honest reading then
+    out["drift_normalized_total"] = round(raw_total / max(factor, 1.0), 3)
     if factor > 1.3:
         # the micro-op is pure 32-thread CPU, so external host contention
         # inflates it MORE than the mixed IO/shuffle/serial queries — a large
@@ -353,9 +362,20 @@ def main() -> None:
         # min-raw at min-micro, with a tolerance band: micro has ±20% run
         # noise, so "at min micro" means within 15% of the day's floor —
         # a strict lexicographic (micro, raw) pick would let a 0.4% micro
-        # blip discard a 20%-faster raw reading
-        floor = min(e["micro"] for e in todays)
-        quiet = [e for e in todays if e["micro"] <= floor * 1.15]
+        # blip discard a 20%-faster raw reading. The banding statistic is
+        # the MEDIAN of the run's interleaved samples, not the min: one
+        # burst-clock outlier sample (observed: 0.056 against an idle floor
+        # of 0.144) would otherwise set a floor no honest run can enter and
+        # pin best-of-day to whichever run got lucky once — the median is
+        # the contention the query passes actually experienced.
+        import statistics
+
+        def _med(e):
+            ms = [s["micro_agg_sec"] for s in e.get("samples", [])]
+            return statistics.median(ms) if ms else e["micro"]
+
+        floor = min(_med(e) for e in todays)
+        quiet = [e for e in todays if _med(e) <= floor * 1.15]
         best = min(quiet, key=lambda e: e["raw_total"])
     except (OSError, ValueError):
         pass
