@@ -19,6 +19,14 @@ from hudi_examples_spark.sources.readers import SF_TABLES
 
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # An in-memory DuckDB cannot spill without a temp_directory: a token-
+    # scale oracle (20M-row windowed string_agg at the synthesized sf10)
+    # then ABORTS the whole process with a C++ bad_alloc instead of going
+    # out-of-core. Give it a spill dir and a bounded in-RAM budget so big
+    # oracles get slower, never fatal — the Spark side under test is
+    # unaffected.
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET memory_limit='24GB'")
     for name in SF_TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
@@ -117,4 +125,13 @@ def run_all(spark, sf_dir: str, only: list[str] | None = None) -> list[CompareRe
             results.append(compare(spec.name, sdf, opdf))
         except Exception as exc:  # noqa: BLE001
             results.append(CompareResult(spec.name, False, (-1, -1), [f"EXC {type(exc).__name__}: {exc}"]))
+            if "OutOfMemory" in type(exc).__name__ or "bad allocation" in str(exc):
+                # a blown oracle can leave the connection's buffer pool
+                # poisoned — later queries then fail on tiny allocations;
+                # start fresh so one heavy oracle doesn't cascade
+                try:
+                    con.close()
+                except Exception:  # noqa: BLE001
+                    pass
+                con = duckdb_con(sf_dir)
     return results
