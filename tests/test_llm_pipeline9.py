@@ -233,3 +233,73 @@ def test_bigram_lm_short_docs_excluded(spark, tmp_path):
     sf = _write_docs(spark, tmp_path, [(1, "solo"), (2, "p q")])
     rows = {r["doc_id"] for r in text_bigram_lm_score(spark, sf).collect()}
     assert rows == {2}
+
+
+# ---------------------------------------------------------------------------
+# Property: paragraph dedup vs a single-node reference implementation
+# ---------------------------------------------------------------------------
+
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _ref_paragraph_dedup(docs: list[tuple[int, str]]) -> dict[int, tuple]:
+    """Plain-Python reference of pipe_paragraph_dedup's semantics."""
+    from hudi_examples_spark.operators.llm_pipeline9 import PARA_BREAKERS
+
+    paras = []  # (doc_id, pos, tuple(words))
+    for doc_id, text in docs:
+        ws = [w for w in text.split() if w]
+        cur: list[str] = []
+        start = None
+        for pos, w in enumerate(ws, start=1):
+            if w in PARA_BREAKERS:
+                if cur:
+                    paras.append((doc_id, start, tuple(cur)))
+                cur, start = [], None
+            else:
+                if start is None:
+                    start = pos
+                cur.append(w)
+        if cur:
+            paras.append((doc_id, start, tuple(cur)))
+    seen: dict[tuple, tuple] = {}
+    for doc_id, pos, p in sorted(paras, key=lambda x: (x[0], x[1])):
+        seen.setdefault(p, (doc_id, pos))
+    out: dict[int, list] = {}
+    for doc_id, pos, p in paras:
+        dup = seen[p] != (doc_id, pos)
+        n, d, t, dt = out.get(doc_id, (0, 0, 0, 0))
+        out[doc_id] = [n + 1, d + int(dup), t + len(p), dt + len(p) * int(dup)]
+    return {
+        doc_id: (n, d, t, dt, t - dt, int(d == n))
+        for doc_id, (n, d, t, dt) in out.items()
+    }
+
+
+_word_st = st.sampled_from(["the", "a", "x1", "x2", "y", "zz", "q7", "boil"])
+
+
+@settings(
+    max_examples=int(os.environ.get("PROP_EXAMPLES", "6")),
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    corpus=st.lists(
+        st.lists(_word_st, min_size=0, max_size=14), min_size=1, max_size=6
+    )
+)
+def test_paragraph_dedup_matches_reference(spark, tmp_path_factory, corpus):
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(corpus)]
+    sf = _write_docs(spark, tmp_path_factory.mktemp("pd"), docs)
+    got = {
+        r["doc_id"]: (
+            r["n_paras"], r["dup_paras"], r["n_tokens"],
+            r["dup_tokens"], r["kept_tokens"], r["fully_dup"],
+        )
+        for r in pipe_paragraph_dedup(spark, sf).collect()
+    }
+    assert got == _ref_paragraph_dedup(docs)
