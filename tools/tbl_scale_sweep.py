@@ -35,6 +35,9 @@ from hudi_examples_spark.table import Table, TableConfig
 SCALES = [
     ("sf0.1", "/root/testdata/sf0.1"),
     ("sf1", "/root/repo/.scaled/sf1"),  # 10x replica (tools/make_scaled_sf.py)
+    # 100x customer replica — third decade (~4800 files); built with
+    # `python tools/make_scaled_sf.py 100 .scaled/sf10cust customer`
+    ("sf10", "/root/repo/.scaled/sf10cust"),
 ]
 
 SCHEMA = "c_custkey BIGINT, c_name STRING, acctbal DOUBLE, seg STRING, v INT, pt INT"
@@ -201,61 +204,67 @@ def main() -> int:
             print(line)
             lines.append(line)
 
-    # the bounds: touched work must NOT scale with the data decade
+    # the bounds: touched work must NOT scale with the data decade —
+    # checked on every ADJACENT scale pair in SCALES
     checks = []
 
     def check(name, ok, detail):
         checks.append((name, ok, detail))
 
-    up0, up1 = results["upsert"]["sf0.1"], results["upsert"]["sf1"]
-    check(
-        "upsert_files_total_grows_with_decade",
-        up1["files_total"] >= up0["files_total"] * 8,
-        f"{up0['files_total']} -> {up1['files_total']}",
-    )
-    check(
-        "upsert_candidates_stay_O_touched",
-        up1["prune_candidates"] <= max(TOUCH_PARTS * 2, up0["prune_candidates"] * 2),
-        f"candidates {up0['prune_candidates']}/{up0['prune_total']} -> "
-        f"{up1['prune_candidates']}/{up1['prune_total']}",
-    )
-    check(
-        "upsert_rewrites_stay_O_touched",
-        up1["files_rewritten"] <= max(TOUCH_PARTS * 2, up0["files_rewritten"] * 2),
-        f"rewritten {up0['files_rewritten']} -> {up1['files_rewritten']}",
-    )
-    cd0, cd1 = results["cdc"]["sf0.1"], results["cdc"]["sf1"]
-    check(
-        "cdc_candidates_stay_O_touched",
-        cd1["prune_candidates"] is not None
-        and cd1["prune_candidates"] <= max(TOUCH_PARTS * 3, (cd0["prune_candidates"] or 0) * 2),
-        f"candidates {cd0['prune_candidates']}/{cd0['prune_total']} -> "
-        f"{cd1['prune_candidates']}/{cd1['prune_total']}",
-    )
-    check(
-        "cdc_rows_fixed",
-        cd0["cdc_rows"] == cd1["cdc_rows"] == TOUCH_ROWS,
-        f"{cd0['cdc_rows']} vs {cd1['cdc_rows']}",
-    )
-    cp0, cp1 = results["compaction"]["sf0.1"], results["compaction"]["sf1"]
-    check(
-        "compaction_actually_compacted",
-        cp0["log_files_compacted"] >= 1 and cp1["log_files_compacted"] >= 1,
-        f"logs {cp0['log_files_compacted']} / {cp1['log_files_compacted']}",
-    )
-    check(
-        "compaction_scope_stays_O_touched",
-        cp1["base_files_rewritten"] <= max(TOUCH_PARTS * 2, cp0["base_files_rewritten"] * 2),
-        f"bases {cp0['base_files_rewritten']}/{cp0['files_total']} -> "
-        f"{cp1['base_files_rewritten']}/{cp1['files_total']}",
-    )
-    cl0, cl1 = results["clustering"]["sf0.1"], results["clustering"]["sf1"]
-    check(
-        "clustering_rewrites_stay_O_touched",
-        (cl1["partitions_rewritten"] or 99) <= max(TOUCH_PARTS, (cl0["partitions_rewritten"] or 0)),
-        f"partitions {cl0['partitions_rewritten']}/{cl0['partitions_total']} -> "
-        f"{cl1['partitions_rewritten']}/{cl1['partitions_total']}",
-    )
+    for (l0, _), (l1, _) in zip(SCALES, SCALES[1:]):
+        tag = f"{l0}->{l1}"
+        up0, up1 = results["upsert"][l0], results["upsert"][l1]
+        check(
+            f"upsert_files_total_grows_with_decade[{tag}]",
+            up1["files_total"] >= up0["files_total"] * 8,
+            f"{up0['files_total']} -> {up1['files_total']}",
+        )
+        check(
+            f"upsert_candidates_stay_O_touched[{tag}]",
+            up1["prune_candidates"] <= max(TOUCH_PARTS * 2, up0["prune_candidates"] * 2),
+            f"candidates {up0['prune_candidates']}/{up0['prune_total']} -> "
+            f"{up1['prune_candidates']}/{up1['prune_total']}",
+        )
+        check(
+            f"upsert_rewrites_stay_O_touched[{tag}]",
+            up1["files_rewritten"] <= max(TOUCH_PARTS * 2, up0["files_rewritten"] * 2),
+            f"rewritten {up0['files_rewritten']} -> {up1['files_rewritten']}",
+        )
+        cd0, cd1 = results["cdc"][l0], results["cdc"][l1]
+        check(
+            f"cdc_candidates_stay_O_touched[{tag}]",
+            cd1["prune_candidates"] is not None
+            and cd1["prune_candidates"]
+            <= max(TOUCH_PARTS * 3, (cd0["prune_candidates"] or 0) * 2),
+            f"candidates {cd0['prune_candidates']}/{cd0['prune_total']} -> "
+            f"{cd1['prune_candidates']}/{cd1['prune_total']}",
+        )
+        check(
+            f"cdc_rows_fixed[{tag}]",
+            cd0["cdc_rows"] == cd1["cdc_rows"] == TOUCH_ROWS,
+            f"{cd0['cdc_rows']} vs {cd1['cdc_rows']}",
+        )
+        cp0, cp1 = results["compaction"][l0], results["compaction"][l1]
+        check(
+            f"compaction_actually_compacted[{tag}]",
+            cp0["log_files_compacted"] >= 1 and cp1["log_files_compacted"] >= 1,
+            f"logs {cp0['log_files_compacted']} / {cp1['log_files_compacted']}",
+        )
+        check(
+            f"compaction_scope_stays_O_touched[{tag}]",
+            cp1["base_files_rewritten"]
+            <= max(TOUCH_PARTS * 2, cp0["base_files_rewritten"] * 2),
+            f"bases {cp0['base_files_rewritten']}/{cp0['files_total']} -> "
+            f"{cp1['base_files_rewritten']}/{cp1['files_total']}",
+        )
+        cl0, cl1 = results["clustering"][l0], results["clustering"][l1]
+        check(
+            f"clustering_rewrites_stay_O_touched[{tag}]",
+            (cl1["partitions_rewritten"] or 99)
+            <= max(TOUCH_PARTS, (cl0["partitions_rewritten"] or 0)),
+            f"partitions {cl0['partitions_rewritten']}/{cl0['partitions_total']} -> "
+            f"{cl1['partitions_rewritten']}/{cl1['partitions_total']}",
+        )
 
     n_fail = 0
     for name, ok, detail in checks:
