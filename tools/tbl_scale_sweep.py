@@ -77,14 +77,20 @@ def _cust(spark, sf_dir):
 
 
 def _fixed_batch(spark, d):
-    """Deterministic O(1)-size change batch confined to TOUCH_PARTS partitions."""
-    return (
+    """Deterministic O(1)-size change batch confined to TOUCH_PARTS
+    partitions — MATERIALIZED before it is handed to a timed op, so the
+    measurement captures engine work only, not the fixture's ntile window
+    re-evaluating over the full table (at the 100x decade that window alone
+    costs seconds and would masquerade as upsert cost)."""
+    rows = (
         d.filter(F.col("pt") < TOUCH_PARTS)
         .orderBy("c_custkey")
         .limit(TOUCH_ROWS)
         .withColumn("acctbal", F.col("acctbal") + 100.0)
         .withColumn("v", F.lit(2))
+        .collect()
     )
+    return spark.createDataFrame(rows, SCHEMA)
 
 
 def _mk_table(spark, name, sf_dir, table_type="cow"):
