@@ -1,0 +1,395 @@
+"""Tenth LLM-pipeline battery: Gopher rule filtering, radius (range)
+similarity search, and WordPiece greedy subword tokenization.
+
+- ``text_gopher_filter`` — the Gopher/Dolma document-level rule battery
+  (Rae et al. 2112.11446 §A1.1; Dolma's reimplementation): word-count
+  bounds, mean-word-length bounds, minimum stopword evidence, and the
+  alphabetic-word fraction, each emitted as its own named boolean plus the
+  integer measurement it was computed from. Complements
+  ``text_repetition_filter`` (the intra-document repetition half of the
+  Gopher rules) and ``text_quality_score`` (the trained-classifier shape).
+- ``sim_range_search`` — ε-ball retrieval: ALL corpus neighbors within a
+  cosine radius of each query vector, not a fixed top-k. The dual of
+  ``sim_knn_join``: radius search is what near-duplicate *auditing* and
+  recall measurement use, where the neighbor count is data-dependent.
+- ``tok_wordpiece_encode`` — WordPiece inference (Wu et al. 1609.08144;
+  the BERT tokenizer): greedy longest-match-first segmentation against a
+  corpus-derived subword vocabulary with distinct word-initial and
+  continuation (``##``) piece tables. The segmentation loop is a single
+  Catalyst ``aggregate`` fold over character positions — per-row sequential
+  DP entirely inside whole-stage codegen, zero Python, zero extra shuffles.
+
+Reference analogue: the reference ships no text analytics (its Spark/Flink/
+Glue jobs move records — ``spark/src/main/scala/com/hudi/spark/*.scala``);
+these are the beyond-reference training-data operators the task brief
+requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hudi_examples_spark.functions.text import STOPWORDS, words
+from hudi_examples_spark.functions.vectors import cosine_similarity
+from hudi_examples_spark.operators.spec import QuerySpec
+from hudi_examples_spark.sources.readers import load_sf_table as t
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule filter
+# ---------------------------------------------------------------------------
+
+#: Gopher §A1.1 bounds, scaled to the sf corpus (whose documents run tens of
+#: words, not thousands): min/max word count, mean word length in [3, 10],
+#: >=2 stopwords, >=80% of words containing an alphabetic character. All four
+#: rules compare INTEGERS (sums and cross-multiplied ratios), so the emitted
+#: row hashes exactly with no float boundary between engines.
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 20, 2000
+GOPHER_MEANLEN_LO, GOPHER_MEANLEN_HI = 3, 10
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_ALPHA_NUM, GOPHER_ALPHA_DEN = 4, 5  # n_alpha/n >= 4/5
+
+
+def text_gopher_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher document-quality rule battery, one row per document with the
+    per-rule verdicts AND the integer features they were judged on (corpus
+    reports need the features, not just the keep bit).
+
+    Shape: one projection over the corpus — every feature is a codegen
+    higher-order expression on the word array (no shuffle, no UDF); the
+    100 TB cost is the scan itself. The mean-word-length and alphabetic-
+    fraction rules cross-multiply instead of dividing, so the whole row is
+    integer-exact under the driver hash."""
+    ws = words(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n_words"),
+        F.aggregate(ws, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)).alias(
+            "sum_word_len"
+        ),
+        F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, F.lower(w))))
+        .cast("bigint")
+        .alias("n_stop"),
+        F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+        .cast("bigint")
+        .alias("n_alpha"),
+    )
+    n, sl, st, al = (F.col(c) for c in ("n_words", "sum_word_len", "n_stop", "n_alpha"))
+    rules = {
+        "r_wordcount": (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS),
+        "r_meanlen": (sl >= GOPHER_MEANLEN_LO * n) & (sl <= GOPHER_MEANLEN_HI * n),
+        "r_stopwords": st >= GOPHER_MIN_STOPWORDS,
+        "r_alpha": GOPHER_ALPHA_DEN * al >= GOPHER_ALPHA_NUM * n,
+    }
+    out = d.withColumns(rules)
+    keep = None
+    for c in rules:
+        keep = F.col(c) if keep is None else (keep & F.col(c))
+    return out.withColumn("keep", keep).orderBy("doc_id")
+
+
+def _stop_sql() -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+TEXT_GOPHER_ORACLE = f"""
+WITH ws AS (
+  SELECT doc_id, list_filter(str_split(trim(text), ' '), w -> w <> '') AS w
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(w)::BIGINT AS n_words,
+         COALESCE(list_sum(list_transform(w, x -> length(x))), 0)::BIGINT AS sum_word_len,
+         len(list_filter(w, x -> list_contains({_stop_sql()}, lower(x))))::BIGINT AS n_stop,
+         len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS n_alpha
+  FROM ws
+)
+SELECT doc_id, n_words, sum_word_len, n_stop, n_alpha,
+       n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS} AS r_wordcount,
+       sum_word_len >= {GOPHER_MEANLEN_LO} * n_words
+         AND sum_word_len <= {GOPHER_MEANLEN_HI} * n_words AS r_meanlen,
+       n_stop >= {GOPHER_MIN_STOPWORDS} AS r_stopwords,
+       {GOPHER_ALPHA_DEN} * n_alpha >= {GOPHER_ALPHA_NUM} * n_words AS r_alpha,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+         AND (sum_word_len >= {GOPHER_MEANLEN_LO} * n_words
+              AND sum_word_len <= {GOPHER_MEANLEN_HI} * n_words)
+         AND n_stop >= {GOPHER_MIN_STOPWORDS}
+         AND {GOPHER_ALPHA_DEN} * n_alpha >= {GOPHER_ALPHA_NUM} * n_words AS keep
+FROM m ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Radius (range) similarity search
+# ---------------------------------------------------------------------------
+
+#: Cosine radius and the query-side selector. Queries are a bounded slice of
+#: the corpus (every 50th vector); the radius sits where the sf corpus has a
+#: non-trivial but bounded neighbor set.
+RANGE_TAU = 0.3
+RANGE_QUERY_MOD = 50
+
+
+def sim_range_search(spark: SparkSession, sf: str) -> DataFrame:
+    """ε-ball cosine retrieval: every corpus vector within ``RANGE_TAU`` of
+    each query vector — the data-dependent-cardinality dual of
+    ``sim_knn_join``'s fixed top-k.
+
+    Shape: the bounded query side broadcasts; similarity is a JVM-side
+    higher-order expression over the scan; the radius predicate filters
+    map-side, so nothing but hits ever shuffles. At 100 TB this is one pass
+    over the corpus per query *batch* (not per query). A query side too big
+    to broadcast swaps in the LSH bucket join (``dedup_embed_ann``'s
+    machinery) with this same exact confirm — the radius predicate is the
+    confirm step either way."""
+    e = t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") % RANGE_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine_similarity("embedding", "q_emb"), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= RANGE_TAU)
+        .orderBy("q_id", F.desc("cos_sim"), "vec_id")
+    )
+
+
+SIM_RANGE_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+  FROM embeddings WHERE vec_id % {RANGE_QUERY_MOD} = 0
+)
+SELECT q.q_id, e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb), 6) AS cos_sim
+FROM embeddings e, q
+WHERE e.vec_id <> q.q_id
+  AND round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb), 6) >= {RANGE_TAU}
+ORDER BY q_id, cos_sim DESC, vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# WordPiece greedy subword tokenization
+# ---------------------------------------------------------------------------
+
+#: Vocab construction bounds: multi-char candidate pieces of length 2..WP_MAXP
+#: ranked by corpus occurrence weight; WP_TOP survive, plus every single
+#: character in BOTH piece tables (so segmentation can never dead-end into an
+#: [UNK]). WP_OUT rows of the token frequency table are emitted.
+WP_MAXP = 6
+WP_TOP = 40
+WP_OUT = 40
+
+
+def _wp_vocab(spark: SparkSession, sf: str) -> tuple[list, list, DataFrame]:
+    """(start_pieces, cont_pieces, word_type_df): the corpus-derived WordPiece
+    vocabulary. Pieces are (len, piece) tuples; start pieces match at word
+    position 1, continuation pieces anywhere later (rendered ``##piece``).
+
+    Distributed shape: the word-TYPE table (one shuffle, vocabulary-sized)
+    fans out to its substrings (linear in characters, no corpus-wide state),
+    one count shuffle keyed on (form, piece), and a bounded ``LIMIT`` — the
+    vocab that comes back to the driver is tokenizer METADATA (like
+    ``tok_bpe_merges``' merge list), never data."""
+    wt = (
+        _docs(spark, sf)
+        .select(F.explode(words("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # all substrings of length 2..WP_MAXP with their word position; guard the
+    # sequence bound (Spark's sequence(1, 0) counts DOWN) with a CASE
+    subs = wt.select(
+        "cnt",
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(2, {WP_MAXP}), k ->
+                      CASE WHEN length(w) >= k THEN
+                        transform(sequence(1, length(w) - k + 1), i ->
+                          struct(CASE WHEN i = 1 THEN 's' ELSE 'c' END AS form,
+                                 substring(w, i, k) AS piece))
+                      ELSE array() END))"""
+            )
+        ).alias("s"),
+    ).select("cnt", F.col("s.form").alias("form"), F.col("s.piece").alias("piece"))
+    top = (
+        subs.groupBy("form", "piece")
+        .agg(F.sum("cnt").alias("c"))
+        .orderBy(F.desc("c"), F.asc("form"), F.asc("piece"))
+        .limit(WP_TOP)
+        .collect()
+    )
+    chars = [
+        r["ch"]
+        for r in wt.select(
+            F.explode(
+                F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+            ).alias("ch")
+        )
+        .distinct()
+        .collect()
+    ]
+    starts = {r["piece"] for r in top if r["form"] == "s"} | set(chars)
+    conts = {r["piece"] for r in top if r["form"] == "c"} | set(chars)
+    to_list = lambda ps: sorted(((len(p), p) for p in ps))  # noqa: E731
+    return to_list(starts), to_list(conts), wt
+
+
+def _piece_arr(pieces: list) -> Column:
+    return F.array(
+        *[
+            F.struct(F.lit(ln).cast("int").alias("len"), F.lit(p).alias("piece"))
+            for ln, p in pieces
+        ]
+    )
+
+
+def wordpiece_encode_words(wt: DataFrame, starts: list, conts: list) -> DataFrame:
+    """Append ``toks`` (the WordPiece segmentation, continuation pieces
+    rendered ``##piece``) to a word-type DataFrame with a ``w`` column.
+
+    The segmentation is ONE ``aggregate`` fold per word type: the accumulator
+    carries (cursor, tokens); each step at the cursor picks the LONGEST vocab
+    piece matching there (``array_max`` over the filtered piece table — the
+    struct's leading ``len`` field makes max = longest) and advances the
+    cursor past it. Both piece tables are broadcast literals and the fold is
+    whole-stage codegen — no shuffle, no Python, per-row work O(len × vocab)."""
+    s_arr, c_arr = _piece_arr(starts), _piece_arr(conts)
+
+    def step(acc: Column, i: Column) -> Column:
+        tbl = F.when(acc["pos"] == 1, s_arr).otherwise(c_arr)
+        hits = F.filter(
+            tbl, lambda s: F.col("w").substr(acc["pos"], s["len"]) == s["piece"]
+        )
+        best = F.array_max(hits)
+        shown = F.when(acc["pos"] == 1, best["piece"]).otherwise(
+            F.concat(F.lit("##"), best["piece"])
+        )
+        advanced = F.struct(
+            (acc["pos"] + best["len"]).cast("int").alias("pos"),
+            F.concat(acc["toks"], F.array(shown)).alias("toks"),
+        )
+        return F.when(i < acc["pos"], acc).otherwise(advanced)
+
+    init = F.struct(
+        F.lit(1).cast("int").alias("pos"),
+        F.array().cast("array<string>").alias("toks"),
+    )
+    return wt.withColumn(
+        "toks",
+        F.aggregate(F.sequence(F.lit(1), F.length("w")), init, step)["toks"],
+    )
+
+
+def tok_wordpiece_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """WordPiece greedy longest-match-first encoding of the corpus against a
+    corpus-derived subword vocab: per token, its total occurrence count
+    (weighted by word frequency) and the number of distinct word types it
+    appears in — ordered (occurrences DESC, token).
+
+    Distributed shape: the vocab build is one word-type shuffle plus one
+    bounded count shuffle (``_wp_vocab``); the encode itself is the
+    ``wordpiece_encode_words`` codegen fold over word TYPES (not documents),
+    so at 100 TB the only shuffles are the type groupBy and the final token
+    aggregation — the piece tables travel as broadcast literals."""
+    starts, conts, wt = _wp_vocab(spark, sf)
+    return (
+        wordpiece_encode_words(wt, starts, conts)
+        .select("w", "cnt", F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(
+            F.sum("cnt").cast("long").alias("occurrences"),
+            F.countDistinct("w").cast("long").alias("word_types"),
+        )
+        .orderBy(F.desc("occurrences"), F.asc("token"))
+        .limit(WP_OUT)
+    )
+
+
+def _wordpiece_oracle() -> str:
+    """The full WordPiece pipeline as one DuckDB statement: vocab selection
+    (same counts, same (c DESC, form, piece) tie-break), the longest-match
+    table ``bm`` for every (word, position), a RECURSIVE cursor walk that
+    replays greedy matching, and the final token aggregation."""
+    return f"""
+WITH RECURSIVE wt AS (
+  SELECT w, count(*)::BIGINT AS cnt FROM (
+    SELECT unnest(list_filter(str_split(trim(text), ' '), x -> x <> '')) AS w
+    FROM documents) GROUP BY w
+), subs AS (
+  SELECT CASE WHEN i = 1 THEN 's' ELSE 'c' END AS form,
+         substr(w, i, k) AS piece, sum(cnt)::BIGINT AS c
+  FROM wt,
+       (SELECT unnest(generate_series(2, {WP_MAXP})) AS k) ks,
+       LATERAL (SELECT unnest(generate_series(1, length(w) - k + 1)) AS i)
+  GROUP BY 1, 2
+), topn AS (
+  SELECT form, piece FROM subs ORDER BY c DESC, form ASC, piece ASC LIMIT {WP_TOP}
+), chars AS (
+  SELECT DISTINCT substr(w, i, 1) AS piece
+  FROM wt, LATERAL (SELECT unnest(generate_series(1, length(w))) AS i)
+), vocab AS (
+  SELECT form, piece, length(piece) AS len FROM (
+    SELECT form, piece FROM topn
+    UNION SELECT 's', piece FROM chars
+    UNION SELECT 'c', piece FROM chars)
+), pos AS (
+  SELECT w, i AS pos FROM wt, LATERAL (SELECT unnest(generate_series(1, length(w))) AS i)
+), bm AS (
+  SELECT w, pos, piece, len, form FROM (
+    SELECT p.w, p.pos, v.piece, v.len, v.form,
+           row_number() OVER (PARTITION BY p.w, p.pos ORDER BY v.len DESC) AS rk
+    FROM pos p JOIN vocab v
+      ON v.form = CASE WHEN p.pos = 1 THEN 's' ELSE 'c' END
+     AND substr(p.w, p.pos, v.len) = v.piece)
+  WHERE rk = 1
+), walk AS (
+  SELECT w, cnt, 1 AS pos FROM wt
+  UNION ALL
+  SELECT k.w, k.cnt, k.pos + b.len
+  FROM walk k JOIN bm b ON b.w = k.w AND b.pos = k.pos
+  WHERE k.pos <= length(k.w)
+), toks AS (
+  SELECT k.w, k.cnt,
+         CASE WHEN b.form = 's' THEN b.piece ELSE '##' || b.piece END AS token
+  FROM walk k JOIN bm b ON b.w = k.w AND b.pos = k.pos
+)
+SELECT token, sum(cnt)::BIGINT AS occurrences, count(DISTINCT w)::BIGINT AS word_types
+FROM toks GROUP BY token ORDER BY occurrences DESC, token LIMIT {WP_OUT}
+"""
+
+
+TOK_WORDPIECE_ORACLE = _wordpiece_oracle()
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "text_gopher_filter",
+        text_gopher_filter,
+        TEXT_GOPHER_ORACLE,
+        "LLM:gopher-rule-filter",
+    ),
+    QuerySpec(
+        "sim_range_search",
+        sim_range_search,
+        SIM_RANGE_ORACLE,
+        "LLM:radius-similarity-search",
+    ),
+    QuerySpec(
+        "tok_wordpiece_encode",
+        tok_wordpiece_encode,
+        TOK_WORDPIECE_ORACLE,
+        "LLM:wordpiece-tokenizer",
+    ),
+]

@@ -1413,6 +1413,81 @@ FROM customer WHERE c_custkey % 13 = 0
 """
 
 
+def tbl_expression_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Expression (functional) index point lookup — Hudi 1.0
+    ``CREATE INDEX idx ON t USING column_stats(month(ts))`` semantics
+    (reference's bundled-Hudi SQL face; the engine's native machinery is
+    ``Table.create_expression_index``, table/core.py). The indexed value is a
+    derived expression — the order month ``substring(orderdate, 1, 7)`` —
+    not any stored column, so neither key-range stats nor a plain secondary
+    index can serve the predicate. The lifecycle exercises both index phases:
+    a backfill build over three bulk loads, then an index-MAINTAINING upsert
+    commit (new rows in a fresh month) that must be visible through the same
+    index without a rebuild.
+
+    Pruning shape: the index resolves the month to its record keys (bounded
+    metadata: month cardinality × keys), and the per-file BLOOM sidecars
+    collapse the file set to the file groups actually holding those keys —
+    O(matching file groups) IO however many files the table has.
+    ``expr_pruned_ok`` certifies under the driver hash that the lookup
+    scanned strictly fewer files than the table holds."""
+    base = os.path.join(_workdir("tbl_expression_index", sf), "tbl")
+    tbl = Table.create(
+        spark,
+        base,
+        "id STRING, orderkey BIGINT, orderdate STRING, totalprice DOUBLE, v INT",
+        TableConfig(record_key=["id"], precombine="v", bloom_index=True),
+    )
+    o = t(spark, sf, "orders").select(
+        F.md5(F.col("o_orderkey").cast("string")).alias("id"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.lit(1).alias("v"),
+    )
+    n = o.count()
+    for m in range(3):  # thirds by orderkey: three disjoint file groups
+        tbl.bulk_insert(o.filter(F.floor((F.col("orderkey") - 1) * 3 / n) == m))
+    tbl.create_expression_index("order_month", "substring(orderdate, 1, 7)")
+    # index-maintaining commit: NEW keys in a month the corpus never saw —
+    # proves post-build commits flow into the index (and land in their own
+    # file group, keeping >1 group for the prune to discard)
+    tbl.upsert(
+        o.filter(F.col("orderkey") % 97 == 0).withColumns(
+            {
+                "id": F.md5((F.col("orderkey") + 10_000_000).cast("string")),
+                "orderkey": F.col("orderkey") + 10_000_000,
+                "orderdate": F.concat(F.lit("2003-01-"), F.substring("orderdate", 9, 2)),
+                "v": F.lit(2),
+            }
+        )
+    )
+    hits = tbl.lookup_indexed("order_month", "2003-01")
+    ev = getattr(tbl, "last_index_lookup", None) or {}
+    pruned_ok = bool(ev.get("scanned", 0) < ev.get("total", 0))
+    return hits.select(
+        "id",
+        "orderkey",
+        "orderdate",
+        "totalprice",
+        "v",
+        F.lit(pruned_ok).alias("expr_pruned_ok"),
+    ).orderBy("orderkey")
+
+
+TBL_EXPR_INDEX_ORACLE = """
+SELECT md5(CAST(o_orderkey + 10000000 AS VARCHAR)) AS id,
+       o_orderkey + 10000000 AS orderkey,
+       '2003-01-' || strftime(o_orderdate, '%d') AS orderdate,
+       round(o_totalprice, 2) AS totalprice,
+       2 AS v,
+       TRUE AS expr_pruned_ok
+FROM orders
+WHERE o_orderkey % 97 = 0
+ORDER BY orderkey
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("tbl_upsert_cow", tbl_upsert_cow, UPSERT_FINAL_ORACLE, "M1,M2,M7"),
     QuerySpec("tbl_upsert_mor", tbl_upsert_mor, UPSERT_FINAL_ORACLE, "M7,MOR"),
@@ -1437,6 +1512,12 @@ SPECS: list[QuerySpec] = [
     QuerySpec("tbl_schema_evolution", tbl_schema_evolution, TBL_SCHEMA_EVOLUTION_ORACLE, "M18+ add/auto/rename/drop lifecycle"),
     QuerySpec("tbl_bloom_upsert", tbl_bloom_upsert, TBL_BLOOM_ORACLE, "J4 BLOOM index + file-group-scoped COW rewrite"),
     QuerySpec("tbl_secondary_lookup", tbl_secondary_lookup, TBL_SECONDARY_ORACLE, "Hudi 1.0 secondary index point lookup"),
+    QuerySpec(
+        "tbl_expression_index",
+        tbl_expression_index,
+        TBL_EXPR_INDEX_ORACLE,
+        "Hudi 1.0 expression (functional) index: derived-value lookup + maintenance",
+    ),
     QuerySpec("tbl_partial_update", tbl_partial_update, TBL_PARTIAL_ORACLE, "Hudi 1.0 MOR partial update payloads"),
     QuerySpec(
         "tbl_run_services",
