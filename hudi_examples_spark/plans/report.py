@@ -64,6 +64,11 @@ QUERIES = [
     # round-7 additions (the r7-final registry)
     "pipe_paragraph_dedup",
     "pipe_semantic_decontaminate",
+    "text_vocab_coverage",
+    "text_bigram_lm_score",
+    "text_gopher_filter",
+    "sim_range_search",
+    "tok_wordpiece_encode",
 ]
 
 
