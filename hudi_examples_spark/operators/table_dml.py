@@ -1413,6 +1413,73 @@ FROM customer WHERE c_custkey % 13 = 0
 """
 
 
+def tbl_partition_stats_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-stats data skipping — Hudi 1.0 PARTITION_STATS metadata
+    index (``hoodie.metadata.index.partition.stats.enable``): per-partition
+    column envelopes answer the pruning question at PARTITION granularity
+    before any per-file stats are consulted. The classic shape: a table
+    hive-partitioned on a coarse bucket (here ``band``) queried on the
+    CORRELATED fine-grained column (``ck_mod``) — exactly date-partitioned
+    tables filtered on event timestamps. Per band the ``ck_mod`` envelope is
+    a tight 20-wide range, so a 10-wide predicate keeps ONE of five
+    partitions without touching the other partitions' file stats; at 100 TB
+    that is O(partitions) metadata deciding instead of O(files).
+
+    Lifecycle: two inserts (several files per partition), a delete (leaves
+    envelopes stale-wide — conservative, never lossy), then the range scan.
+    ``pstats_pruned_ok`` certifies under the driver hash that the partition
+    gate engaged (partitions kept < partitions total) AND file pruning
+    stayed consistent; the row set is the ordinary differential."""
+    base = os.path.join(_workdir("tbl_partition_stats_prune", sf), "tbl")
+    tbl = Table.create(
+        spark,
+        base,
+        "custkey BIGINT, ck_mod BIGINT, name STRING, acctbal DOUBLE, band STRING",
+        TableConfig(partition_by=["band"], stats_cols=["ck_mod"]),
+    )
+    c = t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        (F.col("c_custkey") % 100).alias("ck_mod"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.concat(
+            F.lit("b"), F.floor((F.col("c_custkey") % 100) / 20).cast("string")
+        ).alias("band"),
+    )
+    tbl.insert(c.filter(F.col("custkey") % 2 == 0).repartition(3))
+    t2 = Table(spark, base)
+    t2.insert(c.filter(F.col("custkey") % 2 == 1).repartition(3))
+    t3 = Table(spark, base)
+    t3.delete_where("ck_mod = 7")  # envelopes stay [0,19] etc. — stale-wide is safe
+    t4 = Table(spark, base)
+    out = t4.scan([("ck_mod", ">=", 0), ("ck_mod", "<=", 9)])
+    pev = getattr(t4, "last_scan_partitions", None) or {}
+    fev = getattr(t4, "last_scan", None) or {}
+    pruned_ok = bool(
+        pev.get("kept", 99) < pev.get("total", 0)
+        and fev.get("scanned", 99) < fev.get("total", 0)
+    )
+    return out.select(
+        "custkey",
+        "ck_mod",
+        "name",
+        F.round("acctbal", 2).alias("acctbal"),
+        "band",
+        F.lit(pruned_ok).alias("pstats_pruned_ok"),
+    ).orderBy("custkey")
+
+
+TBL_PSTATS_ORACLE = """
+SELECT c_custkey AS custkey, c_custkey % 100 AS ck_mod, c_name AS name,
+       round(c_acctbal, 2) AS acctbal,
+       'b' || CAST(CAST(floor((c_custkey % 100) / 20) AS BIGINT) AS VARCHAR) AS band,
+       TRUE AS pstats_pruned_ok
+FROM customer
+WHERE c_custkey % 100 <= 9 AND c_custkey % 100 <> 7
+ORDER BY custkey
+"""
+
+
 def tbl_expression_index(spark: SparkSession, sf: str) -> DataFrame:
     """Expression (functional) index point lookup — Hudi 1.0
     ``CREATE INDEX idx ON t USING column_stats(month(ts))`` semantics
@@ -1499,6 +1566,12 @@ SPECS: list[QuerySpec] = [
     QuerySpec("tbl_cdc_rollback", tbl_cdc_rollback, TBL_TT_ORACLE, "M13,M17"),
     QuerySpec("tbl_cdc_query", tbl_cdc_query, TBL_CDC_ORACLE, "M11,M13 CDC images"),
     QuerySpec("tbl_scan_pruned", tbl_scan_pruned, TBL_SCAN_ORACLE, "col-stats data skipping"),
+    QuerySpec(
+        "tbl_partition_stats_prune",
+        tbl_partition_stats_prune,
+        TBL_PSTATS_ORACLE,
+        "Hudi 1.0 PARTITION_STATS index: partition-granularity data skipping",
+    ),
     QuerySpec(
         "tbl_zorder_prune",
         tbl_zorder_prune,

@@ -923,6 +923,86 @@ class Table:
         with open(tmp, "w") as f:
             json.dump(stats, f)
         os.replace(tmp, os.path.join(d, f"{instant}.json"))
+        self._write_partition_stats(instant, stats)
+
+    # --------------------------------------------------- partition-stats index
+
+    PARTITION_STATS_DIR = "_stats_partition"
+
+    def _write_partition_stats(self, instant: str, stats: dict[str, dict[str, list]]) -> None:
+        """Hudi 1.0 PARTITION_STATS metadata index
+        (``hoodie.metadata.index.partition.stats.enable``): per-PARTITION
+        [min, max] of the stat columns, aggregated from the same footer stats
+        the per-file sidecar records — zero extra reads, one JSON per instant.
+
+        Why a second granularity: planning against partition stats reads
+        O(partitions) metadata rows where file stats read O(files) — at 100 TB
+        (100k files, ~1k partitions) that is the difference between a
+        metadata lookup and a metadata scan, and partitions pruned here never
+        have their file-level stats consulted at all. Bounds only ever WIDEN
+        (per-instant envelopes union at load time), so deletes/rewrites leave
+        them stale-wide — conservative, never lossy. A column whose rendered
+        stats are incomparable across files is dropped (``None`` tombstone):
+        no bound means the partition is always kept."""
+        if not self.config.partition_by or not stats:
+            return
+        agg: dict[str, dict[str, list | None]] = {}
+        for rel, per_col in stats.items():
+            slot = agg.setdefault(self._partition_path_of(rel), {})
+            for col, (lo, hi) in per_col.items():
+                cur = slot.get(col, ...)
+                if cur is None:
+                    continue  # tombstoned: stays unknown
+                if cur is ...:
+                    slot[col] = [lo, hi]
+                else:
+                    try:
+                        slot[col] = [min(cur[0], lo), max(cur[1], hi)]
+                    except TypeError:
+                        slot[col] = None
+        if not agg:
+            return
+        d = os.path.join(self.base, self.PARTITION_STATS_DIR)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".{instant}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(agg, f)
+        os.replace(tmp, os.path.join(d, f"{instant}.json"))
+
+    def _load_partition_stats(self) -> dict[str, dict[str, list]]:
+        """Merged per-partition bounds across instants (widening union; a
+        ``None`` tombstone in any instant drops that column's bound for the
+        partition). Returns only usable [lo, hi] pairs — callers feed the
+        result straight to ``_file_may_match``."""
+        d = os.path.join(self.base, self.PARTITION_STATS_DIR)
+        if not os.path.isdir(d):
+            return {}
+        merged: dict[str, dict[str, list | None]] = {}
+        for fn in sorted(os.listdir(d)):
+            if not fn.endswith(".json"):
+                continue
+            with open(os.path.join(d, fn)) as f:
+                data = json.load(f)
+            for part, per_col in data.items():
+                slot = merged.setdefault(part, {})
+                for col, bounds in per_col.items():
+                    cur = slot.get(col, ...)
+                    if cur is None or bounds is None:
+                        slot[col] = None
+                    elif cur is ...:
+                        slot[col] = list(bounds)
+                    else:
+                        try:
+                            slot[col] = [
+                                min(cur[0], bounds[0]),
+                                max(cur[1], bounds[1]),
+                            ]
+                        except TypeError:
+                            slot[col] = None
+        return {
+            part: {c: b for c, b in per_col.items() if b is not None}
+            for part, per_col in merged.items()
+        }
 
     def _merge_stats(self, instant: str, extra: dict[str, dict[str, list]]) -> None:
         """Merge computed per-file stats into the instant's sidecar (used by
@@ -943,6 +1023,9 @@ class Table:
         with open(tmp, "w") as f:
             json.dump(stats, f)
         os.replace(tmp, p)
+        # keep the partition-granularity envelope in step (widening is
+        # idempotent, so re-aggregating the merged sidecar is safe)
+        self._write_partition_stats(instant, stats)
 
     #: key-component types whose string rendering is identical between
     #: pyarrow's cast and Spark's CAST(.. AS STRING) — integer text and
@@ -1891,6 +1974,7 @@ class Table:
         built is legitimately absent, so historical completeness isn't
         guaranteed — current-snapshot completeness is).
         """
+        self.last_scan_partitions = None  # set iff partition stats consulted
         if as_of is None and filters:
             for col, op, val in filters:
                 if op != "=":
@@ -1946,7 +2030,31 @@ class Table:
             return df.filter(conds) if conds is not None else df
         stats = self._load_file_stats()
         base_rels = sorted(r for r in files if r not in set(log_rels))
-        keep = [r for r in base_rels if _file_may_match(stats.get(r), filters)]
+        # partition-stats gate first (Hudi 1.0 PARTITION_STATS): partitions
+        # whose envelope can't match never have their file stats consulted —
+        # O(partitions) metadata decides before anything O(files) is touched.
+        # Partitions without an envelope (pre-index files, tombstoned cols)
+        # always pass. File-level stats then refine within survivors. A file
+        # dropped at EITHER granularity still enters the MOR log-overlap
+        # re-add below, so partition pruning is never lossy against logs.
+        part_keep = None
+        if self.config.partition_by:
+            pstats = self._load_partition_stats()
+            if pstats:
+                parts = {self._partition_path_of(r) for r in base_rels}
+                part_keep = {
+                    p for p in parts if _file_may_match(pstats.get(p), filters)
+                }
+                self.last_scan_partitions = {
+                    "total": len(parts),
+                    "kept": len(part_keep),
+                }
+        keep = [
+            r
+            for r in base_rels
+            if (part_keep is None or self._partition_path_of(r) in part_keep)
+            and _file_may_match(stats.get(r), filters)
+        ]
         if log_rels:
             # MOR with pending logs: a pruned base row could be the precombine
             # winner over a log row of the same key (emitting the stale log

@@ -35,6 +35,7 @@ METADATA_PARTITIONS = (
     "files",
     "partitions",
     "column_stats",
+    "partition_stats",
     "bloom_filters",
     "record_index",
     "timeline",
@@ -98,6 +99,19 @@ def metadata_df(tbl, part: str) -> DataFrame:
         ]
         return spark.createDataFrame(
             rows, "file_name STRING, col_name STRING, min_value STRING, max_value STRING"
+        )
+    if part == "partition_stats":
+        # Hudi 1.0 PARTITION_STATS metadata partition: the per-partition
+        # column envelopes scan-planning consults before any file stats
+        pstats = tbl._load_partition_stats()
+        rows = [
+            (part_path, col, str(mm[0]), str(mm[1]))
+            for part_path in sorted(pstats)
+            for col, mm in sorted(pstats[part_path].items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "partition STRING, col_name STRING, min_value STRING, max_value STRING",
         )
     if part == "bloom_filters":
         files, _ = tbl.timeline.live_files()

@@ -92,6 +92,25 @@ def test_column_stats_matches_sidecars_and_data(tbl):
     assert max(float(r["max_value"]) for r in val_rows) == data_max
 
 
+def test_partition_stats_partition(tbl):
+    rows = tbl.metadata("partition_stats").collect()
+    pstats = tbl._load_partition_stats()
+    got = {(r["partition"], r["col_name"]): (r["min_value"], r["max_value"]) for r in rows}
+    expect = {
+        (p, col): (str(mm[0]), str(mm[1]))
+        for p, per_col in pstats.items()
+        for col, mm in per_col.items()
+    }
+    assert got == expect and got
+    # the per-partition val envelope must bound that partition's actual data
+    for r in rows:
+        if r["col_name"] != "val":
+            continue
+        seg = r["partition"].split("=", 1)[1]
+        lo, hi = tbl.read().filter(F.col("seg") == seg).agg(F.min("val"), F.max("val")).first()
+        assert float(r["min_value"]) <= lo and float(r["max_value"]) >= hi
+
+
 def test_bloom_filters_partition(tbl):
     rows = tbl.metadata("bloom_filters").collect()
     live, _ = tbl.timeline.live_files()

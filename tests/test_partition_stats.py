@@ -1,0 +1,112 @@
+"""Partition-stats index (Hudi 1.0 PARTITION_STATS): partition-granularity
+data skipping that decides before any per-file stats are consulted.
+
+The 100 TB story: a date-partitioned table filtered on a partition-correlated
+column (event timestamps, monotone ids) should answer the pruning question
+from O(partitions) metadata, not O(files). We assert (a) envelopes are
+recorded per partition and widen monotonically, (b) the partition gate
+engages and scan == read().filter() always, (c) deletes leave bounds
+stale-wide but results exact, (d) MOR log overlap re-adds partition-pruned
+base files (pruning is never lossy), (e) unpartitioned tables skip the index
+entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hudi_examples_spark.table import Table, TableConfig
+
+SCHEMA = "k BIGINT, v BIGINT, band STRING, seq INT"
+
+
+def _df(spark, lo, hi, seq=1):
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 100).alias("v"),
+            F.concat(F.lit("b"), F.floor((F.col("id") % 100) / 20).cast("string")).alias(
+                "band"
+            ),
+            F.lit(seq).alias("seq"),
+        )
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.select("k", "v", "band").collect()))
+
+
+def _make(spark, tmp_path, **cfg):
+    base = str(tmp_path / "t")
+    defaults = dict(partition_by=["band"], stats_cols=["v"])
+    defaults.update(cfg)
+    return Table.create(spark, base, SCHEMA, TableConfig(**defaults))
+
+
+def test_partition_envelopes_recorded_and_widen(spark, tmp_path):
+    tbl = _make(spark, tmp_path)
+    tbl.insert(_df(spark, 0, 50).repartition(2))
+    ps = tbl._load_partition_stats()
+    # ids 0..49 → v 0..49 → bands b0 (v 0-19) and b1 (v 20-39), b2 (v 40-49)
+    assert set(ps) == {"band=b0", "band=b1", "band=b2"}
+    assert ps["band=b0"]["v"] == [0, 19]
+    assert ps["band=b2"]["v"] == [40, 49]
+    Table(spark, tbl.base).insert(_df(spark, 50, 100).repartition(2))
+    ps2 = Table(spark, tbl.base)._load_partition_stats()
+    assert ps2["band=b2"]["v"] == [40, 59]  # widened by the second commit
+    assert set(ps2) == {"band=b0", "band=b1", "band=b2", "band=b3", "band=b4"}
+
+
+def test_partition_gate_engages_and_results_exact(spark, tmp_path):
+    tbl = _make(spark, tmp_path)
+    tbl.insert(_df(spark, 0, 300).repartition(4))
+    t2 = Table(spark, tbl.base)
+    got = t2.scan([("v", ">=", 0), ("v", "<=", 9)])
+    ev = t2.last_scan_partitions
+    assert ev is not None and ev["total"] == 5 and ev["kept"] == 1
+    want = t2.read().filter("v >= 0 AND v <= 9")
+    assert _rows(got) == _rows(want)
+    # file-level accounting stays consistent with the partition gate
+    assert t2.last_scan["scanned"] < t2.last_scan["total"]
+
+
+def test_delete_leaves_bounds_stale_wide_but_exact(spark, tmp_path):
+    tbl = _make(spark, tmp_path)
+    tbl.insert(_df(spark, 0, 200).repartition(3))
+    t2 = Table(spark, tbl.base)
+    t2.delete_where("v <= 19")  # empties band b0's rows
+    t3 = Table(spark, tbl.base)
+    got = t3.scan([("v", "<=", 25)])
+    # b0's envelope still exists (stale-wide) — the gate may keep it, but the
+    # result must be exactly the surviving rows
+    assert _rows(got) == _rows(t3.read().filter("v <= 25"))
+    assert all(r["v"] > 19 for r in got.collect())
+
+
+def test_mor_log_overlap_readds_partition_pruned_base(spark, tmp_path):
+    tbl = _make(spark, tmp_path, table_type="mor", record_key=["k"], precombine="seq")
+    tbl.insert(_df(spark, 0, 100).repartition(2))
+    # log rows UPDATE keys living in band b4 (v 80..99) without compaction
+    t2 = Table(spark, tbl.base)
+    t2.upsert(_df(spark, 80, 100, seq=2).withColumn("v", F.col("v") - 75))
+    # scan for the UPDATED v range: the stale base rows' partition (b4) fails
+    # the partition gate on v, but its keys live in the logs — the log-overlap
+    # re-add must bring those base files back so precombine resolves correctly
+    t3 = Table(spark, tbl.base)
+    got = t3.scan([("v", ">=", 5), ("v", "<=", 24)])
+    want = t3.read().filter("v >= 5 AND v <= 24")
+    assert _rows(got) == _rows(want)
+    assert {r["seq"] for r in got.collect() if r["k"] >= 80} == {2}
+
+
+def test_unpartitioned_table_skips_partition_index(spark, tmp_path):
+    base = str(tmp_path / "t")
+    tbl = Table.create(spark, base, SCHEMA, TableConfig(stats_cols=["v"]))
+    tbl.insert(_df(spark, 0, 100).repartition(2))
+    t2 = Table(spark, base)
+    got = t2.scan([("v", "<=", 9)])
+    assert t2.last_scan_partitions is None
+    assert tbl._load_partition_stats() == {}
+    assert _rows(got) == _rows(t2.read().filter("v <= 9"))
