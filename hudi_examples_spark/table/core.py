@@ -974,6 +974,16 @@ class Table:
         ``None`` tombstone in any instant drops that column's bound for the
         partition). Returns only usable [lo, hi] pairs — callers feed the
         result straight to ``_file_may_match``."""
+        return {
+            part: {c: b for c, b in per_col.items() if b is not None}
+            for part, per_col in self._merged_partition_stats_raw().items()
+        }
+
+    def _merged_partition_stats_raw(self) -> dict[str, dict[str, list | None]]:
+        """The widening merge WITH ``None`` tombstones intact — the form the
+        clean-time baseline fold must persist (dropping a tombstone would let
+        a later narrow-bounded commit shadow the unknown-bounds files it
+        tombstoned for, turning a conservative miss into a lossy prune)."""
         d = os.path.join(self.base, self.PARTITION_STATS_DIR)
         if not os.path.isdir(d):
             return {}
@@ -999,10 +1009,7 @@ class Table:
                             ]
                         except TypeError:
                             slot[col] = None
-        return {
-            part: {c: b for c, b in per_col.items() if b is not None}
-            for part, per_col in merged.items()
-        }
+        return merged
 
     def _merge_stats(self, instant: str, extra: dict[str, dict[str, list]]) -> None:
         """Merge computed per-file stats into the instant's sidecar (used by
@@ -5022,6 +5029,10 @@ class Table:
             self.timeline.write(
                 Instant(new_instant(), "clean", [], [], {"removed": removed})
             )
+        # sidecar hygiene runs even on a no-op clean: the per-instant
+        # partition-stats envelopes fold to one baseline regardless of
+        # whether any data file aged out this pass
+        self._compact_partition_stats()
         return removed
 
     def _gc_file_stats(self, dead: set[str]) -> None:
@@ -5050,6 +5061,32 @@ class Table:
                     os.replace(tmp, p)
                 else:
                     os.remove(p)
+
+    def _compact_partition_stats(self) -> None:
+        """Fold the per-instant partition-stats sidecars into one baseline
+        file so the envelope metadata stays O(partitions) forever, however
+        many commits the table has seen. The widening merge is idempotent and
+        order-independent, so folding loses nothing — and envelopes never
+        NARROW on clean by design (a stale-wide bound is conservative; a
+        narrowed one could be lossy against files the merge didn't see).
+        Runs on every clean, piggybacking clean's single-maintainer cadence."""
+        d = os.path.join(self.base, self.PARTITION_STATS_DIR)
+        if not os.path.isdir(d):
+            return
+        fns = [fn for fn in sorted(os.listdir(d)) if fn.endswith(".json")]
+        if len(fns) <= 1:
+            return
+        merged = self._merged_partition_stats_raw()
+        tmp = os.path.join(d, ".baseline.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(merged, f)
+        os.replace(tmp, os.path.join(d, "0baseline.json"))
+        for fn in fns:
+            if fn != "0baseline.json":
+                try:
+                    os.remove(os.path.join(d, fn))
+                except OSError:
+                    pass  # raced with a concurrent maintainer: already gone
 
     def archive_timeline(self, retain_instants: int = 20) -> int:
         """Timeline archival (Hudi ``hoodie.archive.*`` / ``hoodie.keep.*``):

@@ -101,6 +101,29 @@ def test_mor_log_overlap_readds_partition_pruned_base(spark, tmp_path):
     assert {r["seq"] for r in got.collect() if r["k"] >= 80} == {2}
 
 
+def test_clean_folds_sidecars_to_one_baseline(spark, tmp_path):
+    import os
+
+    tbl = _make(spark, tmp_path)
+    tbl.insert(_df(spark, 0, 50).repartition(2))
+    Table(spark, tbl.base).insert(_df(spark, 50, 100).repartition(2))
+    t2 = Table(spark, tbl.base)
+    before = t2._load_partition_stats()
+    d = os.path.join(tbl.base, Table.PARTITION_STATS_DIR)
+    assert len([f for f in os.listdir(d) if f.endswith(".json")]) == 2
+    t2.clean(retain_commits=1)
+    after_files = [f for f in os.listdir(d) if f.endswith(".json")]
+    assert after_files == ["0baseline.json"]
+    t3 = Table(spark, tbl.base)
+    assert t3._load_partition_stats() == before  # fold loses nothing
+    # envelopes keep widening through the baseline on later commits
+    t3.insert(_df(spark, 100, 120).repartition(1))
+    ps = Table(spark, tbl.base)._load_partition_stats()
+    assert ps["band=b0"]["v"] == [0, 19]
+    got = Table(spark, tbl.base).scan([("v", "<=", 9)])
+    assert _rows(got) == _rows(Table(spark, tbl.base).read().filter("v <= 9"))
+
+
 def test_unpartitioned_table_skips_partition_index(spark, tmp_path):
     base = str(tmp_path / "t")
     tbl = Table.create(spark, base, SCHEMA, TableConfig(stats_cols=["v"]))

@@ -85,7 +85,16 @@ def main() -> None:
                 shutil.copy2(os.path.join(SRC, f"{tbl}.parquet"), dest)
             print(f"{tbl}: linked from sf0.1")
             continue
-        src = pq.read_table(os.path.join(SRC, f"{tbl}.parquet"))
+        # CRITICAL: a prior subset run may have left ``dest`` as a HARDLINK
+        # into /root/testdata — pq.write_table opens the existing inode and
+        # would truncate the READ-ONLY ORIGINAL through the link (root
+        # bypasses the mode bits). Always unlink the dest first so the write
+        # lands on a fresh inode, and refuse outright if the dest somehow
+        # shares an inode with the source after that.
+        if os.path.exists(dest):
+            os.remove(dest)
+        src_path = os.path.join(SRC, f"{tbl}.parquet")
+        src = pq.read_table(src_path)
         if tbl in ("region", "nation"):
             out = src
         else:
@@ -98,9 +107,11 @@ def main() -> None:
                     t = t.set_column(idx, t.schema.field(idx), shifted)
                 copies.append(t)
             out = pa.concat_tables(copies)
+        if os.path.exists(dest) and os.path.samefile(dest, src_path):
+            raise RuntimeError(f"refusing to write through a link to the source: {dest}")
         pq.write_table(
             out,
-            os.path.join(out_dir, f"{tbl}.parquet"),
+            dest,
             coerce_timestamps=None,  # keep TIMESTAMP(NANOS) as-is
             store_schema=True,
         )

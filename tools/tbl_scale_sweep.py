@@ -189,6 +189,50 @@ def sweep_clustering(spark, sf_dir) -> dict:
     }
 
 
+def sweep_pstats_scan(spark, sf_dir) -> dict:
+    """Partition-stats gate at scale: a FIXED key-range scan against a table
+    whose partition count grows with the decade. The kept-partition set must
+    stay O(selectivity) — constant-ish — while partitions_total grows ~10x,
+    proving the gate reads O(partitions) metadata and the scan touches only
+    the matching partitions' files. Partitions here are NUMERIC-ordered key
+    ranges (unlike the string-ordered fixture above) so the c_custkey
+    envelopes are tight per partition — the partition-correlated-column
+    regime PARTITION_STATS exists for."""
+    tbl = Table.create(
+        spark,
+        os.path.join(_workdir(f"ps_{os.path.basename(sf_dir)}"), "tbl"),
+        SCHEMA,
+        TableConfig(
+            record_key=["c_custkey"], precombine="v", partition_by=["pt"],
+            stats_cols=["c_custkey"],
+        ),
+    )
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(1).alias("v"),
+    )
+    n_parts = max(16, c.count() // ROWS_PER_PART)
+    w = Window.orderBy(F.col("c_custkey"))
+    tbl.insert(c.withColumn("pt", F.ntile(n_parts).over(w) - 1))
+    t0 = time.perf_counter()
+    out = tbl.scan([("c_custkey", ">=", 1), ("c_custkey", "<=", TOUCH_ROWS)])
+    n_rows = out.count()
+    el = time.perf_counter() - t0
+    pev = dict(getattr(tbl, "last_scan_partitions", None) or {})
+    fev = dict(getattr(tbl, "last_scan", None) or {})
+    return {
+        "partitions_total": pev.get("total"),
+        "partitions_kept": pev.get("kept"),
+        "files_total": fev.get("total"),
+        "files_scanned": fev.get("scanned"),
+        "rows": n_rows,
+        "sec": round(el, 3),
+    }
+
+
 def main() -> int:
     out_log = sys.argv[1] if len(sys.argv) > 1 else str(
         Path(__file__).resolve().parent.parent / "TBL_SCALE_SWEEP.log"
@@ -203,6 +247,7 @@ def main() -> int:
             ("cdc", sweep_cdc),
             ("compaction", sweep_compaction),
             ("clustering", sweep_clustering),
+            ("pstats_scan", sweep_pstats_scan),
         ):
             r = fn(spark, sf_dir)
             results.setdefault(op, {})[label] = r
@@ -270,6 +315,24 @@ def main() -> int:
             <= max(TOUCH_PARTS, (cl0["partitions_rewritten"] or 0)),
             f"partitions {cl0['partitions_rewritten']}/{cl0['partitions_total']} -> "
             f"{cl1['partitions_rewritten']}/{cl1['partitions_total']}",
+        )
+        ps0, ps1 = results["pstats_scan"][l0], results["pstats_scan"][l1]
+        check(
+            f"pstats_partitions_total_grows_with_decade[{tag}]",
+            (ps1["partitions_total"] or 0) >= (ps0["partitions_total"] or 1) * 8,
+            f"{ps0['partitions_total']} -> {ps1['partitions_total']}",
+        )
+        check(
+            f"pstats_kept_stays_O_selectivity[{tag}]",
+            ps1["partitions_kept"] is not None
+            and ps1["partitions_kept"] <= max(4, (ps0["partitions_kept"] or 0) * 2),
+            f"kept {ps0['partitions_kept']}/{ps0['partitions_total']} -> "
+            f"{ps1['partitions_kept']}/{ps1['partitions_total']}",
+        )
+        check(
+            f"pstats_rows_fixed[{tag}]",
+            ps0["rows"] == ps1["rows"] == TOUCH_ROWS,
+            f"{ps0['rows']} vs {ps1['rows']}",
         )
 
     n_fail = 0
