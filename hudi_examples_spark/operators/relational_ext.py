@@ -242,6 +242,59 @@ FROM sess GROUP BY user_id, session_no ORDER BY user_id, session_no
 """
 
 
+def w_interval_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval (RANGE) window frames — the §2.5 surface the ROWS battery
+    doesn't touch: a 30-day trailing revenue sum and order count per customer
+    (``RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW``, expressed
+    in Spark as a ``rangeBetween`` over epoch seconds — identical inclusive
+    bounds since order dates are UTC-midnight timestamps), contrasted with a
+    3-order ROWS frame over the same partition. RANGE frames include ORDER
+    BY peers on both engines, so same-date orders agree by construction;
+    sums run over DECIMAL(18,2) casts so frame totals are exact, not
+    float-order-dependent.
+
+    Shape: one shuffle keyed on the customer — both frames share the single
+    Window exchange (PLANS.md shows 2 total: the window exchange plus the
+    presentation orderBy); at 100 TB this is the canonical
+    time-windowed-metrics scan, embarrassingly parallel across keys."""
+    o = t(spark, sf, "orders").filter(F.col("o_custkey") % 50 == 0)
+    w30 = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    wr = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+        F.round(F.sum(_dec("o_totalprice")).over(w30), 2).cast("double").alias("rev_30d"),
+        F.count(F.lit(1)).over(w30).cast("bigint").alias("n_30d"),
+        F.round(F.sum(_dec("o_totalprice")).over(wr), 2).cast("double").alias("sum_last3"),
+    ).orderBy("custkey", "odate", "orderkey")
+
+
+W_INTERVAL_ORACLE = """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS odate,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w30, 2) AS DOUBLE) AS rev_30d,
+       count(*) OVER w30 AS n_30d,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER wr, 2) AS DOUBLE) AS sum_last3
+FROM orders
+WHERE o_custkey % 50 = 0
+WINDOW
+  w30 AS (PARTITION BY o_custkey ORDER BY o_orderdate
+          RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW),
+  wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY custkey, odate, orderkey
+"""
+
+
 def s_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """S5: CSV external-table option surface (sep='|', no header, explicit DDL —
     ``Datagen.py:39-72``) proven by a write→read round-trip against the oracle."""
@@ -457,6 +510,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("q18_large_orders", q18_large_orders, Q18_ORACLE, "A5,O2"),
     QuerySpec("q19_bracket_revenue", q19_bracket_revenue, Q19_ORACLE, "P6,P9,P10"),
     QuerySpec("w_running_totals", w_running_totals, W_RUNNING_ORACLE, "§2.5"),
+    QuerySpec("w_interval_frames", w_interval_frames, W_INTERVAL_ORACLE, "§2.5 RANGE/interval frames"),
     QuerySpec("w_sessionization", w_sessionization, W_SESSION_ORACLE, "§2.5,T6"),
     QuerySpec("s_csv_roundtrip", s_csv_roundtrip, S_CSV_ORACLE, "S5"),
     QuerySpec("s_orc_roundtrip", s_orc_roundtrip, S_ORC_ORACLE, "S5+"),

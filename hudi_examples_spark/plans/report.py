@@ -69,6 +69,7 @@ QUERIES = [
     "text_gopher_filter",
     "sim_range_search",
     "tok_wordpiece_encode",
+    "w_interval_frames",
 ]
 
 
@@ -172,6 +173,26 @@ def _table_layer_section(spark) -> list[str]:
             f"- delete_partition: {len(dp.files_added)} files written, "
             f"{len(dp.files_removed)} removed by manifest reference — one "
             "metadata-only replacecommit, zero data IO at any table size."
+        )
+        # round 7: partition-stats gate — partition-granularity skipping
+        pt = Table.create(
+            spark,
+            os.path.join(tmp, "pt"),
+            "k LONG, v LONG, band STRING",
+            TableConfig(partition_by=["band"], stats_cols=["v"]),
+        )
+        pt.insert(
+            spark.createDataFrame(
+                [(i, i % 100, f"b{(i % 100) // 20}") for i in range(500)], pt.schema
+            ).repartition(2)
+        )
+        pt.scan([("v", "<=", 9)]).collect()
+        pe, fe = pt.last_scan_partitions, pt.last_scan
+        lines.append(
+            f"- PARTITION-STATS scan gate: {pe['kept']}/{pe['total']} partitions "
+            f"kept from the envelope index before any per-file stats were "
+            f"consulted; file pruning then scanned {fe['scanned']}/{fe['total']} — "
+            "O(partitions) metadata decides first."
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
