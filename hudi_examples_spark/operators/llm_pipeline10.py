@@ -373,6 +373,80 @@ FROM toks GROUP BY token ORDER BY occurrences DESC, token LIMIT {WP_OUT}
 TOK_WORDPIECE_ORACLE = _wordpiece_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Corpus drift: token-distribution divergence between slices
+# ---------------------------------------------------------------------------
+
+#: drift slice selector and output depth. The reference slice is the corpus
+#: majority language; the drift statistic is the per-token usage-rate gap in
+#: parts-per-million — pure integer arithmetic (ppm = 1e6·count DIV total),
+#: so the row hashes exactly and, unlike a cA·NB cross product, never
+#: overflows BIGINT however large the corpus grows.
+DRIFT_REF_LANG = "en"
+DRIFT_TOP = 30
+
+
+def corpus_token_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-distribution drift between a reference corpus slice and the
+    rest — the monitoring primitive behind contamination alerts, crawl-drift
+    dashboards, and mixture re-weighting: which tokens are most over/under-
+    represented in slice B relative to slice A, by usage-rate gap in ppm.
+
+    Shape: ONE corpus-scale shuffle (token groupBy with conditional sums for
+    both slices at once), a 1-row totals aggregate broadcast back, and a
+    bounded top-K. No per-slice scans, no joins between slice tables — the
+    slices travel as two columns of the same aggregation."""
+    toks = _docs(spark, sf).select(
+        "lang", F.explode(words("text")).alias("w")
+    )
+    is_ref = F.col("lang") == DRIFT_REF_LANG
+    per_tok = toks.groupBy("w").agg(
+        F.sum(F.when(is_ref, 1).otherwise(0)).cast("long").alias("c_ref"),
+        F.sum(F.when(is_ref, 0).otherwise(1)).cast("long").alias("c_rest"),
+    )
+    totals = per_tok.agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_rest").alias("n_rest")
+    )
+    return (
+        per_tok.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("w").alias("token"),
+            "c_ref",
+            "c_rest",
+            F.expr("(1000000 * c_ref) DIV n_ref").alias("ppm_ref"),
+            F.expr("(1000000 * c_rest) DIV n_rest").alias("ppm_rest"),
+            F.abs(
+                F.expr("(1000000 * c_ref) DIV n_ref")
+                - F.expr("(1000000 * c_rest) DIV n_rest")
+            ).alias("ppm_drift"),
+        )
+        .orderBy(F.desc("ppm_drift"), F.asc("token"))
+        .limit(DRIFT_TOP)
+    )
+
+
+CORPUS_DRIFT_ORACLE = f"""
+WITH toks AS (
+  SELECT lang, unnest(list_filter(str_split(trim(text), ' '), x -> x <> '')) AS w
+  FROM documents
+), per_tok AS (
+  SELECT w,
+         sum(CASE WHEN lang = '{DRIFT_REF_LANG}' THEN 1 ELSE 0 END)::BIGINT AS c_ref,
+         sum(CASE WHEN lang = '{DRIFT_REF_LANG}' THEN 0 ELSE 1 END)::BIGINT AS c_rest
+  FROM toks GROUP BY w
+), totals AS (
+  SELECT sum(c_ref) AS n_ref, sum(c_rest) AS n_rest FROM per_tok
+)
+SELECT w AS token, c_ref, c_rest,
+       ((1000000 * c_ref) // n_ref)::BIGINT AS ppm_ref,
+       ((1000000 * c_rest) // n_rest)::BIGINT AS ppm_rest,
+       abs((1000000 * c_ref) // n_ref - (1000000 * c_rest) // n_rest)::BIGINT AS ppm_drift
+FROM per_tok, totals
+ORDER BY ppm_drift DESC, token ASC
+LIMIT {DRIFT_TOP}
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "text_gopher_filter",
@@ -391,5 +465,11 @@ SPECS: list[QuerySpec] = [
         tok_wordpiece_encode,
         TOK_WORDPIECE_ORACLE,
         "LLM:wordpiece-tokenizer",
+    ),
+    QuerySpec(
+        "corpus_token_drift",
+        corpus_token_drift,
+        CORPUS_DRIFT_ORACLE,
+        "LLM:corpus-drift-monitor",
     ),
 ]

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from hudi_examples_spark.operators.llm_pipeline10 import (
     RANGE_TAU,
     _wp_vocab,
+    corpus_token_drift,
     sim_range_search,
     text_gopher_filter,
     tok_wordpiece_encode,
@@ -161,6 +162,29 @@ def test_wordpiece_occurrences_weighted_by_word_frequency(spark, tmp_path):
     got = {r["token"]: r["occurrences"] for r in tok_wordpiece_encode(spark, sf).collect()}
     # both words are their own start pieces (len-2 candidates beat chars)
     assert got["ab"] == 4 and got["cd"] == 3
+
+
+def test_corpus_drift_hand_computed(spark, tmp_path):
+    # ref slice (en): 4 tokens, "aa" x3 + "bb" x1 → ppm 750000 / 250000
+    # rest (de):      4 tokens, "aa" x1 + "cc" x3 → ppm 250000 / 750000
+    df = spark.createDataFrame(
+        [
+            (1, "aa aa aa bb", "en", "s0", 11),
+            (2, "aa cc cc cc", "de", "s0", 11),
+        ],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "d"))
+    import glob as g
+    import shutil as sh
+
+    sh.copy(g.glob(str(tmp_path / "d" / "*.parquet"))[0], str(tmp_path / "documents.parquet"))
+    rows = {r["token"]: r for r in corpus_token_drift(spark, str(tmp_path)).collect()}
+    assert rows["cc"]["ppm_drift"] == 750000  # absent from ref, 75% of rest
+    assert rows["bb"]["ppm_drift"] == 250000
+    assert rows["aa"]["ppm_ref"] == 750000 and rows["aa"]["ppm_rest"] == 250000
+    assert rows["aa"]["ppm_drift"] == 500000
+    assert rows["cc"]["c_ref"] == 0 and rows["cc"]["c_rest"] == 3
 
 
 def test_wordpiece_single_chars_guarantee_no_unk(spark, tmp_path):
