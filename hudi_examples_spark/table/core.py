@@ -923,13 +923,18 @@ class Table:
         with open(tmp, "w") as f:
             json.dump(stats, f)
         os.replace(tmp, os.path.join(d, f"{instant}.json"))
-        self._write_partition_stats(instant, stats)
+        self._write_partition_stats(instant, stats, rels)
 
     # --------------------------------------------------- partition-stats index
 
     PARTITION_STATS_DIR = "_stats_partition"
 
-    def _write_partition_stats(self, instant: str, stats: dict[str, dict[str, list]]) -> None:
+    def _write_partition_stats(
+        self,
+        instant: str,
+        stats: dict[str, dict[str, list]],
+        rels: list[str] | None = None,
+    ) -> None:
         """Hudi 1.0 PARTITION_STATS metadata index
         (``hoodie.metadata.index.partition.stats.enable``): per-PARTITION
         [min, max] of the stat columns, aggregated from the same footer stats
@@ -941,15 +946,29 @@ class Table:
         metadata lookup and a metadata scan, and partitions pruned here never
         have their file-level stats consulted at all. Bounds only ever WIDEN
         (per-instant envelopes union at load time), so deletes/rewrites leave
-        them stale-wide — conservative, never lossy. A column whose rendered
-        stats are incomparable across files is dropped (``None`` tombstone):
-        no bound means the partition is always kept."""
+        them stale-wide — conservative, never lossy.
+
+        Completeness contract: the envelope for (partition, col) is usable
+        ONLY if EVERY file of the commit contributed bounds for ``col``. A
+        file whose footer lacks min/max for a column (stats-less row group,
+        truncated binary stats) keeps its rows OUT of any union — file-level
+        pruning survives that ("no stats ⇒ keep the file") but a partition
+        envelope that silently skipped the file could prune rows it never
+        saw. Such columns get a ``None`` tombstone for the partition (the
+        partition is then always kept), as do columns whose rendered stats
+        are incomparable across files."""
         if not self.config.partition_by or not stats:
             return
         agg: dict[str, dict[str, list | None]] = {}
-        for rel, per_col in stats.items():
+        stat_cols = self._stat_cols()
+        for rel in rels if rels is not None else sorted(stats):
+            per_col = stats.get(rel, {})
             slot = agg.setdefault(self._partition_path_of(rel), {})
-            for col, (lo, hi) in per_col.items():
+            for col in stat_cols:
+                if col not in per_col:
+                    slot[col] = None  # incomplete coverage: envelope unusable
+                    continue
+                lo, hi = per_col[col]
                 cur = slot.get(col, ...)
                 if cur is None:
                     continue  # tombstoned: stays unknown
@@ -964,10 +983,32 @@ class Table:
             return
         d = os.path.join(self.base, self.PARTITION_STATS_DIR)
         os.makedirs(d, exist_ok=True)
+        final = os.path.join(d, f"{instant}.json")
+        if os.path.exists(final):
+            # re-aggregation for the same instant (bootstrap's _merge_stats):
+            # merge against the first write with tombstones WINNING — a file
+            # the first pass tombstoned for (e.g. no footer stats at all) is
+            # invisible to this pass's per-file view, and un-tombstoning it
+            # would reopen the incomplete-coverage hole
+            with open(final) as f:
+                prior = json.load(f)
+            for part, per_col in prior.items():
+                slot = agg.setdefault(part, {})
+                for col, bounds in per_col.items():
+                    cur = slot.get(col, ...)
+                    if bounds is None or cur is None:
+                        slot[col] = None
+                    elif cur is ...:
+                        slot[col] = list(bounds)
+                    else:
+                        try:
+                            slot[col] = [min(cur[0], bounds[0]), max(cur[1], bounds[1])]
+                        except TypeError:
+                            slot[col] = None
         tmp = os.path.join(d, f".{instant}.json.tmp")
         with open(tmp, "w") as f:
             json.dump(agg, f)
-        os.replace(tmp, os.path.join(d, f"{instant}.json"))
+        os.replace(tmp, final)
 
     def _load_partition_stats(self) -> dict[str, dict[str, list]]:
         """Merged per-partition bounds across instants (widening union; a

@@ -124,6 +124,50 @@ def test_clean_folds_sidecars_to_one_baseline(spark, tmp_path):
     assert _rows(got) == _rows(Table(spark, tbl.base).read().filter("v <= 9"))
 
 
+def test_statless_file_tombstones_the_partition_envelope(spark, tmp_path):
+    # a file whose footer contributed NO bounds for the stats column (stats-
+    # less row group, truncated binary stats) must tombstone the partition's
+    # envelope for that column — otherwise the gate could prune a partition
+    # whose unseen file holds matching rows. Simulated at the sidecar API:
+    # commit two files into one partition, one of them without 'v' bounds.
+    tbl = _make(spark, tmp_path)
+    tbl.insert(_df(spark, 0, 20).repartition(1))  # band b0 only, envelope [0,19]
+    assert tbl._load_partition_stats()["band=b0"]["v"] == [0, 19]
+    tbl._write_partition_stats(
+        "99999999999999999999",
+        {"band=b0/full.parquet": {"v": [100, 120]}, "band=b0/statless.parquet": {}},
+        ["band=b0/full.parquet", "band=b0/statless.parquet"],
+    )
+    ps = Table(spark, tbl.base)._load_partition_stats()
+    assert "v" not in ps.get("band=b0", {})  # tombstone: gate keeps the partition
+    # and the gate indeed keeps it: scan for values outside the old envelope
+    t2 = Table(spark, tbl.base)
+    t2.scan([("v", ">=", 500)]).count()
+    ev = t2.last_scan_partitions
+    assert ev is not None and ev["kept"] == ev["total"]
+    # clean's baseline fold must carry the tombstone forward, not resurrect
+    # the stale [0,19] envelope
+    t2.clean(retain_commits=1)
+    assert "v" not in Table(spark, tbl.base)._load_partition_stats().get("band=b0", {})
+
+
+def test_reaggregation_for_same_instant_keeps_tombstones(spark, tmp_path):
+    tbl = _make(spark, tmp_path)
+    tbl.insert(_df(spark, 0, 20).repartition(1))
+    inst = "88888888888888888888"
+    tbl._write_partition_stats(
+        inst, {"band=b0/a.parquet": {"v": [0, 5]}, "band=b0/b.parquet": {}},
+        ["band=b0/a.parquet", "band=b0/b.parquet"],
+    )
+    # bootstrap's _merge_stats path re-aggregates the SAME instant from a
+    # merged sidecar that now has bounds for b.parquet — the first pass's
+    # tombstone must win
+    tbl._write_partition_stats(
+        inst, {"band=b0/a.parquet": {"v": [0, 5]}, "band=b0/b.parquet": {"v": [7, 9]}}
+    )
+    assert "v" not in Table(spark, tbl.base)._load_partition_stats().get("band=b0", {})
+
+
 def test_unpartitioned_table_skips_partition_index(spark, tmp_path):
     base = str(tmp_path / "t")
     tbl = Table.create(spark, base, SCHEMA, TableConfig(stats_cols=["v"]))
