@@ -137,9 +137,94 @@ FROM documents GROUP BY md5(text) ORDER BY h
 """
 
 
+def stream_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """T6 under the hash gate: watermarked tumbling-window aggregation over an
+    OUT-OF-ORDER event stream, landed through the exactly-once keyed upsert
+    sink. Events arrive in 4 availableNow micro-batches chunked by
+    ``event_id % 4`` — each chunk spans the full month, so every trigger
+    delivers events arbitrarily late relative to the windows already open;
+    the watermark (sized past the replay's total disorder, so the oracle
+    equality is exact — the DROP side of the semantics is pinned by
+    test_streaming's dedicated late-data test) keeps state bounded while
+    update-mode emissions re-publish each day's running totals. The sink
+    table is KEYED on the window day with ``precombine=n_events`` (counts
+    are monotone), so replayed or repeated emissions resolve to the final
+    totals — stream-batch equivalence as a hash-checked artifact.
+
+    Scale stance: streaming state is O(open windows), emissions shuffle
+    O(updated windows) per trigger, and the sink upsert prunes to the file
+    groups holding the touched days — the standing-dashboard pattern at any
+    corpus size."""
+    from hudi_examples_spark.streaming.sinks import stream_upsert_sink
+
+    work = _workdir("stream_windowed_counts", sf)
+    src = os.path.join(work, "src")
+    ev = t(spark, sf, "events").select("event_id", "ts", "value")
+    ev.withColumn("chunk", (F.col("event_id") % 4).cast("int")).write.partitionBy(
+        "chunk"
+    ).parquet(src)
+    tbl = Table.create(
+        spark,
+        os.path.join(work, "tbl"),
+        "wday STRING, n_events BIGINT, value_sum DOUBLE",
+        TableConfig(record_key=["wday"], precombine="n_events"),
+    )
+    stream = (
+        spark.readStream.schema("event_id BIGINT, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/chunk=*")
+    )
+    agg = (
+        stream.withWatermark("ts", "40 days")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("vsum"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("wday"),
+            "n_events",
+            F.round("vsum", 2).cast("double").alias("value_sum"),
+        )
+    )
+    q = stream_upsert_sink(
+        agg,
+        tbl,
+        os.path.join(work, "ckpt"),
+        sink_name="windowed_gate",
+        trigger={"availableNow": True},
+        compact_every=None,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow drain did not finish within 300s")
+    n_commits = sum(
+        1
+        for i in tbl.timeline.completed_data_instants()
+        if i.meta.get("sink_name") == "windowed_gate"
+    )
+    if n_commits < 2:
+        raise AssertionError(f"expected multiple micro-batch commits, got {n_commits}")
+    return tbl.read().select("wday", "n_events", "value_sum").orderBy("wday")
+
+
+STREAM_WINDOWED_ORACLE = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS wday,
+       count(*)::BIGINT AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS value_sum
+FROM events GROUP BY 1 ORDER BY wday
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "stream_corpus_ingest", stream_corpus_ingest, STREAM_CORPUS_ORACLE, "T1,T2,T3 gated"
+    ),
+    QuerySpec(
+        "stream_windowed_counts",
+        stream_windowed_counts,
+        STREAM_WINDOWED_ORACLE,
+        "T6 gated — watermarked windowed agg over out-of-order replay",
     ),
     QuerySpec(
         "stream_dedup_ingest",

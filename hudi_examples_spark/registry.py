@@ -66,8 +66,9 @@ def all_specs() -> list[QuerySpec]:
     # headline members (q2_min_cost_supplier, a_topk_two_keys,
     # w_latest_per_key — measured and value-checked by the per-round bench
     # run, plus the 154/154 sweep at HEAD) and one redundantly-shaped TPC-H
-    # row wait for r8, where they rotate in first (as does the late
-    # w_interval_frames debut — sweep-verified at HEAD). The 50 r6-green rows all rotate out (freshest evidence).
+    # row wait for r8, where they rotate in first (as do the late
+    # w_interval_frames / corpus_token_drift / stream_windowed_counts
+    # debuts — sweep-verified at HEAD). The 50 r6-green rows all rotate out (freshest evidence).
     r7_prefix = [
         # r7 debuts
         "pipe_paragraph_dedup",
