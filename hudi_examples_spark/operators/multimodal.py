@@ -236,6 +236,74 @@ ORDER BY m.media_id
 """
 
 
+def audio_window_energy(df: DataFrame, window_bytes: int = 32) -> DataFrame:
+    """Audio analysis stage: payload bytes as an 8-bit PCM signal → per-window
+    energy profile, reduced to (n_windows, peak_window, total_energy) per
+    medium. Pure integer math — energy = Σ (byte − 128)², windows of
+    ``window_bytes`` samples with a partial tail window — so the result is
+    value-hashable. mapInPandas + numpy ``reduceat``: payloads stream through
+    Arrow batches, per-medium work is vectorized, nothing touches the driver.
+    A real codec (resampling, float PCM) plugs into the same contract."""
+    import numpy as np
+
+    out_schema = "media_id BIGINT, n_windows BIGINT, peak_window BIGINT, total_energy BIGINT"
+
+    def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                a = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                e = (a - 128) ** 2
+                if len(a):
+                    wins = np.add.reduceat(e, np.arange(0, len(a), window_bytes))
+                    # np.argmax takes the FIRST max: ties break to the lowest
+                    # window index, the convention the oracle replays
+                    rows.append((mid, len(wins), int(np.argmax(wins)), int(e.sum())))
+                else:
+                    rows.append((mid, 0, 0, 0))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_windows", "peak_window", "total_energy"]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(energy, out_schema)
+
+
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the audio half of the media battery — synth → filter to
+    the audio kind → windowed energy profile. The 100 TB shape of every
+    signal-level curation filter (silence trimming, clipping detection,
+    loudness bucketing): one Arrow-batched pass, integer-exact output."""
+    media = synthetic_media(spark, sf_dir).filter(F.col("kind") == "audio")
+    return audio_window_energy(media).orderBy("media_id")
+
+
+MM_AUDIO_ORACLE = """
+WITH media AS (
+  SELECT doc_id AS media_id, upper(hex(encode(text))) AS hx
+  FROM documents WHERE doc_id % 3 = 1
+), b AS (
+  SELECT media_id,
+         (i - 1) // 32 AS win,
+         ('0x' || substring(hx, CAST((i - 1) * 2 + 1 AS INT), 2))::BIGINT - 128 AS v
+  FROM (SELECT media_id, hx, unnest(generate_series(1, length(hx) // 2)) AS i
+        FROM media)
+), w AS (
+  SELECT media_id, win, sum(v * v)::BIGINT AS e FROM b GROUP BY 1, 2
+), r AS (
+  SELECT media_id, win, e,
+         row_number() OVER (PARTITION BY media_id ORDER BY e DESC, win ASC) AS rk
+  FROM w
+)
+SELECT w.media_id,
+       count(*)::BIGINT AS n_windows,
+       max(CASE WHEN r.rk = 1 THEN r.win END)::BIGINT AS peak_window,
+       sum(w.e)::BIGINT AS total_energy
+FROM w JOIN r ON w.media_id = r.media_id AND w.win = r.win
+GROUP BY w.media_id
+ORDER BY w.media_id
+"""
+
+
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-gated frame sampling: video payloads chunked into 32-byte frames,
     every 4th kept, emitted as hex strings. The byte math is SQL-expressible, so
@@ -310,5 +378,6 @@ SPECS: list[QuerySpec] = [
     # verified plan shape); deeper checks in tests/test_multimodal.py
     QuerySpec("mm_feature_pipeline", mm_feature_pipeline, MM_FEATURE_ORACLE, "LLM:multimodal"),
     QuerySpec("mm_frame_sample", mm_frame_sample, MM_FRAME_ORACLE, "LLM:multimodal"),
+    QuerySpec("mm_audio_energy", mm_audio_energy, MM_AUDIO_ORACLE, "LLM:multimodal-audio"),
     QuerySpec("mm_resize_pipeline", mm_resize_pipeline, MM_RESIZE_ORACLE, "LLM:multimodal"),
 ]

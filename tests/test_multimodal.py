@@ -86,3 +86,24 @@ def test_use_codec_gating(spark):
     # default path is identical either way: deterministic fake decode
     out = decode_media(media).orderBy("media_id").limit(1).collect()
     assert out[0]["ok"]
+
+
+def test_audio_window_energy_hand_computed(spark):
+    from hudi_examples_spark.operators.multimodal import audio_window_energy
+
+    df = spark.createDataFrame(
+        [
+            # 'abc' = 97,98,99 → (v-128)^2 = 961+900+841 = 2702, one window
+            (1, "audio", bytearray(b"abc"), "{}"),
+            # 33 bytes of 0x80 (=128, zero energy) then one 0xFF in window 1:
+            (2, "audio", bytearray(b"\x80" * 33 + b"\xff"), "{}"),
+            (3, "audio", bytearray(b""), "{}"),
+        ],
+        "media_id BIGINT, kind STRING, payload BINARY, meta STRING",
+    )
+    rows = {r["media_id"]: r for r in audio_window_energy(df).collect()}
+    assert rows[1]["n_windows"] == 1 and rows[1]["total_energy"] == 2702
+    assert rows[1]["peak_window"] == 0
+    assert rows[2]["n_windows"] == 2 and rows[2]["total_energy"] == 127 * 127
+    assert rows[2]["peak_window"] == 1  # the spike lands in the tail window
+    assert rows[3]["n_windows"] == 0 and rows[3]["total_energy"] == 0
