@@ -70,6 +70,8 @@ QUERIES = [
     "sim_range_search",
     "tok_wordpiece_encode",
     "w_interval_frames",
+    "corpus_token_drift",
+    "mm_audio_energy",
 ]
 
 
