@@ -244,12 +244,23 @@ def main() -> None:
     # else the lowest-micro attempt with an explicit all-attempts-contended
     # note. Every attempt still lands in the daylog.
     max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+
+    def _robust_micro(samples: list[dict]) -> float:
+        """Second-smallest interleaved micro reading. The raw min can be one
+        burst-clock outlier on an otherwise contended host (observed 0.056
+        amid 0.14s — the reason best-of-day selection is median-banded), and
+        accepting/publishing on it would stamp a contended run 'comparable'.
+        On a genuinely quiet host all samples sit near the floor, so the
+        second-min tracks the min; a lone outlier is ignored."""
+        vals = sorted(s["micro_agg_sec"] for s in samples)
+        return vals[1] if len(vals) > 1 else vals[0]
+
     attempts = []
     for att in range(max_attempts):
         result = _run_attempt(spark, sf_dir, names, spec_fns, phased, n_passes)
-        micro_min = min(s["micro_agg_sec"] for s in result[4])
-        attempts.append((micro_min, result))
-        if micro_min <= MICRO_AGG_REF * 1.15:
+        micro_att = _robust_micro(result[4])
+        attempts.append((micro_att, result))
+        if micro_att <= MICRO_AGG_REF * 1.15:
             break
         if att < max_attempts - 1:
             time.sleep(15)  # let the contending load pass

@@ -35,6 +35,21 @@ from hudi_examples_spark.sources.readers import load_sf_table as t
 # ---------------------------------------------------------------------------
 
 
+def split_assignment_expr():
+    """THE train/val/test assignment as a Column over ``text`` — the single
+    definition every consumer shares (pipe_hash_split, the leakage audit via
+    composition, pipe_semantic_decontaminate's eval-slice selector), so the
+    split audited is always the split assigned. Content hash, engine-portable
+    (two md5 hex chars through ascii(); 80/10/10 on the 0..99 bucket)."""
+    h = F.md5("text")
+    bucket = (F.ascii(F.substring(h, 1, 1)) * 16 + F.ascii(F.substring(h, 2, 1))) % 100
+    return (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
 def pipe_hash_split(spark: SparkSession, sf: str) -> DataFrame:
     """80/10/10 split keyed on md5(text) — pure per-row projection, no shuffle.
 
@@ -44,16 +59,9 @@ def pipe_hash_split(spark: SparkSession, sf: str) -> DataFrame:
     hex chars of the md5 mapped through ascii(), so the DuckDB oracle computes
     the identical assignment."""
     d = t(spark, sf, "documents")
-    h = F.md5("text")
-    bucket = (
-        F.ascii(F.substring(h, 1, 1)) * 16 + F.ascii(F.substring(h, 2, 1))
-    ) % 100
-    split = (
-        F.when(bucket < 80, F.lit("train")).when(bucket < 90, F.lit("val")).otherwise(F.lit("test"))
-    )
     return d.select(
         "doc_id",
-        split.alias("split"),
+        split_assignment_expr().alias("split"),
         token_count("text").alias("n_tokens"),
     ).orderBy("doc_id")
 

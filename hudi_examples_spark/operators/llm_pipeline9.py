@@ -181,15 +181,11 @@ SEMANTIC_DECON_THRESHOLD = 0.4
 
 
 def _split_expr():
-    """The pipe_hash_split assignment as a column over (text) — content
-    hash, engine-portable (two md5 hex chars through ascii())."""
-    h = F.md5("text")
-    bucket = (F.ascii(F.substring(h, 1, 1)) * 16 + F.ascii(F.substring(h, 2, 1))) % 100
-    return (
-        F.when(bucket < 80, F.lit("train"))
-        .when(bucket < 90, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
+    """The pipe_hash_split assignment, shared from its single definition so
+    the decontamination audit always follows the split actually assigned."""
+    from hudi_examples_spark.operators.llm_pipeline3 import split_assignment_expr
+
+    return split_assignment_expr()
 
 
 def pipe_semantic_decontaminate(spark: SparkSession, sf: str) -> DataFrame:

@@ -273,7 +273,13 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audio kind → windowed energy profile. The 100 TB shape of every
     signal-level curation filter (silence trimming, clipping detection,
     loudness bucketing): one Arrow-batched pass, integer-exact output."""
-    media = synthetic_media(spark, sf_dir).filter(F.col("kind") == "audio")
+    media = synthetic_media(spark, sf_dir).filter(
+        (F.col("kind") == "audio") & (F.length("payload") > 0)
+    )
+    # empty payloads are dropped BEFORE the stage (the oracle's byte unnest
+    # yields no rows for them, so emitting a zero row here would red-flag the
+    # differential); audio_window_energy itself still handles them for
+    # direct-API callers
     return audio_window_energy(media).orderBy("media_id")
 
 

@@ -132,86 +132,3 @@ def all_specs() -> list[QuerySpec]:
     prefix_set = set(r7_prefix)
     specs = [by_name[n] for n in r7_prefix] + [s for s in specs if s.name not in prefix_set]
     return specs
-
-
-def _r6_prefix_for_the_record() -> list[str]:
-    """The round-6 prefix, kept for auditability of the rotation history."""
-    return [
-        # r6 debut: BPE corpus encoding with learned merges (the apply half)
-        "tok_bpe_encode",
-        # r3-aged refreshes (all 40; dedup_embed_cosine's blocked top-k
-        # constant changed this round — its re-certification matters most)
-        "dedup_embed_cosine",
-        "a_count_distinct_users",
-        "a_grouping_sets",
-        "dedup_clusters",
-        "dedup_cross_corpus",
-        "dedup_embed_ann",
-        "dedup_exact",
-        "dedup_ngram_jaccard",
-        "dedup_simhash",
-        "doc_fingerprints",
-        "emb_label_centroids",
-        "fn_explode_unnest",
-        "fn_string_agg",
-        "fp_winnowing",
-        "j_asof_join",
-        "j_range_join",
-        "lang_detect_ngram",
-        "lang_distribution",
-        "mm_feature_pipeline",
-        "mm_resize_pipeline",
-        "pipe_decontaminate",
-        "pipe_hash_split",
-        "pipe_pack_sequences",
-        "pipe_pii_redact",
-        "pipe_shuffle_order",
-        "pipe_training_corpus",
-        "s_orc_roundtrip",
-        "sim_ann_lsh",
-        "sim_brute_topk",
-        "sim_ivf_topk",
-        "sim_knn_join",
-        "tbl_cdc_rollback",
-        "tbl_delete_where",
-        "tbl_join_view_incremental",
-        "tbl_scan_pruned",
-        "tbl_upsert_mor_compacted",
-        "text_quality_score",
-        "text_repetition_filter",
-        "text_stats",
-        "w_ranking_battery",
-        # r4-aged backfills: code-touched paths first (heal generation sweep
-        # rides every indexed write; the marker heartbeat rides every COW
-        # rewrite; rollback/heal under services), then the SemDeDup family
-        # and the canonicalizer-risk row
-        "tbl_bloom_upsert",
-        "tbl_secondary_lookup",
-        "tbl_batch_schedule",
-        "tbl_partial_update",
-        "fn_array_battery",
-        # r6 debut: cross-split near-dup contamination audit (took
-        # stream_corpus_ingest's r4-aged backfill slot — streaming
-        # exactly-once stays covered by the seated stream_dedup_ingest
-        # machinery's r5 green + sweep)
-        "pipe_split_leakage",
-        # r6 debut: token-budgeted shard planning via distributed prefix sum
-        # (took dedup_semantic's r4-aged backfill slot — its SemDeDup guard
-        # is r4-certified + swept, untouched this round)
-        "pipe_shard_plan",
-        # r6 debuts (seated late in the round; debuts outrank refreshes —
-        # took j_merge_full_outer's and w_latest_per_key's r4-aged backfill
-        # slots, both untouched code with r4 greens + sweep coverage):
-        # within-document repeated-span removal and per-language tokenizer
-        # fertility over the BPE encode path
-        "pipe_self_dedup",
-        "tok_fertility_stats",
-    ]
-
-
-def queries_dict():
-    return {s.name: s.fn for s in all_specs()}
-
-
-def oracles_dict():
-    return {s.name: s.oracle.strip() for s in all_specs() if s.oracle}

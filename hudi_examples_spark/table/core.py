@@ -957,7 +957,11 @@ class Table:
         saw. Such columns get a ``None`` tombstone for the partition (the
         partition is then always kept), as do columns whose rendered stats
         are incomparable across files."""
-        if not self.config.partition_by or not stats:
+        if not self.config.partition_by or (not stats and not rels):
+            # no files at all: nothing to record. A commit whose files ALL
+            # failed to produce stats (stats empty, rels non-empty) must NOT
+            # return here — its partitions still need their tombstones, or
+            # the envelope from earlier commits would prune the new files
             return
         agg: dict[str, dict[str, list | None]] = {}
         stat_cols = self._stat_cols()
@@ -984,6 +988,7 @@ class Table:
         d = os.path.join(self.base, self.PARTITION_STATS_DIR)
         os.makedirs(d, exist_ok=True)
         final = os.path.join(d, f"{instant}.json")
+        covered = {instant}
         if os.path.exists(final):
             # re-aggregation for the same instant (bootstrap's _merge_stats):
             # merge against the first write with tombstones WINNING — a file
@@ -992,6 +997,7 @@ class Table:
             # would reopen the incomplete-coverage hole
             with open(final) as f:
                 prior = json.load(f)
+            covered |= set(prior.pop(self._PSTATS_COVERED_KEY, []))
             for part, per_col in prior.items():
                 slot = agg.setdefault(part, {})
                 for col, bounds in per_col.items():
@@ -1005,35 +1011,61 @@ class Table:
                             slot[col] = [min(cur[0], bounds[0]), max(cur[1], bounds[1])]
                         except TypeError:
                             slot[col] = None
+        # instants whose files the merged envelopes account for: the scan
+        # gate refuses to prune any partition holding a file from an
+        # UNCOVERED instant (pre-index commits, legacy sidecars) — without
+        # this, a post-index commit's narrow envelope would shadow the
+        # pre-index files the index never saw
+        agg[self._PSTATS_COVERED_KEY] = sorted(covered)
         tmp = os.path.join(d, f".{instant}.json.tmp")
         with open(tmp, "w") as f:
             json.dump(agg, f)
         os.replace(tmp, final)
+
+    #: reserved top-level key in partition-stats sidecars: the instants whose
+    #: files the envelopes cover (JSON-serializable list of instant ids)
+    _PSTATS_COVERED_KEY = "__covered_instants__"
 
     def _load_partition_stats(self) -> dict[str, dict[str, list]]:
         """Merged per-partition bounds across instants (widening union; a
         ``None`` tombstone in any instant drops that column's bound for the
         partition). Returns only usable [lo, hi] pairs — callers feed the
         result straight to ``_file_may_match``."""
-        return {
-            part: {c: b for c, b in per_col.items() if b is not None}
-            for part, per_col in self._merged_partition_stats_raw().items()
-        }
+        return self._partition_stats_with_coverage()[0]
 
-    def _merged_partition_stats_raw(self) -> dict[str, dict[str, list | None]]:
+    def _partition_stats_with_coverage(self) -> tuple[dict[str, dict[str, list]], set[str]]:
+        """(usable envelopes, covered instants). The coverage set is the
+        union of every sidecar's ``__covered_instants__``: files added by an
+        instant OUTSIDE this set were never aggregated into any envelope, so
+        the scan gate must keep their partitions unconditionally (legacy
+        sidecars without the key contribute no coverage — conservative)."""
+        raw, covered = self._merged_partition_stats_raw()
+        return (
+            {
+                part: {c: b for c, b in per_col.items() if b is not None}
+                for part, per_col in raw.items()
+            },
+            covered,
+        )
+
+    def _merged_partition_stats_raw(
+        self,
+    ) -> tuple[dict[str, dict[str, list | None]], set[str]]:
         """The widening merge WITH ``None`` tombstones intact — the form the
         clean-time baseline fold must persist (dropping a tombstone would let
         a later narrow-bounded commit shadow the unknown-bounds files it
         tombstoned for, turning a conservative miss into a lossy prune)."""
         d = os.path.join(self.base, self.PARTITION_STATS_DIR)
         if not os.path.isdir(d):
-            return {}
+            return {}, set()
         merged: dict[str, dict[str, list | None]] = {}
+        covered: set[str] = set()
         for fn in sorted(os.listdir(d)):
             if not fn.endswith(".json"):
                 continue
             with open(os.path.join(d, fn)) as f:
                 data = json.load(f)
+            covered |= set(data.pop(self._PSTATS_COVERED_KEY, []))
             for part, per_col in data.items():
                 slot = merged.setdefault(part, {})
                 for col, bounds in per_col.items():
@@ -1050,7 +1082,7 @@ class Table:
                             ]
                         except TypeError:
                             slot[col] = None
-        return merged
+        return merged, covered
 
     def _merge_stats(self, instant: str, extra: dict[str, dict[str, list]]) -> None:
         """Merge computed per-file stats into the instant's sidecar (used by
@@ -2087,11 +2119,21 @@ class Table:
         # re-add below, so partition pruning is never lossy against logs.
         part_keep = None
         if self.config.partition_by:
-            pstats = self._load_partition_stats()
+            pstats, covered = self._partition_stats_with_coverage()
             if pstats:
-                parts = {self._partition_path_of(r) for r in base_rels}
+                parts_of = {r: self._partition_path_of(r) for r in base_rels}
+                parts = set(parts_of.values())
+                # a partition holding ANY file from an instant the envelopes
+                # never aggregated (pre-index commits, legacy sidecars) is
+                # kept unconditionally — its envelope describes only the
+                # covered files and pruning on it would be lossy
+                uncovered = {
+                    parts_of[r] for r in base_rels if files[r][0] not in covered
+                }
                 part_keep = {
-                    p for p in parts if _file_may_match(pstats.get(p), filters)
+                    p
+                    for p in parts
+                    if p in uncovered or _file_may_match(pstats.get(p), filters)
                 }
                 self.last_scan_partitions = {
                     "total": len(parts),
@@ -5117,7 +5159,8 @@ class Table:
         fns = [fn for fn in sorted(os.listdir(d)) if fn.endswith(".json")]
         if len(fns) <= 1:
             return
-        merged = self._merged_partition_stats_raw()
+        merged, covered = self._merged_partition_stats_raw()
+        merged[self._PSTATS_COVERED_KEY] = sorted(covered)
         tmp = os.path.join(d, ".baseline.json.tmp")
         with open(tmp, "w") as f:
             json.dump(merged, f)

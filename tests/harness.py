@@ -125,7 +125,11 @@ def run_all(spark, sf_dir: str, only: list[str] | None = None) -> list[CompareRe
             results.append(compare(spec.name, sdf, opdf))
         except Exception as exc:  # noqa: BLE001
             results.append(CompareResult(spec.name, False, (-1, -1), [f"EXC {type(exc).__name__}: {exc}"]))
-            if "OutOfMemory" in type(exc).__name__ or "bad allocation" in str(exc):
+            if (
+                "OutOfMemory" in type(exc).__name__
+                or "bad allocation" in str(exc)  # MSVC wording
+                or "bad_alloc" in str(exc)  # libstdc++ wording on this host
+            ):
                 # a blown oracle can leave the connection's buffer pool
                 # poisoned — later queries then fail on tiny allocations;
                 # start fresh so one heavy oracle doesn't cascade

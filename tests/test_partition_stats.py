@@ -168,6 +168,43 @@ def test_reaggregation_for_same_instant_keeps_tombstones(spark, tmp_path):
     assert "v" not in Table(spark, tbl.base)._load_partition_stats().get("band=b0", {})
 
 
+def test_all_statless_commit_still_tombstones(spark, tmp_path):
+    # a commit where EVERY file failed to produce stats (stats == {}) must
+    # still tombstone its partitions — the early-return shortcut would leave
+    # the old envelope authoritative over files it never saw
+    tbl = _make(spark, tmp_path)
+    tbl.insert(_df(spark, 0, 20).repartition(1))
+    assert tbl._load_partition_stats()["band=b0"]["v"] == [0, 19]
+    tbl._write_partition_stats("97979797979797979797", {}, ["band=b0/ghost.parquet"])
+    assert "v" not in Table(spark, tbl.base)._load_partition_stats().get("band=b0", {})
+
+
+def test_preindex_files_block_partition_pruning(spark, tmp_path):
+    import os
+    import shutil
+
+    # simulate a table whose FIRST commits predate the partition-stats index:
+    # build, then delete the sidecar dir — the files stay, their envelopes
+    # are gone, and crucially so is their coverage record
+    tbl = _make(spark, tmp_path)
+    tbl.insert(_df(spark, 0, 100).repartition(2))  # 5 bands, v spans 0..99
+    shutil.rmtree(os.path.join(tbl.base, Table.PARTITION_STATS_DIR))
+    # post-index commit adds NARROW envelopes to every band (v maps shifted
+    # into 100..199 via +100 on the same ids)
+    t2 = Table(spark, tbl.base)
+    t2.insert(
+        _df(spark, 0, 100).repartition(1).withColumn("v", F.lit(150).cast("bigint"))
+    )
+    # scan for values only the PRE-index files hold: their partitions carry
+    # uncovered files, so the gate must keep them and return every row
+    t3 = Table(spark, tbl.base)
+    got = t3.scan([("v", "<=", 9)])
+    want = t3.read().filter("v <= 9")
+    assert _rows(got) == _rows(want) and got.count() == 10
+    ev = t3.last_scan_partitions
+    assert ev is not None and ev["kept"] == ev["total"]  # nothing pruned
+
+
 def test_unpartitioned_table_skips_partition_index(spark, tmp_path):
     base = str(tmp_path / "t")
     tbl = Table.create(spark, base, SCHEMA, TableConfig(stats_cols=["v"]))
