@@ -17,6 +17,9 @@ set, found with one groupBy instead of a global sort).
 - ``dedup_substring_removal`` — the Lee et al. removal accounting: per doc,
   how many tokens sit inside duplicated spans, what remains after cutting
   them, and whether the document is fully duplicated (pure boilerplate).
+- ``pipe_substring_decontaminate`` — the cross-corpus variant: maximal train
+  spans whose exact token sequence appears anywhere in the EVAL slice
+  (broadcast eval window-hash set; the eval-contamination analog).
 
 Scale shape (100 TB stance): tokenize → per-doc window hashes is map-side
 linear; ONE shuffle groups window hashes (O(total tokens), the same cost
@@ -39,7 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hudi_examples_spark.functions.text import words
-from hudi_examples_spark.operators.llm_pipeline5 import _docs
+from hudi_examples_spark.operators.llm_pipeline5 import EVAL_MOD, _docs
 from hudi_examples_spark.operators.spec import QuerySpec
 from hudi_examples_spark.sources.readers import load_sf_table as t
 
@@ -50,10 +53,11 @@ from hudi_examples_spark.sources.readers import load_sf_table as t
 SPAN_W = 6
 
 
-def _dup_windows(spark: SparkSession, sf: str) -> DataFrame:
-    """(doc_id, start, e): every W-token window whose exact token sequence
-    appears in at least 2 distinct documents. ``start`` is 1-based, ``e``
-    inclusive."""
+def _win_hashes(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, start, h): md5 of every W-token window of every document.
+    ``start`` is 1-based. Shared projection under the whole substring family
+    (cross-doc spans, self-dedup, eval-set contamination) — one map-side pass,
+    no shuffle."""
     d = _docs(spark, sf).select("doc_id", words("text").alias("__ws"))
     # guard: sequence(1, 0) is DESCENDING in Spark ([1, 0]) — docs shorter
     # than W must produce an empty index array, not out-of-bounds probes
@@ -61,7 +65,7 @@ def _dup_windows(spark: SparkSession, sf: str) -> DataFrame:
     idx = F.when(n_wins >= 1, F.sequence(F.lit(1), n_wins)).otherwise(
         F.array().cast("array<int>")
     )
-    wins = d.select(
+    return d.select(
         "doc_id",
         F.posexplode(
             F.transform(
@@ -74,6 +78,13 @@ def _dup_windows(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("p", "h"),
     ).select("doc_id", (F.col("p") + 1).alias("start"), "h")
+
+
+def _dup_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, start, e): every W-token window whose exact token sequence
+    appears in at least 2 distinct documents. ``start`` is 1-based, ``e``
+    inclusive."""
+    wins = _win_hashes(spark, sf)
     dup = (
         wins.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -226,24 +237,7 @@ def pipe_self_dedup(spark: SparkSession, sf: str) -> DataFrame:
     detection — the shuffle key carries doc_id, so skew is bounded by the
     longest DOCUMENT, never the corpus — then the islands merge. Everything
     is per-document; at 100 TB this is embarrassingly parallel."""
-    d = _docs(spark, sf).select("doc_id", words("text").alias("__ws"))
-    n_wins = F.size("__ws") - (SPAN_W - 1)
-    idx = F.when(n_wins >= 1, F.sequence(F.lit(1), n_wins)).otherwise(
-        F.array().cast("array<int>")
-    )
-    wins = d.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                idx,
-                lambda i: F.md5(
-                    F.concat_ws(
-                        " ", *[F.element_at("__ws", i + k) for k in range(SPAN_W)]
-                    )
-                ),
-            )
-        ).alias("p", "h"),
-    ).select("doc_id", (F.col("p") + 1).alias("start"), "h")
+    wins = _win_hashes(spark, sf)
     w_h = Window.partitionBy("doc_id", "h")
     repeats = (
         wins.withColumn("first_start", F.min("start").over(w_h))
@@ -318,6 +312,118 @@ SELECT n.doc_id, n.n_tokens,
        coalesce(p.repeat_tokens, 0)::BIGINT AS repeat_tokens,
        (n.n_tokens - coalesce(p.repeat_tokens, 0))::BIGINT AS kept_tokens,
        coalesce(p.n_repeat_spans, 0)::BIGINT AS n_repeat_spans
+FROM n_tok n LEFT JOIN per_doc p USING (doc_id)
+ORDER BY n.doc_id
+"""
+
+
+def pipe_substring_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-corpus exact-substring decontamination — the contamination analog
+    of Lee et al.'s ExactSubstr dedup: flag every ≥W-token span of a TRAIN
+    document whose exact token sequence also appears in the EVAL slice
+    (doc_id % EVAL_MOD == 0, same held-out definition as ``pipe_decontaminate``
+    / ``dedup_cross_corpus``). Where ``pipe_decontaminate`` counts 3-gram
+    overlaps, this recovers the maximal verbatim shared substrings — the
+    "eval answer pasted into a training page" contamination mode that n-gram
+    counting can't localize.
+
+    Output is the removal accounting per train document: total tokens, tokens
+    inside eval-shared spans, what remains after cutting them, and the span
+    count (0-span docs kept — a training page must prove itself clean).
+
+    Scale shape (100 TB): train windows are one map-side projection
+    (``_win_hashes``); the eval slice's window-hash set is tiny and BROADCAST
+    into a left-semi probe — the train side never shuffles on text (at real
+    scale: the same plan with a bloom-filter pushdown when eval outgrows the
+    broadcast threshold). The only train-scale shuffle is the per-doc islands
+    merge, keyed on doc_id (skew bounded by the longest document). No
+    suffix array, no all-pairs, nothing at the driver.
+
+    Reference analogue: none — the reference dedups whole records only
+    (glue/S3 Calls benchmarking Code.py groups record identity); passage-level
+    eval decontamination is the beyond-reference training-data requirement.
+    """
+    wins = _win_hashes(spark, sf)
+    ev = F.broadcast(
+        wins.filter(F.col("doc_id") % EVAL_MOD == 0).select("h").distinct()
+    )
+    contam = (
+        wins.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .join(ev, "h", "left_semi")
+        .select("doc_id", "start", (F.col("start") + (SPAN_W - 1)).alias("e"))
+    )
+    per_doc = (
+        _merged_spans(contam)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("span_len").alias("contaminated_tokens"),
+            F.count(F.lit(1)).alias("n_contam_spans"),
+        )
+    )
+    n_tok = (
+        _docs(spark, sf)
+        .filter(F.col("doc_id") % EVAL_MOD != 0)
+        .select("doc_id", F.size(words("text")).cast("long").alias("n_tokens"))
+    )
+    return (
+        n_tok.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("contaminated_tokens", F.lit(0))
+            .cast("long")
+            .alias("contaminated_tokens"),
+            (F.col("n_tokens") - F.coalesce("contaminated_tokens", F.lit(0)))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.coalesce("n_contam_spans", F.lit(0)).cast("long").alias("n_contam_spans"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PIPE_SUBSTRING_DECONTAMINATE_ORACLE = f"""
+WITH ws AS (
+  SELECT doc_id, list_filter(str_split(trim(text), ' '), w -> w <> '') AS w
+  FROM documents
+), wins AS (
+  SELECT doc_id, i AS start,
+         md5({" || ' ' || ".join(f"w[i+{k}]" for k in range(SPAN_W))}) AS h
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(1, greatest(len(w) - {SPAN_W - 1}, 0))) AS i
+        FROM ws)
+), ev AS (
+  SELECT DISTINCT h FROM wins WHERE doc_id % {EVAL_MOD} = 0
+), dw AS (
+  SELECT DISTINCT w.doc_id, w.start, w.start + {SPAN_W - 1} AS e
+  FROM wins w JOIN ev USING (h)
+  WHERE w.doc_id % {EVAL_MOD} <> 0
+), flagged AS (
+  SELECT doc_id, start, e,
+         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR start > max(e) OVER (PARTITION BY doc_id ORDER BY start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+         THEN 1 ELSE 0 END AS nf
+  FROM dw
+), islands AS (
+  SELECT doc_id, start, e,
+         sum(nf) OVER (PARTITION BY doc_id ORDER BY start
+                       ROWS UNBOUNDED PRECEDING) AS isl
+  FROM flagged
+), spans AS (
+  SELECT doc_id, max(e) - min(start) + 1 AS span_len
+  FROM islands GROUP BY doc_id, isl
+), per_doc AS (
+  SELECT doc_id, sum(span_len) AS contaminated_tokens, count(*) AS n_contam_spans
+  FROM spans GROUP BY doc_id
+), n_tok AS (
+  SELECT doc_id, len(w)::BIGINT AS n_tokens FROM ws WHERE doc_id % {EVAL_MOD} <> 0
+)
+SELECT n.doc_id, n.n_tokens,
+       coalesce(p.contaminated_tokens, 0)::BIGINT AS contaminated_tokens,
+       (n.n_tokens - coalesce(p.contaminated_tokens, 0))::BIGINT AS kept_tokens,
+       coalesce(p.n_contam_spans, 0)::BIGINT AS n_contam_spans
 FROM n_tok n LEFT JOIN per_doc p USING (doc_id)
 ORDER BY n.doc_id
 """
@@ -982,6 +1088,12 @@ SPECS: list[QuerySpec] = [
         pipe_self_dedup,
         PIPE_SELF_DEDUP_ORACLE,
         "LLM:within-document repeated-span removal accounting",
+    ),
+    QuerySpec(
+        "pipe_substring_decontaminate",
+        pipe_substring_decontaminate,
+        PIPE_SUBSTRING_DECONTAMINATE_ORACLE,
+        "LLM:cross-corpus exact-substring eval decontamination",
     ),
     QuerySpec(
         "tok_bpe_merges",

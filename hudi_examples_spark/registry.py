@@ -54,23 +54,28 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(relational_tpch3.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names in registry"
-    # Prefix rotation (round 7): the driver gate samples a 50-query prefix.
+    # Prefix rotation (round 8): the driver gate samples a 50-query prefix.
     # Policy (steady state): (1) debut ops with no driver row yet, (2)
-    # oldest-evidence refreshes. This round carries NINE debuts (paragraph
-    # dedup, semantic decontamination, vocab coverage, bigram LM, the Gopher
-    # rule filter, radius search, WordPiece, the expression-index lifecycle,
-    # and the partition-stats prune), so seating them all plus the full
-    # 45-row r4-aged set (judge ask #1) overflows 50. Resolution, per the
-    # debuts-first policy: all 9 debuts seat; 41 of the 45 r4-aged rows
-    # refresh; the r5 backfill, the THREE r4-aged rows that are bench-v1
-    # headline members (q2_min_cost_supplier, a_topk_two_keys,
-    # w_latest_per_key — measured and value-checked by the per-round bench
-    # run, plus the 154/154 sweep at HEAD) and one redundantly-shaped TPC-H
-    # row wait for r8, where they rotate in first (as do the late
-    # w_interval_frames / corpus_token_drift / stream_windowed_counts
-    # debuts — sweep-verified at HEAD). The 50 r6-green rows all rotate out (freshest evidence).
-    r7_prefix = [
-        # r7 debuts
+    # oldest-evidence refreshes. Round 7's rotation never reached the driver
+    # (commit a1f0478 deleted the queries_dict/oracles_dict shims that
+    # __spark_entry__.py consumes, so CORRECTNESS_r07.json came back empty);
+    # the evidence ledger therefore still reads: 13 rows with zero driver
+    # evidence ever (the 9 r7-prefix debuts + the 4 late debuts
+    # w_interval_frames / corpus_token_drift / stream_windowed_counts /
+    # mm_audio_energy) and 45 rows whose newest evidence is r4. All 13
+    # zero-evidence rows seat first, then the round-8 debut
+    # (pipe_substring_decontaminate); 36 of the 45 r4-aged rows fill the
+    # rest, led by the four rows r7's comment promised would rotate in first
+    # (q2_min_cost_supplier, a_topk_two_keys, w_latest_per_key,
+    # q14_promo_revenue). The 9 r4-aged waiters — q4/q7/q9/q11/q12/q15/q16/
+    # q18/q19, the most redundantly-shaped TPC-H rows (join-agg shapes
+    # covered by the seated q8/q13/q17/q21/q22 and the full local sweep) —
+    # rotate in FIRST at r9, ahead of the 50 r5-aged rows (path back to
+    # max-age ≤2: r9 = 9 waiters + 41 oldest-r5; r10 = remaining r5 + r6).
+    # Registry size at HEAD: 158 + round-8 debuts; `python
+    # tests/run_parity.py` sweeps all of it.
+    r8_prefix = [
+        # zero-driver-evidence debuts (r7 prefix debuts, never consumed)
         "pipe_paragraph_dedup",
         "pipe_semantic_decontaminate",
         "text_vocab_coverage",
@@ -80,9 +85,19 @@ def all_specs() -> list[QuerySpec]:
         "tok_wordpiece_encode",
         "tbl_expression_index",
         "tbl_partition_stats_prune",
-        # r4-aged refreshes (41 of 45; the 3 bench-headline rows plus
-        # q14_promo_revenue — whose broadcast-join-aggregate shape stays
-        # covered by the seated q3/q5/q19 rows and the sweep — wait for r8)
+        # zero-driver-evidence debuts (r7 late debuts)
+        "w_interval_frames",
+        "corpus_token_drift",
+        "stream_windowed_counts",
+        "mm_audio_energy",
+        # round-8 debut
+        "pipe_substring_decontaminate",
+        # r4-aged refreshes: the four promised-first rows
+        "q2_min_cost_supplier",
+        "a_topk_two_keys",
+        "w_latest_per_key",
+        "q14_promo_revenue",
+        # r4-aged refreshes: the 29 non-TPC-H rows
         "a_count_star",
         "a_cube_order_mix",
         "a_group_count_sort",
@@ -105,30 +120,40 @@ def all_specs() -> list[QuerySpec]:
         "p_json_extract",
         "p_range_predicate",
         "pipe_curriculum_order",
-        "q11_important_stock",
-        "q12_priority_shipping",
-        "q13_customer_distribution",
-        "q15_top_supplier",
-        "q16_supplier_part_types",
-        "q17_small_quantity_revenue",
-        "q18_large_orders",
-        "q19_bracket_revenue",
-        "q21_sole_supplier_orders",
-        "q22_idle_customers",
-        "q4_order_priority",
-        "q7_nation_volume",
-        "q8_market_share",
-        "q9_product_profit",
         "s_csv_roundtrip",
         "stream_corpus_ingest",
         "text_unigram_lm_score",
         "w_running_totals",
         "w_sessionization",
+        # r4-aged refreshes: 5 TPC-H rows with the least-redundant shapes
+        "q8_market_share",
+        "q13_customer_distribution",
+        "q17_small_quantity_revenue",
+        "q21_sole_supplier_orders",
+        "q22_idle_customers",
     ]
-    assert len(r7_prefix) == 50 and len(set(r7_prefix)) == 50, "prefix must be 50 unique names"
+    assert len(r8_prefix) == 50 and len(set(r8_prefix)) == 50, "prefix must be 50 unique names"
     by_name = {s.name: s for s in specs}
-    missing = [n for n in r7_prefix if n not in by_name]
+    missing = [n for n in r8_prefix if n not in by_name]
     assert not missing, f"prefix names not in registry: {missing}"
-    prefix_set = set(r7_prefix)
-    specs = [by_name[n] for n in r7_prefix] + [s for s in specs if s.name not in prefix_set]
+    prefix_set = set(r8_prefix)
+    specs = [by_name[n] for n in r8_prefix] + [s for s in specs if s.name not in prefix_set]
     return specs
+
+
+def queries_dict():
+    """{name: fn} over the full registry — the dict ``__spark_entry__.queries()``
+    returns to the driver. DO NOT REMOVE: nothing inside ``tests/`` or ``bench.py``
+    calls this (they use ``all_specs()``), but the driver's correctness gate does,
+    via ``__spark_entry__.py``. Deleting it in r7 (commit a1f0478) zeroed an entire
+    round of driver evidence; ``tests/test_driver_contract.py`` now pins it.
+    """
+    return {s.name: s.fn for s in all_specs()}
+
+
+def oracles_dict():
+    """{name: sql} for every SQL-expressible query — ``__spark_entry__.oracle_sql()``.
+    Specs with ``oracle=None`` are omitted (driver falls back to a rows-only check).
+    DO NOT REMOVE — see ``queries_dict``.
+    """
+    return {s.name: s.oracle for s in all_specs() if s.oracle is not None}

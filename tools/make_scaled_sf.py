@@ -88,12 +88,14 @@ def main() -> None:
         # CRITICAL: a prior subset run may have left ``dest`` as a HARDLINK
         # into /root/testdata — pq.write_table opens the existing inode and
         # would truncate the READ-ONLY ORIGINAL through the link (root
-        # bypasses the mode bits). Always unlink the dest first so the write
-        # lands on a fresh inode, and refuse outright if the dest somehow
-        # shares an inode with the source after that.
-        if os.path.exists(dest):
-            os.remove(dest)
+        # bypasses the mode bits). Check the inode FIRST (while dest still
+        # exists, so the check can actually fire), then unlink so the write
+        # lands on a fresh inode either way.
         src_path = os.path.join(SRC, f"{tbl}.parquet")
+        if os.path.exists(dest):
+            if os.path.samefile(dest, src_path):
+                print(f"{tbl}: dest shares an inode with the source; unlinking before write")
+            os.remove(dest)
         src = pq.read_table(src_path)
         if tbl in ("region", "nation"):
             out = src
@@ -107,8 +109,6 @@ def main() -> None:
                     t = t.set_column(idx, t.schema.field(idx), shifted)
                 copies.append(t)
             out = pa.concat_tables(copies)
-        if os.path.exists(dest) and os.path.samefile(dest, src_path):
-            raise RuntimeError(f"refusing to write through a link to the source: {dest}")
         pq.write_table(
             out,
             dest,
