@@ -39,6 +39,38 @@ def incremental_source(table: Table, start: str = "earliest") -> Callable[[], Da
     return poll
 
 
+def incremental_source_by_completion(
+    table: Table, start_ct: float = 0.0
+) -> Callable[[], DataFrame | None]:
+    """M12/T4 under non-blocking concurrency: micro-batch puller whose cursor
+    is COMPLETION time, not begin id — the streaming twin of the batch
+    ``table_changes_by_completion`` TVF (table/core.py:3300).
+
+    ``incremental_source``'s begin-id cursor has the NBCC timeline hole: if
+    writer A mints instant t1, writer B mints t2 > t1 and PUBLISHES FIRST, a
+    poll after B's publish advances the cursor to t2 and A's commit — which
+    lands later with t1 < cursor — is skipped forever. Cursoring on the max
+    completion stamp makes publish order the cursor order, so nothing can
+    land behind the cursor; a divergent history replays identically in
+    streaming and batch (pinned by tests/test_stream_batch_equivalence.py).
+    """
+    state = {"last": start_ct}
+
+    def poll() -> DataFrame | None:
+        latest = table.latest_completion()
+        last = state["last"]
+        if latest <= last:
+            return None
+        # end-bounded at the captured stamp: a commit completing between
+        # latest_completion() and the read belongs to the NEXT poll (same
+        # double-delivery race as incremental_source)
+        df = table.table_changes_by_completion(start_ct=last, end_ct=latest)
+        state["last"] = latest
+        return df
+
+    return poll
+
+
 def cdc_source(table: Table, start: str = "earliest") -> Callable[[], DataFrame | None]:
     """Streaming CDC puller: like ``incremental_source`` but each poll yields
     full change events — (key, op I/U/D, before, after, commit_time) — via the

@@ -160,3 +160,110 @@ def test_stream_session_window_equals_batch(spark, tmp_path):
         .collect()
     }
     assert streamed == batch
+
+
+def test_divergent_timeline_stream_equals_batch(spark, tmp_path):
+    """NBCC divergent history replays identically in streaming and batch —
+    through the COMPLETION-cursor source (streaming/sources.py:
+    incremental_source_by_completion), while the begin-id cursor demonstrably
+    drops the late-published commit (the timeline hole the completion cursor
+    exists to close).
+
+    The race is test_nbcc_race's out-of-order publisher, forced
+    deterministically in-process: writer A mints its instant first but is
+    held at the publish gate (threading.Event, before the timeline lock)
+    until writer B — minted later — has published.
+    """
+    import threading
+
+    from hudi_examples_spark.streaming.sources import (
+        incremental_source,
+        incremental_source_by_completion,
+    )
+    from hudi_examples_spark.table import Table, TableConfig, core
+
+    schema = "k BIGINT, val STRING, v INT"
+    base = str(tmp_path / "t")
+    t = Table.create(
+        spark, base, schema,
+        TableConfig(record_key=["k"], precombine="v", table_type="mor"),
+    )
+    t.insert(spark.createDataFrame([(1, "base", 1), (2, "keep", 1)], schema))
+
+    begin_poll = incremental_source(t, "earliest")
+    comp_poll = incremental_source_by_completion(t, 0.0)
+    # drain the pre-race state on both cursors (collect EAGERLY: each poll is
+    # a point-in-time micro-batch, exactly what a sink handler would do)
+    first_begin = {r["k"]: r["val"] for r in begin_poll().collect()}
+    first_comp = {r["k"]: r["val"] for r in comp_poll().collect()}
+    assert first_begin == first_comp == {1: "base", 2: "keep"}
+
+    gate_reached = threading.Event()
+    release = threading.Event()
+    orig = core.Table._publish_with_index_guard
+    state = {"held_once": False}
+
+    def held_publish(self, inst):
+        # hold only writer A's deltacommit (the first one through), and gate
+        # BEFORE the publish path takes the timeline lock — holding the lock
+        # while waiting would block B's publish too
+        if inst.action == "deltacommit" and not state["held_once"]:
+            state["held_once"] = True
+            gate_reached.set()
+            assert release.wait(timeout=120), "writer B never released the gate"
+        return orig(self, inst)
+
+    a_result: dict[str, str] = {}
+
+    def writer_a():
+        ta = Table(spark, base)
+        a_result["inst"] = ta.upsert(
+            spark.createDataFrame([(1, "minted-first-published-last", 2)], schema)
+        )
+
+    core.Table._publish_with_index_guard = held_publish
+    try:
+        th = threading.Thread(target=writer_a, daemon=True)
+        th.start()
+        assert gate_reached.wait(timeout=120), "writer A never reached the gate"
+        tb = Table(spark, base)
+        ib = tb.upsert(
+            spark.createDataFrame([(1, "minted-last-published-first", 2)], schema)
+        )
+        # mid-state polls: B is published, A is still pending at the gate
+        mid_begin = {r["k"]: r["val"] for r in begin_poll().collect()}
+        mid_comp = {r["k"]: r["val"] for r in comp_poll().collect()}
+        release.set()
+        th.join(timeout=180)
+        assert not th.is_alive()
+    finally:
+        core.Table._publish_with_index_guard = orig
+
+    ia = a_result["inst"]
+    assert ia < ib, "A must have minted first for the race to mean anything"
+    t2 = Table(spark, base)
+    stamps = {i.instant: i.committed_at for i in t2.timeline.completed_data_instants()}
+    assert stamps[ia] > stamps[ib], "A must have published after B"
+
+    # both cursors saw B's row mid-race
+    assert mid_begin[1] == "minted-last-published-first"
+    assert mid_comp[1] == "minted-last-published-first"
+
+    # begin-id cursor: A's commit landed BEHIND the advanced cursor
+    # (ia < ib = cursor) — the poll sees nothing, the commit is lost forever
+    assert begin_poll() is None, "begin-id cursor should exhibit the NBCC hole"
+
+    # completion cursor: the late-published A is the next micro-batch
+    last = comp_poll()
+    assert last is not None, "completion cursor must deliver the late-published commit"
+    last_comp = {r["k"]: r["val"] for r in last.collect()}
+    assert last_comp == {1: "minted-first-published-last"}
+
+    # stream == batch: replaying the completion-cursor micro-batches in order
+    # converges to the batch snapshot over the same divergent timeline
+    replayed: dict[int, str] = {}
+    for batch in (first_comp, mid_comp, last_comp):
+        replayed.update(batch)
+    batch_state = {r["k"]: r["val"] for r in t2.read().collect()}
+    assert replayed == batch_state
+    assert batch_state[1] == "minted-first-published-last"  # completion order wins
