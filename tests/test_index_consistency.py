@@ -216,3 +216,101 @@ def test_drop_index_leaves_trash_for_readers_then_heal_sweeps(spark, tbl):
     assert not os.listdir(idx_root) or not any(
         d.startswith(".trash-") for d in os.listdir(idx_root)
     )
+
+
+# --------------------------------------------------------------------------
+# Round-8: indexes must FOLLOW clustering rewrites (the compaction leg above
+# this file already covers; clustering retires file groups the same way).
+# Done-bar: lookup-after-cluster scans ONLY the rewritten file.
+# --------------------------------------------------------------------------
+
+
+def _three_file_table(spark, tmp_path):
+    """3 blind appends -> 3 distinct base file groups (a keyed ``insert``
+    would absorb into the existing small file group and keep ONE file); ids
+    contiguous per val group so a sort layout puts each group in one output
+    file."""
+    t = Table.create(
+        spark,
+        str(tmp_path / "t"),
+        "id STRING, val STRING, ts LONG",
+        TableConfig(record_key=["id"], precombine="ts"),
+    )
+    for grp, v in (("1", "A"), ("2", "B"), ("3", "C")):
+        t.bulk_insert(_rows(spark, *[(f"k{grp}{i}", v, 1) for i in range(3)]).coalesce(1))
+    assert len(t.timeline.live_files()[0]) == 3
+    return t
+
+
+def test_record_index_follows_clustering(spark, tmp_path):
+    t = _three_file_table(spark, tmp_path)
+    t.create_record_index()
+    assert [r["val"] for r in t.lookup_key("k21").collect()] == ["B"]
+    assert t.last_record_lookup["scanned"] == 1
+
+    inst = t.cluster_sort(["id"], n_files=3)
+    assert inst is not None
+
+    t2 = Table(spark, t.base)  # fresh handle: no cached index state
+    # clustering is a view-preserving rewrite — the index must keep serving
+    assert t2._record_index_ready()
+    cl = next(i for i in t2.timeline.completed_data_instants() if i.instant == inst)
+    live, _ = t2.timeline.live_files()
+    assert set(live) == set(cl.files_added), "live set must be exactly the rewrite"
+
+    assert [r["val"] for r in t2.lookup_key("k21").collect()] == ["B"]
+    ev = t2.last_record_lookup
+    # only ONE of the three rewritten files is read; the retired files the
+    # old entries point at are dropped by the liveness intersect
+    assert ev == {"total": 3, "scanned": 1}
+
+
+def test_secondary_and_expression_index_follow_clustering(spark, tmp_path):
+    t = _three_file_table(spark, tmp_path)
+    t.create_secondary_index("val")
+    t.create_expression_index("val_lower", "lower(val)")
+
+    inst = t.cluster_sort(["id"], n_files=3)
+    assert inst is not None
+
+    t2 = Table(spark, t.base)
+    for name in ("val", "val_lower"):
+        meta = t2._index_meta(name)
+        assert meta is not None and meta.get("valid", True) is True, (
+            f"clustering must not invalidate index {name}"
+        )
+
+    out = t2.lookup("val", "B")
+    assert sorted(r["id"] for r in out.collect()) == ["k20", "k21", "k22"]
+    ev = t2.last_index_lookup
+    # key-range sidecars of the REWRITTEN files prune the other two groups
+    assert ev == {"total": 3, "scanned": 1, "pruned": 2}
+
+    out = t2.lookup_indexed("val_lower", "c")
+    assert sorted(r["id"] for r in out.collect()) == ["k30", "k31", "k32"]
+    assert t2.last_index_lookup == {"total": 3, "scanned": 1, "pruned": 2}
+
+
+def test_indexes_follow_small_file_clustering(spark, tmp_path):
+    """cluster_small_files bin-packs the tiny per-insert files into one; every
+    index keeps serving and the point read scans exactly the packed file."""
+    t = _three_file_table(spark, tmp_path)
+    t.create_record_index()
+    t.create_secondary_index("val")
+    inst = t.cluster_small_files()  # 3 tiny files -> 1 bin -> 1 file
+    assert inst is not None
+
+    t2 = Table(spark, t.base)
+    live, _ = t2.timeline.live_files()
+    assert len(live) == 1
+
+    assert [r["val"] for r in t2.lookup_key("k11").collect()] == ["A"]
+    assert t2.last_record_lookup == {"total": 1, "scanned": 1}
+
+    assert sorted(r["id"] for r in t2.lookup("val", "C").collect()) == [
+        "k30", "k31", "k32",
+    ]
+    assert t2.last_index_lookup["scanned"] == 1
+    # and a later keyed write still plans through the maintained record index
+    t2.upsert(_rows(spark, ("k11", "A2", 2)))
+    assert [r["val"] for r in Table(spark, t.base).lookup_key("k11").collect()] == ["A2"]
