@@ -1888,6 +1888,81 @@ def bench_phases():
         }
         return s1.select("l_orderkey").union(s2.select("l_suppkey"))
 
+    def pstats_build(spark, sf):
+        """Fixture for the partition-stats gate evidence row: the
+        tbl_partition_stats_prune layout (hive-partitioned on a coarse band,
+        per-partition envelopes on the correlated fine column)."""
+        base = os.path.join(_workdir("bench_pstats", sf), "tbl")
+        tbl = Table.create(
+            spark,
+            base,
+            "custkey BIGINT, ck_mod BIGINT, acctbal DOUBLE, band STRING",
+            TableConfig(partition_by=["band"], stats_cols=["ck_mod"]),
+        )
+        c = t(spark, sf, "customer").select(
+            F.col("c_custkey").alias("custkey"),
+            (F.col("c_custkey") % 100).alias("ck_mod"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.concat(
+                F.lit("b"), F.floor((F.col("c_custkey") % 100) / 20).cast("string")
+            ).alias("band"),
+        )
+        tbl.insert(c.repartition(3))
+        return Table(spark, base)
+
+    def pstats_op(spark, sf, tbl):
+        """Measured op: the partition-gated range scan; evidence: partitions
+        kept vs total (the O(partitions) decision) AND files scanned vs
+        total (the per-file stats only consulted inside kept partitions)."""
+        out = tbl.scan([("ck_mod", ">=", 0), ("ck_mod", "<=", 9)])
+        tbl.bench_pstats_evidence = {
+            "partitions": dict(getattr(tbl, "last_scan_partitions", None) or {}),
+            "files": dict(getattr(tbl, "last_scan", None) or {}),
+        }
+        return out.select("custkey", "ck_mod")
+
+    def expr_lookup_build(spark, sf):
+        """Fixture for the expression-index evidence row: the
+        tbl_expression_index layout (3 bulk loads, functional index on the
+        derived order month, one index-maintaining upsert)."""
+        base = os.path.join(_workdir("bench_expr_lookup", sf), "tbl")
+        tbl = Table.create(
+            spark,
+            base,
+            "id STRING, orderkey BIGINT, orderdate STRING, totalprice DOUBLE, v INT",
+            TableConfig(record_key=["id"], precombine="v", bloom_index=True),
+        )
+        o = t(spark, sf, "orders").select(
+            F.md5(F.col("o_orderkey").cast("string")).alias("id"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.lit(1).alias("v"),
+        )
+        n = o.count()
+        for m in range(3):
+            tbl.bulk_insert(o.filter(F.floor((F.col("orderkey") - 1) * 3 / n) == m))
+        tbl.create_expression_index("order_month", "substring(orderdate, 1, 7)")
+        tbl.upsert(
+            o.filter(F.col("orderkey") % 97 == 0).withColumns(
+                {
+                    "id": F.md5((F.col("orderkey") + 10_000_000).cast("string")),
+                    "orderkey": F.col("orderkey") + 10_000_000,
+                    "orderdate": F.concat(
+                        F.lit("2003-01-"), F.substring("orderdate", 9, 2)
+                    ),
+                    "v": F.lit(2),
+                }
+            )
+        )
+        return tbl
+
+    def expr_lookup_op(spark, sf, tbl):
+        """Measured op: the functional-index point read (must scan only the
+        file groups holding the month's keys — evidence via
+        ``last_index_lookup``)."""
+        return tbl.lookup_indexed("order_month", "2003-01").select("id", "orderkey")
+
     return {
         "tbl_upsert_cow": (upsert_build("tbl_upsert_cow", "cow"), upsert_op),
         "tbl_upsert_mor": (upsert_build("tbl_upsert_mor", "mor"), upsert_op),
@@ -1898,4 +1973,6 @@ def bench_phases():
         "tbl_rli_lookup": (rli_lookup_build, rli_lookup_op),
         "tbl_bootstrap_onboard": (bootstrap_build, bootstrap_op),
         "tbl_zorder_layout": (zorder_build, zorder_op),
+        "tbl_pstats_scan": (pstats_build, pstats_op),
+        "tbl_expr_lookup": (expr_lookup_build, expr_lookup_op),
     }
