@@ -17,6 +17,7 @@ def all_specs() -> list[QuerySpec]:
         llm_pipeline8,
         llm_pipeline9,
         llm_pipeline10,
+        llm_pipeline11,
         multimodal,
         relational,
         relational_ext,
@@ -46,6 +47,7 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(llm_pipeline8.SPECS)
     specs.extend(llm_pipeline9.SPECS)
     specs.extend(llm_pipeline10.SPECS)
+    specs.extend(llm_pipeline11.SPECS)
     specs.extend(scale_ops.SPECS)
     specs.extend(streaming_gate.SPECS)
     specs.extend(multimodal.SPECS)
@@ -63,15 +65,17 @@ def all_specs() -> list[QuerySpec]:
     # evidence ever (the 9 r7-prefix debuts + the 4 late debuts
     # w_interval_frames / corpus_token_drift / stream_windowed_counts /
     # mm_audio_energy) and 45 rows whose newest evidence is r4. All 13
-    # zero-evidence rows seat first, then the round-8 debut
-    # (pipe_substring_decontaminate); 36 of the 45 r4-aged rows fill the
+    # zero-evidence rows seat first, then the four round-8 debuts
+    # (pipe_substring_decontaminate, pipe_temperature_mixture,
+    # text_char_entropy, text_zipf_fit); 33 of the 45 r4-aged rows fill the
     # rest, led by the four rows r7's comment promised would rotate in first
     # (q2_min_cost_supplier, a_topk_two_keys, w_latest_per_key,
-    # q14_promo_revenue). The 9 r4-aged waiters — q4/q7/q9/q11/q12/q15/q16/
-    # q18/q19, the most redundantly-shaped TPC-H rows (join-agg shapes
-    # covered by the seated q8/q13/q17/q21/q22 and the full local sweep) —
-    # rotate in FIRST at r9, ahead of the 50 r5-aged rows (path back to
-    # max-age ≤2: r9 = 9 waiters + 41 oldest-r5; r10 = remaining r5 + r6).
+    # q14_promo_revenue). The 12 r4-aged waiters — q4/q7/q8/q9/q11/q12/q13/
+    # q15/q16/q17/q18/q19, the most redundantly-shaped TPC-H rows (join-agg
+    # shapes covered by the seated q21/q22 rows, the r8-fresh q2/q14, and the
+    # full local sweep) — rotate in FIRST at r9, ahead of the 50 r5-aged rows
+    # (path back to max-age ≤2: r9 = 12 waiters + 38 oldest-r5; r10 =
+    # remaining r5 + r6).
     # Registry size at HEAD: 158 + round-8 debuts; `python
     # tests/run_parity.py` sweeps all of it.
     r8_prefix = [
@@ -90,8 +94,11 @@ def all_specs() -> list[QuerySpec]:
         "corpus_token_drift",
         "stream_windowed_counts",
         "mm_audio_energy",
-        # round-8 debut
+        # round-8 debuts
         "pipe_substring_decontaminate",
+        "pipe_temperature_mixture",
+        "text_char_entropy",
+        "text_zipf_fit",
         # r4-aged refreshes: the four promised-first rows
         "q2_min_cost_supplier",
         "a_topk_two_keys",
@@ -125,10 +132,7 @@ def all_specs() -> list[QuerySpec]:
         "text_unigram_lm_score",
         "w_running_totals",
         "w_sessionization",
-        # r4-aged refreshes: 5 TPC-H rows with the least-redundant shapes
-        "q8_market_share",
-        "q13_customer_distribution",
-        "q17_small_quantity_revenue",
+        # r4-aged refreshes: the 2 TPC-H rows with the least-redundant shapes
         "q21_sole_supplier_orders",
         "q22_idle_customers",
     ]
