@@ -178,11 +178,12 @@ def dedup_minhash_lsh(
     )
 
 
-def _minhash_oracle() -> str:
+def minhash_banded_cte() -> str:
     """DuckDB re-expression of minhash_signature + minhash_bands (16 hashes,
-    4 bands × 4 rows): same md5 base, same affine coefficients, same ':'
-    bucket strings. Empty-shingle docs get sentinel signatures (they bucket
-    together, matching the Spark behavior)."""
+    4 bands × 4 rows) up to ``banded(doc_id, band, bucket)``: same md5 base,
+    same affine coefficients, same ':' bucket strings. Empty-shingle docs get
+    sentinel signatures (they bucket together, matching the Spark behavior).
+    Shared by the self-dedup and incremental-dedup oracles."""
     from hudi_examples_spark.functions.text import (
         MINHASH_P,
         MINHASH_SENTINEL,
@@ -217,11 +218,18 @@ WITH ws AS (
   GROUP BY d.doc_id
 ), banded AS (
 {bands}
-)
+)"""
+
+
+def _minhash_oracle() -> str:
+    return (
+        minhash_banded_cte()
+        + """
 SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
 FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 ORDER BY d1, d2
 """
+    )
 
 
 DEDUP_MINHASH_ORACLE = _minhash_oracle()

@@ -216,6 +216,157 @@ FROM events GROUP BY 1 ORDER BY wday
 """
 
 
+#: arrival-order key for the streamed near-dup gate: chunks arrive in order
+#: (maxFilesPerTrigger=1), docs within a chunk in doc_id order.
+_ARR_BASE = 10_000_000_000
+
+
+def stream_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming NEAR-dup gate — the MinHash/LSH analog of
+    ``stream_dedup_ingest``'s exact gate: documents stream in 4 availableNow
+    micro-batches and each batch's 4×4-band bucket claims are upserted into a
+    signature-store TABLE keyed on (band:bucket), with
+    ``precombine = -arrival`` so the FIRST arrival (chunk order, then doc_id)
+    owns each bucket across any replay — exactly-once batch-id instants make
+    redelivery idempotent, and first-wins is order-insensitive within a
+    batch because the upsert's precombine picks the min arrival.
+
+    A document is a near-dup iff any of its buckets is owned by an earlier
+    arrival — the streamed form of ``dedup_minhash_incremental``'s
+    first-occurrence rule, with the store accumulating ACROSS batches the way
+    a production ingest gate accumulates across crawls. State lives in the
+    keyed table (bloom/RLI-prunable storage), not stream memory — the 100 TB
+    stance shared by the exact gate; per trigger the work is O(micro-batch
+    buckets) plus the keyed upsert's O(touched file groups).
+
+    Returns per-doc (is_dup, keep) flags derived by joining the corpus'
+    bucket claims against the final store — hash-checked against the batch
+    oracle's pairwise earlier-arrival rule (provably equivalent: the store
+    owner of a bucket IS the min-arrival doc holding it)."""
+    from hudi_examples_spark.functions.text import minhash_bands, minhash_signature
+    from hudi_examples_spark.operators.llm_pipeline import _docs_shingled
+    from hudi_examples_spark.streaming.sinks import stream_upsert_sink
+
+    work = _workdir("stream_minhash_dedup", sf)
+    src = os.path.join(work, "src")
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    docs.withColumn("chunk", (F.col("doc_id") % 4).cast("int")).write.partitionBy(
+        "chunk"
+    ).parquet(src)
+    store = Table.create(
+        spark,
+        os.path.join(work, "store"),
+        "bb STRING, neg_arr BIGINT, owner_doc BIGINT",
+        TableConfig(record_key=["bb"], precombine="neg_arr"),
+    )
+    from hudi_examples_spark.functions.text import words as _w
+
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/chunk=*")
+    )
+    ws = stream.select("doc_id", _w("text").alias("__ws"))
+    from hudi_examples_spark.functions.text import shingles_from
+
+    sig = ws.select(
+        "doc_id",
+        minhash_signature(
+            F.array_distinct(shingles_from(F.col("__ws"), 3)), 16, hash_family="md5"
+        ).alias("sig"),
+    )
+    arr = (F.col("doc_id") % 4) * _ARR_BASE + F.col("doc_id")
+    claims = sig.select(
+        "doc_id",
+        F.posexplode(minhash_bands(F.col("sig"), bands=4, rows_per_band=4)),
+    ).select(
+        F.concat(F.col("pos").cast("string"), F.lit(":"), F.col("col")).alias("bb"),
+        (-arr).alias("neg_arr"),
+        F.col("doc_id").alias("owner_doc"),
+    )
+    q = stream_upsert_sink(
+        claims,
+        store,
+        os.path.join(work, "ckpt"),
+        sink_name="minhash_gate",
+        trigger={"availableNow": True},
+        compact_every=None,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow drain did not finish within 300s")
+    n_commits = sum(
+        1
+        for i in store.timeline.completed_data_instants()
+        if i.meta.get("sink_name") == "minhash_gate"
+    )
+    if n_commits < 2:
+        raise AssertionError(f"expected multiple micro-batch commits, got {n_commits}")
+    # read side: a doc is a near-dup iff any of its buckets is owned by an
+    # earlier arrival in the final store
+    d = _docs_shingled(spark, sf, 3)
+    my = (
+        d.select(
+            "doc_id",
+            minhash_signature(F.col("shingles"), 16, hash_family="md5").alias("sig"),
+        )
+        .select(
+            "doc_id", F.posexplode(minhash_bands(F.col("sig"), bands=4, rows_per_band=4))
+        )
+        .select(
+            "doc_id",
+            F.concat(F.col("pos").cast("string"), F.lit(":"), F.col("col")).alias("bb"),
+        )
+    )
+    owners = store.read().select("bb", (-F.col("neg_arr")).alias("owner_arr"))
+    my_arr = (F.col("doc_id") % 4) * _ARR_BASE + F.col("doc_id")
+    flags = (
+        my.join(owners, "bb")
+        .groupBy("doc_id")
+        .agg(F.min("owner_arr").alias("min_owner"))
+        .select("doc_id", (F.col("min_owner") < my_arr).alias("is_dup"))
+    )
+    return (
+        t(spark, sf, "documents")
+        .select("doc_id")
+        .join(flags, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+            (~F.coalesce("is_dup", F.lit(False))).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _stream_minhash_oracle() -> str:
+    from hudi_examples_spark.operators.llm_pipeline import minhash_banded_cte
+
+    return (
+        minhash_banded_cte()
+        + f"""
+, arrs AS (
+  SELECT doc_id, band, bucket,
+         (doc_id % 4) * {_ARR_BASE} + doc_id AS arr
+  FROM banded
+), dups AS (
+  SELECT DISTINCT a.doc_id
+  FROM arrs a JOIN arrs e
+    ON e.band = a.band AND e.bucket = a.bucket AND e.arr < a.arr
+)
+SELECT d.doc_id,
+       coalesce(x.hit, FALSE) AS is_dup,
+       NOT coalesce(x.hit, FALSE) AS keep
+FROM documents d
+LEFT JOIN (SELECT doc_id, TRUE AS hit FROM dups) x ON d.doc_id = x.doc_id
+ORDER BY d.doc_id
+"""
+    )
+
+
+STREAM_MINHASH_ORACLE = _stream_minhash_oracle()
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "stream_corpus_ingest", stream_corpus_ingest, STREAM_CORPUS_ORACLE, "T1,T2,T3 gated"
@@ -231,5 +382,11 @@ SPECS: list[QuerySpec] = [
         stream_dedup_ingest,
         STREAM_DEDUP_ORACLE,
         "T1-T3 + LLM:dedup — streaming content-hash dedup gate",
+    ),
+    QuerySpec(
+        "stream_minhash_dedup",
+        stream_minhash_dedup,
+        STREAM_MINHASH_ORACLE,
+        "T1-T3 + LLM:dedup — streaming MinHash/LSH near-dup gate",
     ),
 ]

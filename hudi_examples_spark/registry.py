@@ -65,17 +65,18 @@ def all_specs() -> list[QuerySpec]:
     # evidence ever (the 9 r7-prefix debuts + the 4 late debuts
     # w_interval_frames / corpus_token_drift / stream_windowed_counts /
     # mm_audio_energy) and 45 rows whose newest evidence is r4. All 13
-    # zero-evidence rows seat first, then the four round-8 debuts
+    # zero-evidence rows seat first, then the six round-8 debuts
     # (pipe_substring_decontaminate, pipe_temperature_mixture,
-    # text_char_entropy, text_zipf_fit); 33 of the 45 r4-aged rows fill the
-    # rest, led by the four rows r7's comment promised would rotate in first
+    # text_char_entropy, text_zipf_fit, dedup_minhash_incremental,
+    # stream_minhash_dedup); 31 of the 45 r4-aged rows fill the rest, led by
+    # the four rows r7's comment promised would rotate in first
     # (q2_min_cost_supplier, a_topk_two_keys, w_latest_per_key,
-    # q14_promo_revenue). The 12 r4-aged waiters — q4/q7/q8/q9/q11/q12/q13/
-    # q15/q16/q17/q18/q19, the most redundantly-shaped TPC-H rows (join-agg
-    # shapes covered by the seated q21/q22 rows, the r8-fresh q2/q14, and the
-    # full local sweep) — rotate in FIRST at r9, ahead of the 50 r5-aged rows
-    # (path back to max-age ≤2: r9 = 12 waiters + 38 oldest-r5; r10 =
-    # remaining r5 + r6).
+    # q14_promo_revenue). The 14 r4-aged waiters — the TPC-H battery
+    # q4/q7/q8/q9/q11/q12/q13/q15/q16/q17/q18/q19/q21/q22, the most
+    # redundantly-shaped rows (join-agg shapes covered by the r8-fresh
+    # q2/q14 and the full local sweep) — rotate in FIRST at r9, ahead of the
+    # 50 r5-aged rows (path back to max-age ≤2: r9 = 14 waiters + 36
+    # oldest-r5; r10 = remaining r5 + r6).
     # Registry size at HEAD: 158 + round-8 debuts; `python
     # tests/run_parity.py` sweeps all of it.
     r8_prefix = [
@@ -99,6 +100,8 @@ def all_specs() -> list[QuerySpec]:
         "pipe_temperature_mixture",
         "text_char_entropy",
         "text_zipf_fit",
+        "dedup_minhash_incremental",
+        "stream_minhash_dedup",
         # r4-aged refreshes: the four promised-first rows
         "q2_min_cost_supplier",
         "a_topk_two_keys",
@@ -132,9 +135,6 @@ def all_specs() -> list[QuerySpec]:
         "text_unigram_lm_score",
         "w_running_totals",
         "w_sessionization",
-        # r4-aged refreshes: the 2 TPC-H rows with the least-redundant shapes
-        "q21_sole_supplier_orders",
-        "q22_idle_customers",
     ]
     assert len(r8_prefix) == 50 and len(set(r8_prefix)) == 50, "prefix must be 50 unique names"
     by_name = {s.name: s for s in specs}
