@@ -1,0 +1,226 @@
+"""Round-8 operator semantics on planted data: substring eval decontamination,
+temperature mixture, character entropy, Zipf fit, and the incremental +
+streaming MinHash gates."""
+
+from __future__ import annotations
+
+import glob
+import math
+import shutil
+
+from hudi_examples_spark.operators.llm_pipeline8 import pipe_substring_decontaminate
+from hudi_examples_spark.operators.llm_pipeline11 import (
+    MIX_ALPHA,
+    dedup_minhash_incremental,
+    pipe_temperature_mixture,
+    text_char_entropy,
+    text_zipf_fit,
+)
+from hudi_examples_spark.operators.streaming_gate import stream_minhash_dedup
+
+
+def _write_docs(spark, tmp_path, rows):
+    """rows: (doc_id, text[, source])."""
+    full = [
+        (r[0], r[1], "en", r[2] if len(r) > 2 else "src0", len(r[1])) for r in rows
+    ]
+    df = spark.createDataFrame(
+        full, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    shutil.copy(
+        glob.glob(str(tmp_path / "docs" / "*.parquet"))[0],
+        str(tmp_path / "documents.parquet"),
+    )
+    return str(tmp_path)
+
+
+# ---------------------------------------------------------------------------
+# pipe_substring_decontaminate (llm_pipeline8, W=6, EVAL_MOD=50)
+# ---------------------------------------------------------------------------
+
+
+def test_substring_decontaminate_flags_verbatim_eval_span(spark, tmp_path):
+    phrase = "e1 e2 e3 e4 e5 e6"  # exactly W=6 tokens
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, f"h1 h2 {phrase} h3"),  # doc 0 % 50 == 0 → EVAL slice
+            (1, f"a1 a2 a3 {phrase} a4"),  # train: carries the eval phrase
+            (2, "b1 b2 b3 b4 b5 b6 b7 b8"),  # train: clean
+            (3, phrase),  # train: IS the phrase → fully contaminated
+        ],
+    )
+    rep = {r["doc_id"]: r for r in pipe_substring_decontaminate(spark, sf).collect()}
+    assert set(rep) == {1, 2, 3}  # eval doc 0 excluded from the output
+    assert rep[1]["contaminated_tokens"] == 6 and rep[1]["n_contam_spans"] == 1
+    assert rep[1]["kept_tokens"] == rep[1]["n_tokens"] - 6
+    assert rep[2]["contaminated_tokens"] == 0 and rep[2]["kept_tokens"] == 8
+    assert rep[3]["contaminated_tokens"] == 6 and rep[3]["kept_tokens"] == 0
+
+
+def test_substring_decontaminate_merges_overlapping_windows(spark, tmp_path):
+    # an 8-token eval phrase inside a train doc produces 3 overlapping
+    # W-windows that must merge into ONE maximal 8-token span
+    phrase = "e1 e2 e3 e4 e5 e6 e7 e8"
+    sf = _write_docs(
+        spark, tmp_path, [(0, phrase), (1, f"x1 {phrase} x2"), (2, "y1 y2 y3")]
+    )
+    rep = {r["doc_id"]: r for r in pipe_substring_decontaminate(spark, sf).collect()}
+    assert rep[1]["contaminated_tokens"] == 8 and rep[1]["n_contam_spans"] == 1
+
+
+# ---------------------------------------------------------------------------
+# pipe_temperature_mixture
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mixture_hand_computed(spark, tmp_path):
+    # src0: 9 tokens over 2 docs; src1: 3 tokens over 1 doc
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "a b c d e", "src0"),
+            (2, "f g h i", "src0"),
+            (3, "x y z", "src1"),
+        ],
+    )
+    rep = {r["source"]: r for r in pipe_temperature_mixture(spark, sf).collect()}
+    p0, p1 = 9 / 12, 3 / 12
+    w0, w1 = p0**MIX_ALPHA, p1**MIX_ALPHA
+    s0, s1 = w0 / (w0 + w1), w1 / (w0 + w1)
+    assert rep["src0"]["docs"] == 2 and rep["src0"]["tokens"] == 9
+    assert rep["src0"]["natural_share"] == round(p0, 6)
+    assert rep["src1"]["temp_share"] == round(s1, 6)
+    # temperature flattens: the tail source is upsampled, the head damped
+    assert rep["src1"]["upsample"] == round(s1 / p1, 6) > 1.0
+    assert rep["src0"]["upsample"] < 1.0
+    # shares always sum to 1
+    assert abs(rep["src0"]["temp_share"] + rep["src1"]["temp_share"] - 1.0) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# text_char_entropy
+# ---------------------------------------------------------------------------
+
+
+def test_char_entropy_hand_computed(spark, tmp_path):
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, "aaaa"), (2, "ab"), (3, "abcd"), (4, "aab")],
+    )
+    rep = {r["doc_id"]: r for r in text_char_entropy(spark, sf).collect()}
+    assert rep[1]["entropy_bits"] == 0.0 and rep[1]["n_distinct_chars"] == 1
+    assert rep[2]["entropy_bits"] == 1.0
+    assert rep[3]["entropy_bits"] == 2.0 and rep[3]["n_chars"] == 4
+    # H(2/3, 1/3)
+    h = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert rep[4]["entropy_bits"] == round(h, 6)
+
+
+# ---------------------------------------------------------------------------
+# text_zipf_fit
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_fit_matches_closed_form(spark, tmp_path):
+    # frequencies 4, 2, 1 → ranks 1, 2, 3 (ties: none)
+    sf = _write_docs(spark, tmp_path, [(1, "a a a a b b c")])
+    row = text_zipf_fit(spark, sf).collect()[0]
+    xs = [math.log(1), math.log(2), math.log(3)]
+    ys = [math.log(4), math.log(2), math.log(1)]
+    n = 3
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = ((n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) ** 2
+    assert row["n_types"] == 3 and row["n_tokens"] == 7
+    assert row["zipf_slope"] == round(slope, 6)
+    assert row["zipf_intercept"] == round(intercept, 6)
+    assert row["r2"] == round(r2, 6)
+
+
+def test_zipf_rank_ties_break_lexicographically(spark, tmp_path):
+    # b and c tie at count 2: ranks must be b=2, c=3 deterministically —
+    # pinned by comparing against the direct row_number ranking
+    sf = _write_docs(spark, tmp_path, [(1, "a a a b b c c d")])
+    row = text_zipf_fit(spark, sf).collect()[0]
+    freqs = {"a": 3, "b": 2, "c": 2, "d": 1}
+    ranked = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [math.log(i + 1) for i in range(len(ranked))]
+    ys = [math.log(c) for _, c in ranked]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert row["zipf_slope"] == round(slope, 6)
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_incremental (store: doc_id % 10 < 8; batch: >= 8)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_dedup_planted(spark, tmp_path):
+    dup_text = "the quick brown fox jumps over the lazy dog tonight"
+    batch_dup = "alpha beta gamma delta epsilon zeta eta theta"
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (2, dup_text),  # store
+            (5, "totally different stored content with many words here"),  # store
+            (18, dup_text),  # batch: exact copy of a stored doc → dup_corpus
+            (8, batch_dup),  # batch: first occurrence within the batch → keep
+            (28, batch_dup),  # batch: later copy → dup_batch
+            (9, "unique new content that matches nothing else at all"),  # keep
+        ],
+    )
+    rep = {
+        r["doc_id"]: r
+        for r in dedup_minhash_incremental(spark, sf, oracle_mode=True).collect()
+    }
+    assert set(rep) == {8, 9, 18, 28}
+    assert rep[18]["dup_corpus"] and not rep[18]["keep"]
+    assert rep[28]["dup_batch"] and not rep[28]["keep"]
+    assert rep[8]["keep"] and not rep[8]["dup_batch"]  # first occurrence wins
+    assert rep[9]["keep"] and not rep[9]["dup_corpus"]
+    # production hash family agrees on exact copies (identical signatures
+    # regardless of family)
+    rep_x = {
+        r["doc_id"]: r for r in dedup_minhash_incremental(spark, sf).collect()
+    }
+    assert rep_x[18]["dup_corpus"] and rep_x[28]["dup_batch"] and rep_x[8]["keep"]
+
+
+# ---------------------------------------------------------------------------
+# stream_minhash_dedup (arrival = chunk order, then doc_id)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_minhash_dedup_first_arrival_wins(spark, tmp_path):
+    dup_text = "the quick brown fox jumps over the lazy dog tonight"
+    # doc 4 → chunk 0, doc 1 → chunk 1: doc 4 ARRIVES first despite the
+    # higher doc_id, so doc 1 must be the duplicate — pins arrival-order
+    # (not doc_id-order) semantics across micro-batches
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (4, dup_text),
+            (1, dup_text),
+            (2, "some other words entirely unrelated to anything here"),
+            (3, "third unique document with its own distinct content"),
+        ],
+    )
+    rep = {r["doc_id"]: r for r in stream_minhash_dedup(spark, sf).collect()}
+    assert rep[4]["keep"] and not rep[4]["is_dup"]
+    assert rep[1]["is_dup"] and not rep[1]["keep"]
+    assert rep[2]["keep"] and rep[3]["keep"]
