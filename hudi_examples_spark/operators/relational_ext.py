@@ -503,6 +503,147 @@ ORDER BY o_orderpriority
 """
 
 
+def ev_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase) — the event-analytics
+    staple the TPC-H battery never exercises: a user reaches stage k only via
+    timestamps in strictly increasing order across stages (greedy-earliest
+    chain, which is existence-optimal). Three user-keyed aggregations chained
+    by user-keyed joins — no window over the full event stream, no
+    cross-stage shuffle beyond the user key; per-stage counts collapse to one
+    3-row stack. At 100 TB this is the same plan with more user-key buckets."""
+    e = t(spark, sf, "events").select("user_id", "ts", "event_type")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n = (
+        v.agg(F.count(F.lit(1)).alias("n1"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n3")))
+    )
+    staged = n.selectExpr(
+        "stack(3, "
+        "'1_view', n1, CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE), "
+        "'2_click', n2, n2 / CAST(nullif(n1, 0) AS DOUBLE), n2 / CAST(nullif(n1, 0) AS DOUBLE), "
+        "'3_purchase', n3, n3 / CAST(nullif(n2, 0) AS DOUBLE), n3 / CAST(nullif(n1, 0) AS DOUBLE)"
+        ") AS (stage, users, conv_prev, conv_start)"
+    )
+    return staged.select(
+        "stage",
+        F.col("users").cast("long").alias("users"),
+        F.round("conv_prev", 6).alias("conv_prev"),
+        F.round("conv_start", 6).alias("conv_start"),
+    ).orderBy("stage")
+
+
+EV_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+), n AS (
+  SELECT (SELECT count(*) FROM v) AS n1,
+         (SELECT count(*) FROM c) AS n2,
+         (SELECT count(*) FROM p) AS n3
+)
+SELECT '1_view' AS stage, n1::BIGINT AS users,
+       round(1.0, 6) AS conv_prev, round(1.0, 6) AS conv_start FROM n
+UNION ALL
+SELECT '2_click', n2::BIGINT,
+       round(n2 / CAST(nullif(n1, 0) AS DOUBLE), 6),
+       round(n2 / CAST(nullif(n1, 0) AS DOUBLE), 6) FROM n
+UNION ALL
+SELECT '3_purchase', n3::BIGINT,
+       round(n3 / CAST(nullif(n2, 0) AS DOUBLE), 6),
+       round(n3 / CAST(nullif(n1, 0) AS DOUBLE), 6) FROM n
+ORDER BY stage
+"""
+
+
+def ev_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention — the second event-analytics staple: cohort =
+    ISO week of a user's first event; for each (cohort, week offset) the
+    distinct active users and the retention ratio against the cohort size.
+    Two user-keyed aggregations + one (user, week) distinct; offsets are
+    exact integer day-diffs (week-truncated stamps differ by multiples of 7,
+    so the `div` is exact — no float boundary)."""
+    e = t(spark, sf, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    )
+    first = e.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    act = e.distinct()
+    per = (
+        act.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.expr("datediff(wk, cohort) div 7").cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort", "week_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+    size = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        per.join(size, "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            F.col("active_users").cast("long").alias("active_users"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.round(
+                F.col("active_users") / F.col("cohort_size").cast("double"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+EV_RETENTION_ORACLE = """
+WITH e AS (
+  SELECT user_id, date_trunc('week', ts) AS wk FROM events
+), first AS (
+  SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id
+), act AS (
+  SELECT DISTINCT user_id, wk FROM e
+), per AS (
+  SELECT f.cohort, date_diff('day', f.cohort, a.wk) // 7 AS week_offset,
+         count(DISTINCT a.user_id) AS active_users
+  FROM act a JOIN first f USING (user_id)
+  GROUP BY 1, 2
+), sz AS (
+  SELECT cohort, count(*) AS cohort_size FROM first GROUP BY cohort
+)
+SELECT strftime(p.cohort, '%Y-%m-%d') AS cohort_week,
+       p.week_offset::INT AS week_offset,
+       p.active_users::BIGINT AS active_users,
+       s.cohort_size::BIGINT AS cohort_size,
+       round(p.active_users / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+FROM per p JOIN sz s USING (cohort)
+ORDER BY cohort_week, week_offset
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("q4_order_priority", q4_order_priority, Q4_ORACLE, "J4,A3"),
     QuerySpec("q7_nation_volume", q7_nation_volume, Q7_ORACLE, "J1-J5,A3"),
@@ -516,4 +657,6 @@ SPECS: list[QuerySpec] = [
     QuerySpec("s_orc_roundtrip", s_orc_roundtrip, S_ORC_ORACLE, "S5+"),
     QuerySpec("a_grouping_sets", a_grouping_sets, A_GROUPING_SETS_ORACLE, "A3+,rollup"),
     QuerySpec("a_sketch_profile", _a_sketch_profile_oracle_mode, A_SKETCH_ORACLE, "A:sketches"),
+    QuerySpec("ev_funnel_conversion", ev_funnel_conversion, EV_FUNNEL_ORACLE, "§2.5 event analytics"),
+    QuerySpec("ev_retention_cohorts", ev_retention_cohorts, EV_RETENTION_ORACLE, "§2.5 event analytics"),
 ]
