@@ -377,6 +377,185 @@ ORDER BY media_id
 """
 
 
+def media_phash(df: DataFrame) -> DataFrame:
+    """Perceptual average-hash stage: payload bytes → 64-bit aHash, carried as
+    four 16-bit band integers + the hex string. Block i (byte j → block
+    ``j*64 // n``) sets bit i when its mean exceeds the payload mean —
+    compared by integer cross-multiplication (``bsum·n > tsum·blen``), so the
+    hash is value-exact cross-engine. With an image codec the same contract
+    hashes decoded luma; on the opaque payload it is the deterministic stand-
+    in that keeps the banding/dedup plumbing real. mapInPandas + bincount:
+    Arrow batches, vectorized per-medium work, nothing at the driver."""
+    import numpy as np
+
+    out_schema = (
+        "media_id BIGINT, n_bytes INT, b0 INT, b1 INT, b2 INT, b3 INT, phash STRING"
+    )
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                a = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                n = len(a)
+                if n == 0:
+                    rows.append((mid, 0, 0, 0, 0, 0, "0000000000000000"))
+                    continue
+                blk = (np.arange(n) * 64) // n
+                bsum = np.bincount(blk, weights=a, minlength=64).astype(np.int64)
+                blen = np.bincount(blk, minlength=64).astype(np.int64)
+                tsum = int(a.sum())
+                bits = (bsum * n) > (tsum * blen)
+                bands = [
+                    int(sum(1 << (15 - k) for k in range(16) if bits[16 * b + k]))
+                    for b in range(4)
+                ]
+                rows.append(
+                    (mid, n, *bands, "".join(f"{b:04x}" for b in bands))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_bytes", "b0", "b1", "b2", "b3", "phash"],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(phash, out_schema)
+
+
+#: Hamming acceptance radius for the pair confirm (out of 64 bits).
+PHASH_MAX_HAMMING = 8
+
+
+def phash_pairs(hashed: DataFrame, max_hamming: int = PHASH_MAX_HAMMING) -> DataFrame:
+    """Near-duplicate pairs from a ``media_phash`` table: 4×16-bit band
+    buckets generate candidates (pigeonhole-COMPLETE for pairs within
+    Hamming ≤ 3; probabilistic beyond — the standard LSH recall tradeoff,
+    same banding logic as ``dedup_simhash``), exact Hamming confirm via
+    ``bit_count(xor)`` on the band integers. Candidates come from a
+    band/bucket equi-join — never all-pairs."""
+    bands = hashed.select(
+        "media_id",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "v"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(F.col("a.media_id").alias("m1"), F.col("b.media_id").alias("m2"))
+        .distinct()
+    )
+    ha = hashed.select(
+        F.col("media_id").alias("m1"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(4)],
+    )
+    hb = hashed.select(
+        F.col("media_id").alias("m2"),
+        *[F.col(f"b{i}").alias(f"c{i}") for i in range(4)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"c{i}"))) for i in range(4)
+    )
+    return (
+        cand.join(ha, "m1")
+        .join(hb, "m2")
+        .select("m1", "m2", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("m1", "m2")
+    )
+
+
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the perceptual-hash dedup gate — per medium the 64-bit
+    average-hash (hex + popcount) and the number of band-bucket PARTNERS
+    (other media agreeing exactly on ≥1 of the 4 16-bit bands — the
+    candidate-generation stage of ``phash_pairs``, whose Hamming confirm is
+    pinned on planted duplicates in tests/test_multimodal.py; the synthetic
+    corpus has no near-identical payloads, so the profile — not the pair
+    list — is the non-degenerate driver-gated artifact).
+
+    Scale shape: hashing is one Arrow mapInPandas pass (integer-exact
+    cross-engine); the partner count is a band/bucket self-equi-join over a
+    9-ints-per-medium table — never all-pairs."""
+    media = synthetic_media(spark, sf_dir).filter(F.length("payload") > 0)
+    hashed = media_phash(media)
+    bands = hashed.select(
+        "media_id",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "v"),
+    )
+    partners = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.media_id") != F.col("b.media_id")),
+        )
+        .groupBy(F.col("a.media_id").alias("media_id"))
+        .agg(F.count_distinct(F.col("b.media_id")).alias("n_partners"))
+    )
+    pop = sum(F.bit_count(F.col(f"b{i}")) for i in range(4))
+    return (
+        hashed.join(partners, "media_id", "left")
+        .select(
+            "media_id",
+            "n_bytes",
+            "phash",
+            pop.cast("int").alias("pop"),
+            F.coalesce("n_partners", F.lit(0)).cast("long").alias("n_partners"),
+        )
+        .orderBy("media_id")
+    )
+
+
+MM_PHASH_ORACLE = """
+WITH media AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) AS n,
+         upper(hex(encode(text))) AS hx
+  FROM documents WHERE octet_length(encode(text)) >= 1
+), bytes AS (
+  SELECT media_id, n, (j * 64) // n AS blk,
+         ('0x' || substring(hx, CAST(j * 2 + 1 AS INT), 2))::BIGINT AS v
+  FROM (SELECT media_id, n, hx, unnest(generate_series(0, n - 1)) AS j FROM media)
+), blocks AS (
+  SELECT media_id, n, blk, sum(v) AS bsum, count(*) AS blen
+  FROM bytes GROUP BY 1, 2, 3
+), tot AS (
+  SELECT media_id, sum(bsum) AS tsum FROM blocks GROUP BY 1
+), bits AS (
+  SELECT b.media_id, b.blk,
+         CASE WHEN b.bsum * b.n > t.tsum * b.blen THEN 1 ELSE 0 END AS bit
+  FROM blocks b JOIN tot t USING (media_id)
+), bands AS (
+  SELECT media_id, CAST(blk // 16 AS INT) AS band,
+         CAST(sum(bit << (15 - CAST(blk % 16 AS INT))) AS INT) AS v
+  FROM bits GROUP BY 1, 2
+), hashes AS (
+  SELECT media_id,
+         printf('%04x%04x%04x%04x',
+                max(CASE WHEN band = 0 THEN v END),
+                max(CASE WHEN band = 1 THEN v END),
+                max(CASE WHEN band = 2 THEN v END),
+                max(CASE WHEN band = 3 THEN v END)) AS phash,
+         CAST(sum(bit_count(v)) AS INT) AS pop
+  FROM bands GROUP BY media_id
+), partners AS (
+  SELECT a.media_id, count(DISTINCT b.media_id) AS n_partners
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.v = b.v AND a.media_id <> b.media_id
+  GROUP BY a.media_id
+)
+SELECT m.media_id, CAST(m.n AS INT) AS n_bytes, h.phash, h.pop,
+       coalesce(p.n_partners, 0)::BIGINT AS n_partners
+FROM media m
+JOIN hashes h ON h.media_id = m.media_id
+LEFT JOIN partners p ON p.media_id = m.media_id
+ORDER BY m.media_id
+"""
+
+
 SPECS: list[QuerySpec] = [
     # all three binary pipelines carry DuckDB oracles: the fake decode/resize/
     # chunk stages are pure byte math, so the mapInPandas plumbing itself sits
@@ -386,4 +565,5 @@ SPECS: list[QuerySpec] = [
     QuerySpec("mm_frame_sample", mm_frame_sample, MM_FRAME_ORACLE, "LLM:multimodal"),
     QuerySpec("mm_audio_energy", mm_audio_energy, MM_AUDIO_ORACLE, "LLM:multimodal-audio"),
     QuerySpec("mm_resize_pipeline", mm_resize_pipeline, MM_RESIZE_ORACLE, "LLM:multimodal"),
+    QuerySpec("mm_phash_dedup", mm_phash_dedup, MM_PHASH_ORACLE, "LLM:multimodal-dedup"),
 ]

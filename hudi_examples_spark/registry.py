@@ -65,19 +65,20 @@ def all_specs() -> list[QuerySpec]:
     # evidence ever (the 9 r7-prefix debuts + the 4 late debuts
     # w_interval_frames / corpus_token_drift / stream_windowed_counts /
     # mm_audio_energy) and 45 rows whose newest evidence is r4. All 13
-    # zero-evidence rows seat first, then the eight round-8 debuts
+    # zero-evidence rows seat first, then the nine round-8 debuts
     # (pipe_substring_decontaminate, pipe_temperature_mixture,
     # text_char_entropy, text_zipf_fit, dedup_minhash_incremental,
-    # stream_minhash_dedup, ev_funnel_conversion, ev_retention_cohorts);
-    # 29 of the 45 r4-aged rows fill the rest, led by the four rows r7's
-    # comment promised would rotate in first (q2_min_cost_supplier,
-    # a_topk_two_keys, w_latest_per_key, q14_promo_revenue). The 16 r4-aged
-    # waiters — the TPC-H battery q4/q7/q8/q9/q11/q12/q13/q15/q16/q17/q18/
-    # q19/q21/q22 plus e_intersect/e_union_dedup (set-op shape covered by the
-    # seated e_except_diff), the most redundantly-shaped rows (join-agg
-    # shapes covered by the r8-fresh q2/q14 and the full local sweep) —
-    # rotate in FIRST at r9, ahead of the 50 r5-aged rows (path back to
-    # max-age ≤2: r9 = 16 waiters + 34 oldest-r5; r10 = remaining r5 + r6).
+    # stream_minhash_dedup, ev_funnel_conversion, ev_retention_cohorts,
+    # mm_phash_dedup); 28 of the 45 r4-aged rows fill the rest, led by the
+    # four rows r7's comment promised would rotate in first
+    # (q2_min_cost_supplier, a_topk_two_keys, w_latest_per_key,
+    # q14_promo_revenue). The 17 r4-aged waiters — the TPC-H battery
+    # q4/q7/q8/q9/q11/q12/q13/q15/q16/q17/q18/q19/q21/q22 plus
+    # e_intersect/e_union_dedup (set-op shape covered by the seated
+    # e_except_diff) and a_cube_order_mix (rollup/cube shape covered by the
+    # seated a_rollup_revenue) — rotate in FIRST at r9, ahead of the 50
+    # r5-aged rows (path back to max-age ≤2: r9 = 17 waiters + 33 oldest-r5;
+    # r10 = remaining r5 + r6).
     # Registry size at HEAD: 158 + round-8 debuts; `python
     # tests/run_parity.py` sweeps all of it.
     r8_prefix = [
@@ -105,6 +106,7 @@ def all_specs() -> list[QuerySpec]:
         "stream_minhash_dedup",
         "ev_funnel_conversion",
         "ev_retention_cohorts",
+        "mm_phash_dedup",
         # r4-aged refreshes: the four promised-first rows
         "q2_min_cost_supplier",
         "a_topk_two_keys",
@@ -112,7 +114,6 @@ def all_specs() -> list[QuerySpec]:
         "q14_promo_revenue",
         # r4-aged refreshes: the 29 non-TPC-H rows
         "a_count_star",
-        "a_cube_order_mix",
         "a_group_count_sort",
         "a_interval_counts",
         "a_rollup_revenue",

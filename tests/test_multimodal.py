@@ -107,3 +107,56 @@ def test_audio_window_energy_hand_computed(spark):
     assert rows[2]["n_windows"] == 2 and rows[2]["total_energy"] == 127 * 127
     assert rows[2]["peak_window"] == 1  # the spike lands in the tail window
     assert rows[3]["n_windows"] == 0 and rows[3]["total_energy"] == 0
+
+
+def test_phash_identical_and_near_identical_payloads(spark):
+    from hudi_examples_spark.operators.multimodal import media_phash, phash_pairs
+
+    base = bytes(range(64)) * 4  # 256 bytes, strongly structured blocks
+    near = bytearray(base)
+    near[0] ^= 0x01  # one byte nudged: hash moves by at most a few bits
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(base), "{}"),
+            (2, "image", bytearray(base), "{}"),  # exact copy → hamming 0
+            (3, "image", near, "{}"),  # near copy → small hamming
+            (4, "image", bytearray(b"\x00" * 100 + b"\xff" * 100), "{}"),  # far
+        ],
+        "media_id BIGINT, kind STRING, payload BINARY, meta STRING",
+    )
+    hashed = media_phash(df)
+    rows = {r["media_id"]: r for r in hashed.collect()}
+    assert rows[1]["phash"] == rows[2]["phash"]
+    assert len(rows[1]["phash"]) == 16
+    pairs = {(r["m1"], r["m2"]): r["hamming"] for r in phash_pairs(hashed).collect()}
+    assert pairs[(1, 2)] == 0  # exact duplicate confirmed at hamming 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 8  # near-dup caught by banding
+    assert (1, 4) not in pairs  # structurally different payload stays out
+
+
+def test_phash_block_math_matches_direct_computation(spark):
+    import numpy as np
+
+    from hudi_examples_spark.operators.multimodal import media_phash
+
+    payload = bytes((i * 7 + 3) % 256 for i in range(100))  # n not divisible by 64
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(payload), "{}")],
+        "media_id BIGINT, kind STRING, payload BINARY, meta STRING",
+    )
+    row = media_phash(df).collect()[0]
+    a = np.frombuffer(payload, dtype=np.uint8).astype(int)
+    n = len(a)
+    blk = (np.arange(n) * 64) // n
+    expected_bits = []
+    for i in range(64):
+        sel = a[blk == i]
+        expected_bits.append(
+            int(len(sel) > 0 and sel.sum() * n > a.sum() * len(sel))
+        )
+    expected = "".join(
+        f"{int(''.join(map(str, expected_bits[16 * b : 16 * b + 16])), 2):04x}"
+        for b in range(4)
+    )
+    assert row["phash"] == expected
+    assert row["n_bytes"] == 100
