@@ -373,6 +373,167 @@ FROM toks GROUP BY token ORDER BY occurrences DESC, token LIMIT {WP_OUT}
 TOK_WORDPIECE_ORACLE = _wordpiece_oracle()
 
 
+#: multi-char pieces kept by the prune pass (single chars always survive —
+#: the coverage floor). The corpus' greedy segmentation uses ~17 multi-char
+#: pieces, so keeping 8 makes the prune REAL: ~half the in-use inventory
+#: drops and its usage mass redistributes to shorter survivors.
+VP_KEEP = 8
+
+
+def tok_vocab_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer vocabulary-pruning iteration — the SentencePiece/unigram
+    trainer's prune step (Kudo 2018, arXiv:1804.10959 §3.2: grow a candidate
+    vocab, measure usage under the current segmentation, drop the weakest
+    pieces, re-segment) expressed with the greedy longest-match segmenter and
+    pure integer statistics, so the round is value-exact cross-engine:
+
+    - round 1: encode the word-type table against the full WordPiece vocab
+      (``_wp_vocab``) and count per-token usage (word-frequency weighted);
+    - prune: keep the top ``VP_KEEP`` multi-char tokens by (usage DESC,
+      token ASC); single-char pieces always survive — coverage never breaks;
+    - round 2: re-encode against the pruned vocab and recount. Usage mass
+      REDISTRIBUTES deterministically: a dropped piece's positions fall to
+      shorter survivors, so round-2 counts of survivors only grow.
+
+    Output: per token, round-1 and round-2 usage (0 where absent), ordered
+    (occ1 DESC, occ2 DESC, token) LIMIT {WP_OUT} — the trainer's
+    before/after prune ledger.
+
+    Distributed shape: both encodes are the ``wordpiece_encode_words``
+    codegen fold over word TYPES with broadcast piece literals; the prune
+    decision collects only the bounded top-K usage rows (tokenizer METADATA,
+    like the vocab itself). The only shuffles at any scale are the type
+    groupBy and the two token aggregations."""
+    starts, conts, wt = _wp_vocab(spark, sf)
+
+    def usage(st, co):
+        return (
+            wordpiece_encode_words(wt, st, co)
+            .select("cnt", F.explode("toks").alias("token"))
+            .groupBy("token")
+            .agg(F.sum("cnt").cast("long").alias("occ"))
+        )
+
+    u1 = usage(starts, conts)
+    keep = (
+        u1.filter(
+            F.when(
+                F.col("token").startswith("##"),
+                F.length("token") > 3,  # '##' + ≥2 chars
+            ).otherwise(F.length("token") > 1)
+        )
+        .orderBy(F.desc("occ"), F.asc("token"))
+        .limit(VP_KEEP)
+        .collect()
+    )
+    surv_start = {r["token"] for r in keep if not r["token"].startswith("##")}
+    surv_cont = {r["token"][2:] for r in keep if r["token"].startswith("##")}
+    chars = {p for ln, p in starts if ln == 1}
+    to_list = lambda ps: sorted(((len(p), p) for p in ps))  # noqa: E731
+    u2 = usage(to_list(surv_start | chars), to_list(surv_cont | chars))
+    return (
+        u1.select("token", F.col("occ").alias("occ_before"))
+        .join(u2.select("token", F.col("occ").alias("occ_after")), "token", "full_outer")
+        .select(
+            "token",
+            F.coalesce("occ_before", F.lit(0)).cast("long").alias("occ_before"),
+            F.coalesce("occ_after", F.lit(0)).cast("long").alias("occ_after"),
+        )
+        .orderBy(F.desc("occ_before"), F.desc("occ_after"), F.asc("token"))
+        .limit(WP_OUT)
+    )
+
+
+def _vocab_prune_oracle() -> str:
+    """Both segmentation rounds as one DuckDB statement: the round-1 walk is
+    the WordPiece oracle's; the pruned vocab derives relationally from the
+    round-1 usage (same (occ DESC, token) top-K, single chars unioned back);
+    the round-2 walk replays greedy matching against it."""
+    return f"""
+WITH RECURSIVE wt AS (
+  SELECT w, count(*)::BIGINT AS cnt FROM (
+    SELECT unnest(list_filter(str_split(trim(text), ' '), x -> x <> '')) AS w
+    FROM documents) GROUP BY w
+), subs AS (
+  SELECT CASE WHEN i = 1 THEN 's' ELSE 'c' END AS form,
+         substr(w, i, k) AS piece, sum(cnt)::BIGINT AS c
+  FROM wt,
+       (SELECT unnest(generate_series(2, {WP_MAXP})) AS k) ks,
+       LATERAL (SELECT unnest(generate_series(1, length(w) - k + 1)) AS i)
+  GROUP BY 1, 2
+), topn AS (
+  SELECT form, piece FROM subs ORDER BY c DESC, form ASC, piece ASC LIMIT {WP_TOP}
+), chars AS (
+  SELECT DISTINCT substr(w, i, 1) AS piece
+  FROM wt, LATERAL (SELECT unnest(generate_series(1, length(w))) AS i)
+), vocab AS (
+  SELECT form, piece, length(piece) AS len FROM (
+    SELECT form, piece FROM topn
+    UNION SELECT 's', piece FROM chars
+    UNION SELECT 'c', piece FROM chars)
+), pos AS (
+  SELECT w, i AS pos FROM wt, LATERAL (SELECT unnest(generate_series(1, length(w))) AS i)
+), bm AS (
+  SELECT w, pos, piece, len, form FROM (
+    SELECT p.w, p.pos, v.piece, v.len, v.form,
+           row_number() OVER (PARTITION BY p.w, p.pos ORDER BY v.len DESC) AS rk
+    FROM pos p JOIN vocab v
+      ON v.form = CASE WHEN p.pos = 1 THEN 's' ELSE 'c' END
+     AND substr(p.w, p.pos, v.len) = v.piece)
+  WHERE rk = 1
+), walk AS (
+  SELECT w, cnt, 1 AS pos FROM wt
+  UNION ALL
+  SELECT k.w, k.cnt, k.pos + b.len
+  FROM walk k JOIN bm b ON b.w = k.w AND b.pos = k.pos
+  WHERE k.pos <= length(k.w)
+), u1 AS (
+  SELECT CASE WHEN b.form = 's' THEN b.piece ELSE '##' || b.piece END AS token,
+         sum(k.cnt)::BIGINT AS occ
+  FROM walk k JOIN bm b ON b.w = k.w AND b.pos = k.pos
+  GROUP BY 1
+), kept AS (
+  SELECT token FROM u1
+  WHERE CASE WHEN token LIKE '##%' THEN length(token) > 3 ELSE length(token) > 1 END
+  ORDER BY occ DESC, token ASC LIMIT {VP_KEEP}
+), vocab2 AS (
+  SELECT form, piece, length(piece) AS len FROM (
+    SELECT CASE WHEN token LIKE '##%' THEN 'c' ELSE 's' END AS form,
+           CASE WHEN token LIKE '##%' THEN substr(token, 3) ELSE token END AS piece
+    FROM kept
+    UNION SELECT 's', piece FROM chars
+    UNION SELECT 'c', piece FROM chars)
+), bm2 AS (
+  SELECT w, pos, piece, len, form FROM (
+    SELECT p.w, p.pos, v.piece, v.len, v.form,
+           row_number() OVER (PARTITION BY p.w, p.pos ORDER BY v.len DESC) AS rk
+    FROM pos p JOIN vocab2 v
+      ON v.form = CASE WHEN p.pos = 1 THEN 's' ELSE 'c' END
+     AND substr(p.w, p.pos, v.len) = v.piece)
+  WHERE rk = 1
+), walk2 AS (
+  SELECT w, cnt, 1 AS pos FROM wt
+  UNION ALL
+  SELECT k.w, k.cnt, k.pos + b.len
+  FROM walk2 k JOIN bm2 b ON b.w = k.w AND b.pos = k.pos
+  WHERE k.pos <= length(k.w)
+), u2 AS (
+  SELECT CASE WHEN b.form = 's' THEN b.piece ELSE '##' || b.piece END AS token,
+         sum(k.cnt)::BIGINT AS occ
+  FROM walk2 k JOIN bm2 b ON b.w = k.w AND b.pos = k.pos
+  GROUP BY 1
+)
+SELECT coalesce(u1.token, u2.token) AS token,
+       coalesce(u1.occ, 0)::BIGINT AS occ_before,
+       coalesce(u2.occ, 0)::BIGINT AS occ_after
+FROM u1 FULL OUTER JOIN u2 ON u1.token = u2.token
+ORDER BY occ_before DESC, occ_after DESC, token ASC LIMIT {WP_OUT}
+"""
+
+
+TOK_VOCAB_PRUNE_ORACLE = _vocab_prune_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Corpus drift: token-distribution divergence between slices
 # ---------------------------------------------------------------------------
@@ -465,6 +626,12 @@ SPECS: list[QuerySpec] = [
         tok_wordpiece_encode,
         TOK_WORDPIECE_ORACLE,
         "LLM:wordpiece-tokenizer",
+    ),
+    QuerySpec(
+        "tok_vocab_prune",
+        tok_vocab_prune,
+        TOK_VOCAB_PRUNE_ORACLE,
+        "LLM:tokenizer vocabulary-pruning iteration (unigram-trainer prune step)",
     ),
     QuerySpec(
         "corpus_token_drift",

@@ -65,20 +65,21 @@ def all_specs() -> list[QuerySpec]:
     # evidence ever (the 9 r7-prefix debuts + the 4 late debuts
     # w_interval_frames / corpus_token_drift / stream_windowed_counts /
     # mm_audio_energy) and 45 rows whose newest evidence is r4. All 13
-    # zero-evidence rows seat first, then the nine round-8 debuts
+    # zero-evidence rows seat first, then the ten round-8 debuts
     # (pipe_substring_decontaminate, pipe_temperature_mixture,
     # text_char_entropy, text_zipf_fit, dedup_minhash_incremental,
     # stream_minhash_dedup, ev_funnel_conversion, ev_retention_cohorts,
-    # mm_phash_dedup); 28 of the 45 r4-aged rows fill the rest, led by the
-    # four rows r7's comment promised would rotate in first
+    # mm_phash_dedup, tok_vocab_prune); 27 of the 45 r4-aged rows fill the
+    # rest, led by the four rows r7's comment promised would rotate in first
     # (q2_min_cost_supplier, a_topk_two_keys, w_latest_per_key,
-    # q14_promo_revenue). The 17 r4-aged waiters — the TPC-H battery
+    # q14_promo_revenue). The 18 r4-aged waiters — the TPC-H battery
     # q4/q7/q8/q9/q11/q12/q13/q15/q16/q17/q18/q19/q21/q22 plus
     # e_intersect/e_union_dedup (set-op shape covered by the seated
-    # e_except_diff) and a_cube_order_mix (rollup/cube shape covered by the
-    # seated a_rollup_revenue) — rotate in FIRST at r9, ahead of the 50
-    # r5-aged rows (path back to max-age ≤2: r9 = 17 waiters + 33 oldest-r5;
-    # r10 = remaining r5 + r6).
+    # e_except_diff), a_cube_order_mix (rollup/cube shape covered by the
+    # seated a_rollup_revenue), and a_group_count_sort (count+sort shape
+    # covered by the seated a_count_star + ordered aggs) — rotate in FIRST
+    # at r9, ahead of the 50 r5-aged rows (path back to max-age ≤2: r9 = 18
+    # waiters + 32 oldest-r5; r10 = remaining r5 + r6).
     # Registry size at HEAD: 158 + round-8 debuts; `python
     # tests/run_parity.py` sweeps all of it.
     r8_prefix = [
@@ -107,6 +108,7 @@ def all_specs() -> list[QuerySpec]:
         "ev_funnel_conversion",
         "ev_retention_cohorts",
         "mm_phash_dedup",
+        "tok_vocab_prune",
         # r4-aged refreshes: the four promised-first rows
         "q2_min_cost_supplier",
         "a_topk_two_keys",
@@ -114,7 +116,6 @@ def all_specs() -> list[QuerySpec]:
         "q14_promo_revenue",
         # r4-aged refreshes: the 29 non-TPC-H rows
         "a_count_star",
-        "a_group_count_sort",
         "a_interval_counts",
         "a_rollup_revenue",
         "a_sketch_profile",
