@@ -250,9 +250,13 @@ def stream_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     work = _workdir("stream_minhash_dedup", sf)
     src = os.path.join(work, "src")
     docs = t(spark, sf, "documents").select("doc_id", "text")
-    docs.withColumn("chunk", (F.col("doc_id") % 4).cast("int")).write.partitionBy(
-        "chunk"
-    ).parquet(src)
+    # repartition BY chunk before the partitioned write so each chunk dir is
+    # exactly one file — with maxFilesPerTrigger=1 that makes the docstring's
+    # "4 micro-batches" literal (advisor r8: an unpartitioned write can emit
+    # several files per chunk, inflating the batch count the doc promises).
+    docs.withColumn("chunk", (F.col("doc_id") % 4).cast("int")).repartition(
+        4, "chunk"
+    ).write.partitionBy("chunk").parquet(src)
     store = Table.create(
         spark,
         os.path.join(work, "store"),

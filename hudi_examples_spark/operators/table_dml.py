@@ -1915,8 +1915,16 @@ def bench_phases():
         kept vs total (the O(partitions) decision) AND files scanned vs
         total (the per-file stats only consulted inside kept partitions)."""
         out = tbl.scan([("ck_mod", ">=", 0), ("ck_mod", "<=", 9)])
+        # Hard-assert the gate actually engaged (advisor r8): Table.scan sets
+        # last_scan_partitions to None when the partition-stats gate does NOT
+        # consult envelopes, and a `or {}` fallback would publish an empty
+        # evidence dict instead of failing — silently un-proving the
+        # O(partitions) claim the bench artifact exists to record.
+        pev = tbl.last_scan_partitions
+        assert pev is not None, "partition-stats gate did not engage on bench fixture"
+        assert pev.get("kept", 99) < pev.get("total", 0), f"no partitions pruned: {pev}"
         tbl.bench_pstats_evidence = {
-            "partitions": dict(getattr(tbl, "last_scan_partitions", None) or {}),
+            "partitions": dict(pev),
             "files": dict(getattr(tbl, "last_scan", None) or {}),
         }
         return out.select("custkey", "ck_mod")
