@@ -3325,7 +3325,11 @@ class Table:
             if (i.committed_at or 0.0) > start_ct
             and (end_ct is None or (i.committed_at or 0.0) <= end_ct)
         ]
-        snap = self.read(with_meta=True)
+        # snapshot AT the end completion cut — not the latest snapshot — so a
+        # commit publishing between the cursor capture and this read cannot
+        # supersede the window's row versions out of the result
+        files, _ = self.timeline.live_files(completed_by=end_ct)
+        snap = self._snapshot_of(files, sorted(files)) if files else self._empty()
         if not window:
             return snap.limit(0)
         return snap.filter(F.col(META_COMMIT).isin(window))
@@ -3359,6 +3363,56 @@ class Table:
         files_end, _ = self.timeline.live_files(hi)
         files_lo, _ = self.timeline.live_files(lo)
         window_live = [r for r, (i, _a) in files_end.items() if i > lo]
+        return self._cdc_from_cuts(
+            files_lo, files_end, window_live, F.col(META_COMMIT) > lo
+        )
+
+    def table_changes_cdc_by_completion(
+        self, start_ct: float = 0.0, end_ct: float | None = None
+    ) -> DataFrame:
+        """Completion-time CDC query — the change-feed twin of
+        :meth:`table_changes_by_completion`, closing the same NBCC timeline
+        hole for CDC consumers: the window is instants whose ``committed_at``
+        falls in ``(start_ct, end_ct]``, so a commit that begins early but
+        publishes late lands in a LATER window instead of behind an advanced
+        begin-id cursor. Before/after cuts are completion-time snapshots
+        (``live_files(completed_by=...)``) — the states a completion cursor
+        consumer actually observed at each poll. Same I/U/D + before/after
+        semantics and the same O(changes) file pruning as
+        :meth:`table_changes_cdc`. Advance cursors with
+        :meth:`latest_completion`."""
+        if not self.config.record_key:
+            raise ValueError("CDC query requires a record key")
+        stamps = {
+            i.instant: (i.committed_at or 0.0)
+            for i in self.timeline.completed_data_instants()
+        }
+        files_end, _ = self.timeline.live_files(completed_by=end_ct)
+        files_lo, _ = self.timeline.live_files(completed_by=start_ct)
+        window_live = [
+            r for r, (i, _a) in files_end.items() if stamps.get(i, 0.0) > start_ct
+        ]
+        win_insts = [
+            i
+            for i, s in stamps.items()
+            if s > start_ct and (end_ct is None or s <= end_ct)
+        ]
+        return self._cdc_from_cuts(
+            files_lo, files_end, window_live, F.col(META_COMMIT).isin(win_insts)
+        )
+
+    def _cdc_from_cuts(
+        self,
+        files_lo: dict,
+        files_end: dict,
+        window_live: list[str],
+        changed_pred,
+    ) -> DataFrame:
+        """Shared CDC diff over two snapshot cuts (begin-id or completion-time
+        bounded): ``files_lo``/``files_end`` are the live-file maps at the
+        window edges, ``window_live`` the end-cut files added by the window,
+        ``changed_pred`` the per-row predicate marking rows last written by a
+        window instant."""
         removed_in_window = [r for r in files_lo if r not in files_end]
         touched_rels = sorted(set(window_live) | set(removed_in_window))
         row = F.struct(*self.data_cols)
@@ -3383,9 +3437,11 @@ class Table:
             small = total <= self.CDC_PRUNE_MIN_BYTES
         if small:
             # small table: two plain snapshot reads beat the pruning machinery's
-            # fixed job overhead — the pruned path is for when "table" >> "changes"
-            before_snap = self.read(as_of=lo, with_meta=True)
-            after_snap = self.read(as_of=end, with_meta=True)
+            # fixed job overhead — the pruned path is for when "table" >> "changes".
+            # Snapshots build from the CUT file maps so the same code serves
+            # begin-id and completion-time windows.
+            before_snap = self._snapshot_of(files_lo, sorted(files_lo))
+            after_snap = self._snapshot_of(files_end, sorted(files_end))
         else:
             # materialize the touched key set ONCE (it feeds the prune collect
             # AND both semi-joins — without this the touched files are re-read
@@ -3403,7 +3459,7 @@ class Table:
             before_snap = self._snapshot_of(files_lo, before_rels).join(touched, META_KEY, "left_semi")
             after_snap = self._snapshot_of(files_end, after_rels).join(touched, META_KEY, "left_semi")
         b = before_snap.select(F.col(META_KEY).alias("key"), row.alias("before"))
-        changed = after_snap.filter(F.col(META_COMMIT) > lo).select(
+        changed = after_snap.filter(changed_pred).select(
             F.col(META_KEY).alias("key"),
             row.alias("after"),
             F.col(META_COMMIT).alias("commit_time"),

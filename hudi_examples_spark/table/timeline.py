@@ -285,13 +285,22 @@ class Timeline:
 
     # -- snapshot computation -------------------------------------------------
 
-    def live_files(self, as_of: str | None = None):
+    def live_files(self, as_of: str | None = None, completed_by: float | None = None):
         """(files, latest_instant): manifest replay up to ``as_of`` (inclusive).
 
         ``files`` maps relpath -> (adding_instant, action); ``action`` lets MOR
         readers split base files (commit/replacecommit) from log files (deltacommit).
         Rollback instants neutralize their target's additions via files_removed like
         any other remover.
+
+        ``completed_by`` bounds the replay by COMPLETION stamp instead of (or in
+        addition to) instant id: instants whose ``committed_at`` exceeds it are
+        skipped — the snapshot a completion-time cursor consumer observes under
+        non-blocking concurrency, where publish order, not begin order, defines
+        visibility. Replay stays in instant-id order among the included set so
+        replace/clustering supersession resolves deterministically. Instants
+        predating the ``committed_at`` field (None) count as 0.0 — always
+        included, matching ``completed_data_instants`` ordering rules.
         """
         insts = self.instants()
         # rollbacks apply retroactively (Hudi deletes the target's commit file):
@@ -312,6 +321,8 @@ class Timeline:
             if not inst.is_data_commit or inst.instant in rolled:
                 continue
             if as_of is not None and inst.instant > as_of:
+                continue
+            if completed_by is not None and (inst.committed_at or 0.0) > completed_by:
                 continue
             for fp in inst.files_removed:
                 files.pop(fp, None)

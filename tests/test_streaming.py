@@ -68,14 +68,15 @@ def test_incremental_pipe_table_to_table(spark, tmp_path):
     assert pipe_table_to_table(src, dst, handler, n_polls=2) == 1
     assert dst.count() == 8
     src.upsert(trips_df(spark, [(9999999999999, "334e26e9", "r", "d", 66.0, "san_francisco")]))
-    poll_applied = pipe_table_to_table(src, dst, handler, n_polls=1, start=dst_latest(src, dst))
+    poll_applied = pipe_table_to_table(src, dst, handler, n_polls=1, start_ct=dst_latest(src, dst))
     assert dst.read().filter("uuid='334e26e9'").collect()[0]["fare"] != 19.10 or poll_applied
 
 
 def dst_latest(src, dst):
-    # resume from the last src instant already reflected in dst: here the first commit
+    # resume from the last src COMPLETION stamp already reflected in dst: here
+    # the first commit (pipe_table_to_table cursors on completion time, r9)
     insts = src.timeline.completed_data_instants()
-    return insts[0].instant
+    return insts[0].committed_at or 0.0
 
 
 def test_incremental_source_poll_semantics(spark, tmp_path):
