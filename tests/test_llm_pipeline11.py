@@ -253,3 +253,41 @@ def test_stream_minhash_dedup_first_arrival_wins(spark, tmp_path):
     assert rep[4]["keep"] and not rep[4]["is_dup"]
     assert rep[1]["is_dup"] and not rep[1]["keep"]
     assert rep[2]["keep"] and rep[3]["keep"]
+
+
+# ---------------------------------------------------------------------------
+# dedup_sketch_calibration
+# ---------------------------------------------------------------------------
+
+
+def test_sketch_calibration_identical_and_disjoint_pairs(spark, tmp_path):
+    from hudi_examples_spark.operators.llm_pipeline11 import dedup_sketch_calibration
+
+    # docs 0 and 1 identical (exact Jaccard 1.0 → every signature coordinate
+    # agrees); docs 2..5 pairwise shingle-disjoint (background pairs at 0)
+    same = "alpha beta gamma delta epsilon zeta"
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, same),
+            (1, same),
+            (2, "one two three four five six"),
+            (3, "red green blue cyan magenta yellow"),
+            (4, "north south east west up down"),
+            (5, "cat dog fox owl elk bat"),
+        ],
+    )
+    rows = {(r["d1"], r["d2"]): r for r in dedup_sketch_calibration(spark, sf).collect()}
+    r01 = rows[(0, 1)]
+    # the identical pair is an LSH candidate with a PERFECT estimate
+    assert r01["strata"] == "lsh"
+    assert r01["est16"] == 16 and r01["est_j"] == 1.0
+    assert r01["inter"] == r01["uni"] == r01["n1"] and r01["exact_j"] == 1.0
+    assert r01["abs_err"] == 0.0
+    # disjoint consecutive docs land in the background stratum at exactly 0
+    for d1, d2 in [(2, 3), (3, 4), (4, 5)]:
+        r = rows[(d1, d2)]
+        assert r["strata"] == "background"
+        assert r["inter"] == 0 and r["exact_j"] == 0.0
+        assert r["est16"] == 0 and r["abs_err"] == 0.0
