@@ -90,37 +90,54 @@ def _project_binary(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
                 feats.append(((s @ w) % _MOD).astype(int).tolist())
             yield pd.DataFrame({id_col: ids, "n_bytes": sizes, "feat": feats})
 
-    return df.select(id_col, payload_col).mapInPandas(featurize, out_schema)
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    # keyed repartition: spreads a single-file scan across the Arrow workers
+    # and pre-pays the id-keyed shuffle the downstream pair join needs
+    return (
+        df.select(id_col, payload_col)
+        .repartition(n_part, id_col)
+        .mapInPandas(featurize, out_schema)
+    )
 
 
 def _project_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Codegen featurizer for the caption side: utf-8 bytes (via hex pairs) →
-    residue sums → the SAME projection — zero shuffle, zero Python."""
+    residue sums → the SAME projection, zero Python.
+
+    The byte array is decoded ONCE into a real int-array column and
+    materialized through a keyed exchange before the projection lambda reads
+    it — inlining the decode into the 16×8 ``element_at`` references makes
+    Catalyst re-evaluate the whole O(n) decode per reference (the
+    ``shingles_from`` lesson, functions/text.py:45; measured: 27 min
+    single-task at sf1 vs seconds with the barrier). The exchange hashes on
+    the id column every caller joins on next, so at scale it is the join's
+    shuffle paid once early — and it spreads a single-file parquet scan
+    across the cluster."""
     wlit = ", ".join(str(x) for x in _W_FLAT)
-    # residue sums: positions r+1, r+1+8, ... of the byte stream, each byte
-    # decoded from its hex pair; then u[k] = (Σ_r s[r]·W[r][k]) mod _MOD
-    expr = f"""
+    bytes_expr = """
+      transform(sequence(1, CAST(length(__hx) / 2 AS INT)),
+                i -> CAST(conv(substring(__hx, 2 * i - 1, 2), 16, 10) AS INT))
+    """
+    # u[k] = (Σ_i byte_i · W[(i-1) mod 8][k]) mod _MOD — one O(n) integer fold
+    # per coordinate over the MATERIALIZED byte array (element_at is O(1))
+    feat_expr = f"""
       transform(sequence(0, {_DIM - 1}), k ->
-        CAST(aggregate(sequence(0, {_RESIDUES - 1}), 0L, (acc, r) ->
-          acc + element_at(__s, r + 1)
-              * element_at(array({wlit}), r * {_DIM} + k + 1)
+        CAST(aggregate(sequence(1, size(__bytes)), 0L, (acc, i) ->
+          acc + element_at(__bytes, i)
+              * element_at(array({wlit}),
+                           ((i - 1) % {_RESIDUES}) * {_DIM} + k + 1)
         ) % {_MOD} AS INT))
     """
-    s_expr = f"""
-      transform(sequence(0, {_RESIDUES - 1}), r ->
-        CASE WHEN length(__hx) / 2 > r THEN
-          aggregate(sequence(r + 1, CAST(length(__hx) / 2 AS INT), {_RESIDUES}),
-                    0L, (acc, i) ->
-                      acc + CAST(conv(substring(__hx, 2 * i - 1, 2), 16, 10) AS BIGINT))
-        ELSE 0L END)
-    """
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
     return (
         df.withColumn("__hx", F.hex(F.encode(F.col(text_col), "utf-8")))
-        .withColumn("__s", F.expr(s_expr))
+        .withColumn("__bytes", F.expr(bytes_expr))
+        .select(id_col, "__bytes")
+        .repartition(n_part, id_col)
         .select(
             id_col,
-            (F.length("__hx") / 2).cast("int").alias("n_bytes"),
-            F.expr(expr).alias("feat"),
+            F.size("__bytes").alias("n_bytes"),
+            F.expr(feat_expr).alias("feat"),
         )
     )
 
