@@ -317,6 +317,12 @@ def mm_pair_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-coordinate agreement terms over two 16-int lists (im.ul / cp.ul)
+_AGREE_TERMS = " + ".join(
+    f"(CASE WHEN im.ul[{i}] = cp.ul[{i}] THEN 1 ELSE 0 END)"
+    for i in range(1, _DIM + 1)
+)
+
 _ORACLE_COMMON = f"""
 WITH docs AS (
   SELECT doc_id, source, text, hex(encode(text)) AS hx,
@@ -344,13 +350,18 @@ WITH docs AS (
 ), proj AS (
   SELECT doc_id, k, CAST(sum(s * w) % {_MOD} AS INT) AS u
   FROM rsums JOIN weights USING (r) GROUP BY 1, 2
+), projl AS (
+  -- one ordered 16-int list per doc: the agreement join below then touches
+  -- each pair exactly once per side. Joining proj to itself per-k instead
+  -- lets the optimizer reorder onto the 16-value k key first — a
+  -- billions-row intermediate at the 10x fixture (observed: 60 GB spill)
+  SELECT doc_id, list(u ORDER BY k) AS ul FROM proj GROUP BY doc_id
 ), agree AS (
   SELECT p.media_id, p.cap_id, p.source,
-         count(*) FILTER (WHERE im.u = cp.u) AS n_agree
+         ({_AGREE_TERMS}) AS n_agree
   FROM pairs p
-  JOIN proj im ON im.doc_id = p.media_id
-  JOIN proj cp ON cp.doc_id = p.cap_id AND cp.k = im.k
-  GROUP BY 1, 2, 3
+  JOIN projl im ON im.doc_id = p.media_id
+  JOIN projl cp ON cp.doc_id = p.cap_id
 ), scored AS (
   SELECT a.media_id, a.cap_id, a.source,
          a.cap_id <> a.media_id AS mismatched,
@@ -405,6 +416,8 @@ WITH docs AS (
 ), proj AS (
   SELECT doc_id, k, CAST(sum(s * w) % {_MOD} AS INT) AS u
   FROM rsums JOIN weights USING (r) GROUP BY 1, 2
+), projl AS (
+  SELECT doc_id, list(u ORDER BY k) AS ul FROM proj GROUP BY doc_id
 ), pblocks AS (
   SELECT doc_id, nb, (i * 64) // nb AS blk, sum(v) AS bsum, count(*) AS blen
   FROM bytes GROUP BY 1, 2, 3
@@ -444,12 +457,12 @@ WITH docs AS (
          'b'
   FROM docs d JOIN sel s USING (doc_id), mx
 ), agree2 AS (
+  -- per-doc list join, never per-k (see _ORACLE_COMMON's projl note)
   SELECT p.img_doc, p.media_id, p.cap_id, p.crawl,
-         count(*) FILTER (WHERE im.u = cp.u) AS n_agree
+         ({_AGREE_TERMS}) AS n_agree
   FROM pairs2 p
-  JOIN proj im ON im.doc_id = p.img_doc
-  JOIN proj cp ON cp.doc_id = p.cap_id AND cp.k = im.k
-  GROUP BY 1, 2, 3, 4
+  JOIN projl im ON im.doc_id = p.img_doc
+  JOIN projl cp ON cp.doc_id = p.cap_id
 ), ranked AS (
   SELECT h.phash, a.media_id, a.cap_id, a.crawl, a.n_agree,
          row_number() OVER (PARTITION BY h.phash
