@@ -534,7 +534,11 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MM_PHASH_ORACLE = """
+# f-string: the hot-bucket cap is interpolated from PHASH_BUCKET_CAP so the
+# engine and the oracle can never desynchronize on the cap value (ADVICE r9 —
+# a hardcoded literal here would turn a cap retune into a spurious parity
+# failure blamed on the engine).
+MM_PHASH_ORACLE = f"""
 WITH media AS (
   SELECT doc_id AS media_id, octet_length(encode(text)) AS n,
          upper(hex(encode(text))) AS hx
@@ -570,7 +574,7 @@ WITH media AS (
 ), capped AS (
   SELECT b.media_id, b.band, b.v
   FROM bands b JOIN bucket_sizes s ON s.band = b.band AND s.v = b.v
-  WHERE s.bsz <= 32
+  WHERE s.bsz <= {PHASH_BUCKET_CAP}
 ), partners AS (
   SELECT a.media_id, count(DISTINCT b.media_id) AS n_partners
   FROM capped a JOIN capped b

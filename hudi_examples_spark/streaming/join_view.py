@@ -7,9 +7,12 @@ multiset bookkeeping) is easy to get subtly wrong under updates that change
 the join key; instead, each refresh collects the distinct join-key values
 touched by either feed (BOTH before- and after-images, so a row that moves
 between join keys repairs its old slice and its new one), recomputes the
-exact join for just those key slices from the current snapshots, and commits
-the slice diff (upserts + deletes) to the view table in ONE commit that also
-carries both consumed offsets — crash-safe for the same reason the rollup is.
+exact join for just those key slices from the completion-cut snapshots, and
+commits the slice diff (upserts + deletes) to the view table in ONE commit that
+also carries both consumed completion cursors (``src_offsets_ct``) — crash-safe
+for the same reason the rollup is, and NBCC-safe because publish order is the
+cursor order on both feeds (a commit that begins early but publishes late lands
+in a later window instead of behind an advanced begin-id cursor).
 
 Scale: the touched-key set is bounded by the change volume, the slice
 recompute joins only rows whose join key is in that set (semi-join pruned on
@@ -25,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hudi_examples_spark.table import Table, TableConfig
+from hudi_examples_spark.streaming.rollup import _map_begin_id_to_completion
 
 
 class IncrementalJoinView:
@@ -66,12 +70,28 @@ class IncrementalJoinView:
             self.dst = Table.create(left.spark, dst_base, schema, TableConfig(record_key=pk))
         self._off_l, self._off_r = self._recover_offsets()
 
-    def _recover_offsets(self) -> tuple[str, str]:
+    def _recover_offsets(self) -> tuple[float, float]:
+        # completion-stamp cursors (ADVICE r9 #1): the begin-id pair this
+        # consumer used through round 9 retains the NBCC late-publish hole —
+        # a source commit that begins early but publishes late is skipped
+        # forever and the materialized join silently diverges. Completion
+        # cursors make publish order the cursor order on BOTH feeds.
         for inst in reversed(self.dst.timeline.completed_data_instants()):
-            offs = inst.meta.get("src_offsets")
+            offs = inst.meta.get("src_offsets_ct")
             if offs:
-                return offs["left"], offs["right"]
-        return "0", "0"
+                return float(offs["left"]), float(offs["right"])
+            legacy = inst.meta.get("src_offsets")
+            if legacy:
+                # pre-migration dst: map each begin-id to its source instant's
+                # completion stamp, or fail loudly — a 0.0 restart would
+                # re-apply all history onto the existing view rows
+                return (
+                    0.0 if legacy["left"] == "0"
+                    else _map_begin_id_to_completion(self.left, legacy["left"]),
+                    0.0 if legacy["right"] == "0"
+                    else _map_begin_id_to_completion(self.right, legacy["right"]),
+                )
+        return 0.0, 0.0
 
     def _touched_keys(self, cdc: DataFrame) -> DataFrame:
         """Distinct join-key values in a CDC window — before AND after images,
@@ -91,31 +111,41 @@ class IncrementalJoinView:
         commit carries both offsets, so recovery semantics match the rollup:
         re-running a half-applied refresh re-reads the same bounded windows.
         """
-        latest_l = self.left.latest_instant()
-        latest_r = self.right.latest_instant()
-        adv_l = latest_l is not None and latest_l > self._off_l
-        adv_r = latest_r is not None and latest_r > self._off_r
+        latest_l = self.left.latest_completion()
+        latest_r = self.right.latest_completion()
+        adv_l = latest_l > self._off_l
+        adv_r = latest_r > self._off_r
         if not (adv_l or adv_r):
             return False
         touched = None
         if adv_l:
             touched = self._touched_keys(
-                self.left.table_changes_cdc(start=self._off_l, end=latest_l)
+                self.left.table_changes_cdc_by_completion(
+                    start_ct=self._off_l, end_ct=latest_l
+                )
             )
         if adv_r:
             t_r = self._touched_keys(
-                self.right.table_changes_cdc(start=self._off_r, end=latest_r)
+                self.right.table_changes_cdc_by_completion(
+                    start_ct=self._off_r, end_ct=latest_r
+                )
             )
             touched = t_r if touched is None else touched.unionByName(t_r).distinct()
 
         k = self.join_key
+        # each side is read AT its consumed completion cut, not at "latest":
+        # a commit publishing between the cursor capture and this read must
+        # land in the NEXT window, or the committed view state would run
+        # ahead of the recorded cursors (re-applied on recovery = not exact)
+        cut_l = latest_l if adv_l else self._off_l
+        cut_r = latest_r if adv_r else self._off_r
         lhs = (
-            self.left.read()
+            self.left.read_at_completion(cut_l)
             .join(F.broadcast(touched), k, "semi")
             .select(k, *[c for c in self.left_cols if c != k])
         )
         rhs = (
-            self.right.read()
+            self.right.read_at_completion(cut_r)
             .join(F.broadcast(touched), k, "semi")
             .select(k, *[c for c in self.right_cols if c != k])
         )
@@ -133,16 +163,10 @@ class IncrementalJoinView:
         self.dst.write_cdc(
             out,
             extra_meta={
-                "src_offsets": {
-                    "left": latest_l if adv_l else self._off_l,
-                    "right": latest_r if adv_r else self._off_r,
-                }
+                "src_offsets_ct": {"left": repr(cut_l), "right": repr(cut_r)}
             },
         )
-        if adv_l:
-            self._off_l = latest_l
-        if adv_r:
-            self._off_r = latest_r
+        self._off_l, self._off_r = cut_l, cut_r
         return True
 
 

@@ -22,6 +22,30 @@ from pyspark.sql import functions as F
 from hudi_examples_spark.table import Table, TableConfig
 
 
+def _map_begin_id_to_completion(src: Table, begin_id: str) -> float:
+    """Resolve a legacy begin-id cursor to the completion stamp of that source
+    instant, so a pre-migration consumer resumes where it left off under the
+    completion-cursor protocol. Searches the active timeline, then the archive
+    audit log (stamps survive archival). Raises when the instant cannot be
+    found or carries no stamp — a silent 0.0 fallback would replay all history
+    onto existing state (double counting), which is strictly worse than a
+    loud stop (ADVICE r9 #3)."""
+    for inst in src.timeline.instants() + src.timeline.archived_audit():
+        if inst.instant == begin_id:
+            if inst.committed_at is None:
+                raise ValueError(
+                    f"legacy cursor {begin_id} has no completion stamp on the "
+                    f"source timeline — cannot migrate this consumer safely; "
+                    f"rebuild the view from scratch"
+                )
+            return float(inst.committed_at)
+    raise ValueError(
+        f"legacy begin-id cursor {begin_id} not found on the source timeline "
+        f"(or its archive audit log) — cannot migrate this consumer safely; "
+        f"rebuild the view from scratch"
+    )
+
+
 class IncrementalRollup:
     """Maintains ``dst`` = SELECT group_cols, sum(c) AS sum_c ... count(*) AS
     n_rows FROM src GROUP BY group_cols, refreshed incrementally from src's
@@ -59,6 +83,15 @@ class IncrementalRollup:
             off = inst.meta.get("src_offset_ct")
             if off:
                 return float(off)
+            legacy = inst.meta.get("src_offset")
+            if legacy:
+                # dst written before the completion-cursor migration (ADVICE
+                # r9 #3): silently returning 0.0 here would re-fold the entire
+                # CDC history onto existing aggregates — double counting. Map
+                # the begin-id to its source instant's completion stamp; if
+                # the instant is gone (archived past the audit log / foreign
+                # timeline) fail loudly rather than corrupt the rollup.
+                return _map_begin_id_to_completion(self.src, legacy)
         return 0.0
 
     def _deltas(self, cdc: DataFrame) -> DataFrame:

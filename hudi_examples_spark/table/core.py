@@ -3202,6 +3202,16 @@ class Table:
             )
         return df if with_meta else df.drop(*META_COLS)
 
+    def read_at_completion(self, end_ct: float) -> DataFrame:
+        """Snapshot read at a COMPLETION-time cut: the state a completion-time
+        cursor consumer observed at cursor value ``end_ct``. The begin-id twin
+        is ``read(as_of=...)``; under non-blocking concurrency the two differ
+        exactly when publish order diverges from begin order. Meta columns are
+        dropped (same shape as ``read()``)."""
+        files, _ = self.timeline.live_files(completed_by=end_ct)
+        snap = self._snapshot_of(files, sorted(files)) if files else self._empty()
+        return snap.drop(*META_COLS)
+
     def _snapshot_of(self, files: dict, rels: list[str]) -> DataFrame:
         """Merged snapshot view over a SUBSET of a snapshot's live files (the
         pruned-read primitive behind the CDC query). Callers must pass a
@@ -3318,6 +3328,16 @@ class Table:
         Single-host clocks make completion stamps totally ordered here; a
         multi-writer fleet needs the same monotonic-clock discipline Hudi's
         TrueTime-style completion times assume."""
+        cb = self.timeline.completed_boundary()
+        if start_ct < cb:
+            # ADVICE r9 #2: archived instants folded into the checkpoint can
+            # no longer serve an incremental window — a cursor behind the
+            # archived completion boundary must fail loudly (like the begin-id
+            # as_of guard), not silently drop the archived changes.
+            raise ValueError(
+                f"completion cursor {start_ct} predates the archived "
+                f"completion boundary {cb} — archived changes cannot be replayed"
+            )
         insts = self.timeline.completed_data_instants()
         window = [
             i.instant

@@ -110,6 +110,21 @@ class Timeline:
         cp = self.checkpoint()
         return {r: tuple(v) for r, v in (cp["files"] if cp else {}).items()}
 
+    def completed_boundary(self) -> float:
+        """Max ``committed_at`` over archived data instants — the completion-time
+        twin of the checkpoint's begin-id ``boundary``. A completion cursor
+        older than this cannot be served: the archived changes it still owed
+        are folded into the checkpoint and would silently land in the
+        pre-window state (ADVICE r9 #2). 0.0 when the table never archived.
+        Checkpoints written before this field existed fall back to replaying
+        the audit log (which always kept the stamps)."""
+        cp = self.checkpoint()
+        if cp is None:
+            return 0.0
+        if "completed_boundary" in cp:
+            return float(cp["completed_boundary"])
+        return max((i.committed_at or 0.0 for i in self.archived_audit()), default=0.0)
+
     def archive(self, retain_data_instants: int = 20, pinned: set[str] | None = None) -> int:
         """Fold every instant older than the boundary into the checkpoint.
 
@@ -143,6 +158,7 @@ class Timeline:
         cp = self.checkpoint()
         files: dict[str, tuple[str, str]] = self.checkpoint_files()
         latest = cp["latest"] if cp else ""
+        completed_boundary = self.completed_boundary()
         rolled = {i.meta.get("target") for i in insts if i.action == "rollback"}
         for inst in sorted(to_archive, key=lambda i: i.instant):
             if not inst.is_data_commit or inst.instant in rolled:
@@ -152,6 +168,9 @@ class Timeline:
             for fp in inst.files_added:
                 files[fp] = (inst.instant, inst.action)
             latest = max(latest, inst.instant)
+            # completion boundary advances with the newest archived PUBLISH
+            # stamp — a completion cursor behind it can no longer be served
+            completed_boundary = max(completed_boundary, inst.committed_at or 0.0)
         adir = os.path.join(self.dir, self.ARCHIVE_DIR)
         os.makedirs(adir, exist_ok=True)
         with open(os.path.join(adir, "instants.jsonl"), "a") as f:
@@ -175,6 +194,7 @@ class Timeline:
         new_cp = {
             "boundary": boundary,
             "latest": latest,
+            "completed_boundary": completed_boundary,
             "files": {r: list(v) for r, v in files.items()},
             "archived_instants": (cp["archived_instants"] if cp else 0) + len(to_archive),
         }
@@ -315,6 +335,21 @@ class Timeline:
                     f"as-of {as_of} predates the archived timeline boundary "
                     f"{cp['boundary']} — archived instants cannot serve time travel"
                 )
+            if completed_by is not None:
+                # completion-time twin of the as_of guard (ADVICE r9 #2):
+                # the checkpoint folds EVERY archived instant's files, so a
+                # completion cut below the newest archived publish stamp would
+                # silently include changes that completed AFTER the cut —
+                # for an incremental consumer those changes land in the
+                # pre-window state and vanish from the feed. Raise, exactly
+                # as the begin-id path does, instead of diverging silently.
+                cb = self.completed_boundary()
+                if completed_by < cb:
+                    raise ValueError(
+                        f"completion cut {completed_by} predates the archived "
+                        f"completion boundary {cb} — archived instants cannot "
+                        f"serve completion-time snapshots or cursors"
+                    )
             files = {r: tuple(v) for r, v in cp["files"].items()}
             latest = cp["latest"]
         for inst in insts:

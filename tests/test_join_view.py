@@ -82,6 +82,37 @@ def test_deletes_and_dangling_dim(spark, setup):
     assert view.dst.read().where(F.col("grp") == "a").count() == 0
 
 
+def test_legacy_begin_id_offsets_migrate_to_completion(spark, setup, tmp_path):
+    """ADVICE r9 #1/#3: a view table written by the pre-migration consumer
+    carries begin-id ``src_offsets``; recovery maps each side to its source
+    instant's completion stamp — never a silent 0.0 restart that would
+    re-apply all history onto the existing view rows."""
+    from tests.test_rollup import _forge_legacy_offset_meta
+
+    left, right, view = setup
+    _forge_legacy_offset_meta(
+        view.dst,
+        {"src_offsets": {"left": left.latest_instant(), "right": right.latest_instant()}},
+    )
+    view2 = IncrementalJoinView(
+        left, right, os.path.join(tmp_path, "view"), "grp", ["id", "val"], ["label"]
+    )
+    assert (view2._off_l, view2._off_r) == (view._off_l, view._off_r)
+    assert view2.refresh() is False  # nothing advanced, nothing re-applied
+    assert_consistent(view2)
+    left.upsert(spark.createDataFrame([(3, "b", 300.0, 2)], left.data_cols))
+    assert view2.refresh() is True
+    assert_consistent(view2)
+    # a never-consumed side stays at origin ("0" maps to 0.0, not a lookup)
+    _forge_legacy_offset_meta(
+        view2.dst, {"src_offsets": {"left": left.latest_instant(), "right": "0"}}
+    )
+    view3 = IncrementalJoinView(
+        left, right, os.path.join(tmp_path, "view"), "grp", ["id", "val"], ["label"]
+    )
+    assert view3._off_r == 0.0 and view3._off_l == view2._off_l
+
+
 def test_refresh_noop_and_restart_offsets(spark, setup, tmp_path):
     left, right, view = setup
     assert view.refresh() is False  # nothing advanced

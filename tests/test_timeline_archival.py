@@ -57,6 +57,55 @@ def test_pre_boundary_time_travel_rejected(tmp_path):
         tl.live_files(ids[5])
 
 
+def test_pre_boundary_completion_cut_rejected(tmp_path):
+    """ADVICE r9 #2: the completion-time twin of the as_of guard. A completion
+    cut (or incremental cursor) below the newest archived publish stamp cannot
+    be served — the checkpoint already folded those changes — and must raise
+    exactly like the begin-id path, not silently treat them as pre-window."""
+    import json
+
+    tl = Timeline(str(tmp_path))
+    for n in range(30):
+        tl.write(Instant(new_instant(), "commit", [f"f{n}.parquet"], [], {}))
+    assert tl.completed_boundary() == 0.0  # never archived: every cut servable
+    tl.archive(retain_data_instants=10)
+    cb = tl.completed_boundary()
+    archived_stamps = [i.committed_at for i in tl.archived_audit()]
+    assert cb == max(archived_stamps) > 0.0
+    # a cut at/after the boundary is servable (checkpoint + eligible actives)
+    files, _ = tl.live_files(completed_by=cb)
+    assert len(files) >= 20
+    with pytest.raises(ValueError, match="archived completion boundary"):
+        tl.live_files(completed_by=cb - 1.0)
+    # pre-field checkpoint (written before completed_boundary existed) falls
+    # back to replaying the audit log, which always kept the stamps
+    cp_path = tl._checkpoint_path()
+    cp = json.load(open(cp_path))
+    del cp["completed_boundary"]
+    json.dump(cp, open(cp_path, "w"))
+    assert tl.completed_boundary() == cb
+
+
+def test_pre_boundary_completion_cursor_rejected_at_table_level(spark, tmp_path):
+    """An incremental/CDC consumer whose completion cursor predates archival
+    must fail loudly from both table_changes_by_completion and the CDC twin."""
+    t = make(spark, tmp_path)
+    for n in range(15):
+        t.upsert(rows_df(spark, 0, [1], ts=n + 1))
+    pre_cursor = t.latest_completion()
+    for n in range(15, 30):
+        t.upsert(rows_df(spark, 0, [1], ts=n + 1))
+    assert t.timeline.archive(retain_data_instants=5) > 0
+    cb = t.timeline.completed_boundary()
+    assert pre_cursor < cb
+    with pytest.raises(ValueError, match="archived completion boundary"):
+        t.table_changes_by_completion(start_ct=pre_cursor)
+    with pytest.raises(ValueError, match="archived completion boundary"):
+        t.table_changes_cdc_by_completion(start_ct=pre_cursor).collect()
+    # a cursor at/after the boundary still serves
+    assert t.table_changes_by_completion(start_ct=cb).count() >= 0
+
+
 def test_archival_end_to_end_preserves_views_and_savepoints(spark, tmp_path):
     tbl = make(spark, tmp_path, table_type="cow")
     tbl.insert(load_df(spark, range(2), range(10)))
