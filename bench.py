@@ -62,6 +62,19 @@ HEADLINE_V2 = [
     "tbl_partition_lifecycle",
 ]
 
+#: Third headline group (round 10, VERDICT r9 #4): the heaviest r8/r9-debut
+#: operators, timed under the same burst-gated protocol with their own trend
+#: line from r10 on (v1 stays r1-comparable, v2 r7-comparable — this group's
+#: anchor run is BENCH_r10.json; see BASELINE.md "headline_v3 anchor").
+#: tok_bpe_encode also sits in v2; here it anchors the tokenizer-family
+#: trend next to its r8/r9 siblings.
+HEADLINE_V3 = [
+    "mm_caption_align",
+    "dedup_sketch_calibration",
+    "tok_bpe_encode",
+    "stream_minhash_dedup",
+]
+
 #: Historical calibration anchor: micro_agg_sec from BENCH_r04.json, recorded
 #: at loadavg 4.1. DEAD as a live reference since round 5: the host floor
 #: moved to ~0.19-0.25 at ANY load (hypervisor steal invisible to guest
@@ -89,6 +102,56 @@ MICRO_AGG_REF = 0.144
 #: day's run with the LOWEST micro reading (min-raw at min-micro), which
 #: filters contention without hiding code regressions.
 DAYLOG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DAYLOG.jsonl")
+
+
+#: Pruning-evidence extractors for the phased lifecycle fixtures:
+#: {bench name: (extras key, fn(state) -> evidence dict)}. ONE definition
+#: shared by the timed sweep below and tests/test_bench_evidence.py, which
+#: asserts each dict is non-degenerate (kept < total, scanned ≥ 1) at
+#: sf0.01 — so a silent prune-regression cannot ship a healthy-looking
+#: bench artifact (VERDICT r9 "Next round" #5).
+EVIDENCE_EXTRACTORS = {
+    # prove the O(changes) CDC path engaged: candidate files << live files
+    "tbl_cdc_query_pruned": (
+        "cdc_pruned_files",
+        lambda state: dict(state[0].last_key_prune or {}),
+    ),
+    # prove the partition-scoped re-cluster engaged: rewritten << total
+    "tbl_cluster_incremental": (
+        "cluster_incremental",
+        lambda state: dict(getattr(state, "last_cluster_meta", {}) or {}),
+    ),
+    # prove the secondary-index read scanned a file subset
+    "tbl_point_lookup": (
+        "index_lookup_files",
+        lambda state: dict(getattr(state[0], "last_index_lookup", {}) or {}),
+    ),
+    # prove the record-index point read touched only holders
+    "tbl_rli_lookup": (
+        "record_lookup_files",
+        lambda state: dict(getattr(state[0], "last_record_lookup", {}) or {}),
+    ),
+    # prove the morton layout skips files on BOTH dimensions
+    "tbl_zorder_layout": (
+        "zorder_prune",
+        lambda state: dict(getattr(state, "bench_zorder_evidence", {}) or {}),
+    ),
+    # prove zero-rewrite onboarding: every file hardlinked
+    "tbl_bootstrap_onboard": (
+        "bootstrap_onboard",
+        lambda state: dict(state.get("evidence", {})),
+    ),
+    # prove the partition-stats gate decided at O(partitions)
+    "tbl_pstats_scan": (
+        "partition_stats_prune",
+        lambda state: dict(getattr(state, "bench_pstats_evidence", {}) or {}),
+    ),
+    # prove the functional-index read scanned only the derived-month holders
+    "tbl_expr_lookup": (
+        "expression_index_files",
+        lambda state: dict(getattr(state, "last_index_lookup", {}) or {}),
+    ),
+}
 
 
 def _bench_overrides():
@@ -126,11 +189,12 @@ def _run_gated(
     timings=None,
     timings_v2=None,
     phase_timings=None,
+    timings_v3=None,
 ):
     """One gated timed sweep: per QUERY, wait for a verified-quiet moment
     (``gate``), then run that query's ``n_passes`` timed passes back-to-back
     as a short burst, then sample the micro-op again. Returns (timings,
-    timings_v2, phase_out, extras, micro_samples, q_drift).
+    timings_v2, timings_v3, phase_out, extras, micro_samples, q_drift).
 
     Burst pacing (judge round 8, item #1): the host throttles under
     SUSTAINED many-minute load but recovers its idle floor within seconds of
@@ -146,6 +210,7 @@ def _run_gated(
     "phases" tracks the operation actually being optimized."""
     timings = {} if timings is None else timings
     timings_v2 = {} if timings_v2 is None else timings_v2
+    timings_v3 = {} if timings_v3 is None else timings_v3
     phase_timings = {} if phase_timings is None else phase_timings
     extras: dict[str, dict] = {}
     micro_samples: list[dict] = []
@@ -170,48 +235,9 @@ def _run_gated(
                 ph = phase_timings.setdefault(name, {"build": t1 - t0, "op": t2 - t1})
                 ph["build"] = min(ph["build"], t1 - t0)
                 ph["op"] = min(ph["op"], t2 - t1)
-                if name == "tbl_cdc_query_pruned":
-                    tbl = state[0]
-                    # prove the O(changes) path engaged: candidate files << live files
-                    extras["cdc_pruned_files"] = dict(tbl.last_key_prune or {})
-                elif name == "tbl_cluster_incremental":
-                    # prove the partition-scoped re-cluster engaged:
-                    # rewritten partitions << total partitions
-                    extras["cluster_incremental"] = dict(
-                        getattr(state, "last_cluster_meta", {}) or {}
-                    )
-                elif name == "tbl_point_lookup":
-                    # prove the secondary-index read scanned a file subset
-                    extras["index_lookup_files"] = dict(
-                        getattr(state[0], "last_index_lookup", {}) or {}
-                    )
-                elif name == "tbl_rli_lookup":
-                    # prove the record-index point read touched only holders
-                    extras["record_lookup_files"] = dict(
-                        getattr(state[0], "last_record_lookup", {}) or {}
-                    )
-                elif name == "tbl_zorder_layout":
-                    # prove the morton layout skips files on BOTH dimensions
-                    extras["zorder_prune"] = dict(
-                        getattr(state, "bench_zorder_evidence", {}) or {}
-                    )
-                elif name == "tbl_bootstrap_onboard":
-                    # prove zero-rewrite onboarding: every file hardlinked; the
-                    # op time vs tbl_upsert_cow's build (same data, native
-                    # insert) is the metadata-only-vs-rewrite ratio
-                    extras["bootstrap_onboard"] = dict(state.get("evidence", {}))
-                elif name == "tbl_pstats_scan":
-                    # prove the partition-stats gate decided at O(partitions):
-                    # partitions kept < total, files scanned < total
-                    extras["partition_stats_prune"] = dict(
-                        getattr(state, "bench_pstats_evidence", {}) or {}
-                    )
-                elif name == "tbl_expr_lookup":
-                    # prove the functional-index read scanned only the file
-                    # groups holding the derived-month's keys
-                    extras["expression_index_files"] = dict(
-                        getattr(state, "last_index_lookup", {}) or {}
-                    )
+                if name in EVIDENCE_EXTRACTORS:
+                    key, extract = EVIDENCE_EXTRACTORS[name]
+                    extras[key] = extract(state)
             elif name in spec_fns:
                 t0 = time.perf_counter()
                 spec_fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -220,6 +246,8 @@ def _run_gated(
                     timings[name] = min(timings.get(name, el), el)
                 if name in HEADLINE_V2:
                     timings_v2[name] = min(timings_v2.get(name, el), el)
+                if name in HEADLINE_V3:
+                    timings_v3[name] = min(timings_v3.get(name, el), el)
         post = round(_micro_op(spark), 3)
         # the query's drift evidence is its quietest ADJACENT solo reading:
         # the gate micro brackets the burst from before, the post micro from
@@ -241,10 +269,11 @@ def _run_gated(
         q_drift[name] = round(adj / MICRO_AGG_REF, 3)
     timings = {k: round(v, 3) for k, v in timings.items()}
     timings_v2 = {k: round(v, 3) for k, v in timings_v2.items()}
+    timings_v3 = {k: round(v, 3) for k, v in timings_v3.items()}
     phase_out = {
         k: {p: round(v, 3) for p, v in d.items()} for k, d in phase_timings.items()
     }
-    return timings, timings_v2, phase_out, extras, micro_samples, q_drift
+    return timings, timings_v2, timings_v3, phase_out, extras, micro_samples, q_drift
 
 
 def main() -> None:
@@ -259,6 +288,7 @@ def main() -> None:
     names = (
         HEADLINE
         + [n for n in HEADLINE_V2 if n not in HEADLINE]
+        + [n for n in HEADLINE_V3 if n not in HEADLINE and n not in HEADLINE_V2]
         + [n for n in phased if n not in HEADLINE and n not in spec_fns]
     )
 
@@ -349,6 +379,7 @@ def main() -> None:
 
     timings: dict = {}
     timings_v2: dict = {}
+    timings_v3: dict = {}
     phase_timings: dict = {}
     extras: dict = {}
     micro_samples: list[dict] = []
@@ -356,7 +387,7 @@ def main() -> None:
     n_sweeps = 0
     for att in range(max_attempts):
         n_sweeps += 1
-        timings, timings_v2, phase_out, ex, samples, q_drift = _run_gated(
+        timings, timings_v2, timings_v3, phase_out, ex, samples, q_drift = _run_gated(
             spark,
             sf_dir,
             sweep_names,
@@ -367,6 +398,7 @@ def main() -> None:
             timings=timings,
             timings_v2=timings_v2,
             phase_timings=phase_timings,
+            timings_v3=timings_v3,
         )
         extras.update(ex)
         micro_samples.extend(samples)
@@ -421,6 +453,18 @@ def main() -> None:
         # frozen-at-r7 second group (post-r1 operator families) — v1 stays
         # r1-comparable, v2 gets its own trend line from r7 on
         "headline_v2_total": v2_total,
+        # frozen-at-r10 third group (heaviest r8/r9 debuts) with per-query
+        # timings + drift attribution inline (the group is 4 queries, so the
+        # detail fits the driver's 2000-char tail capture)
+        "headline_v3": {
+            "total": round(sum(timings_v3.values()), 3),
+            "queries": timings_v3,
+            "drift": {
+                q: round(by_q[q] / MICRO_AGG_REF, 3)
+                for q in timings_v3
+                if q in by_q
+            },
+        },
         "calibration": {"micro_agg_sec": micro_min, "loadavg_1m": _loadavg()},
         "passes": n_passes,
         "cpus": os.cpu_count(),
@@ -461,10 +505,12 @@ def main() -> None:
         "raw_total": raw_total,
         "op_total": round(op_total, 3),
         "v2_total": v2_total,
+        "v3_total": round(sum(timings_v3.values()), 3),
         "micro": micro_min,
         "drift_factor": round(factor, 3),
         "queries": timings,
         "queries_v2": timings_v2,
+        "queries_v3": timings_v3,
         "phases": phase_out,
         "samples": micro_samples,
         "quiet_waits": quiet_waits,

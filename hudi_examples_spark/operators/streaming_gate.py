@@ -32,14 +32,36 @@ from hudi_examples_spark.streaming.corpus import SCORED_DDL, stream_corpus_quali
 from hudi_examples_spark.table import Table, TableConfig
 
 
+def _assert_n_chunk_files(src: str, n: int) -> None:
+    """The chunk layout contract: exactly ``n`` parquet files, one per chunk
+    dir — the premise of the 'n micro-batches, n sink commits' promise."""
+    files = [
+        os.path.join(d, f)
+        for d, _dirs, fs in os.walk(src)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    dirs = {os.path.dirname(f) for f in files}
+    if len(files) != n or len(dirs) != n:
+        raise AssertionError(
+            f"chunk writer produced {len(files)} files in {len(dirs)} dirs, expected {n}×1"
+        )
+
+
 def stream_corpus_ingest(spark: SparkSession, sf: str) -> DataFrame:
     """Streamed scored-corpus build, returned as the final table snapshot."""
     work = _workdir("stream_corpus_ingest", sf)
     src = os.path.join(work, "src")
     docs = t(spark, sf, "documents").select("doc_id", "text", "lang", "source", "n_chars")
-    docs.withColumn("chunk", (F.col("doc_id") % 4).cast("int")).write.partitionBy(
+    # repartition BY chunk pins one file per chunk dir (each chunk's rows
+    # land in exactly one task), so "4 files → 4 micro-batches → 4 sink
+    # commits" is a guarantee the spec asserts below, not a docstring hope
+    # (ADVICE r8 #3 / VERDICT r9 #6: prose and chunk-writer behavior must
+    # not drift apart)
+    docs.withColumn("chunk", (F.col("doc_id") % 4).cast("int")).repartition(
         "chunk"
-    ).parquet(src)
+    ).write.partitionBy("chunk").parquet(src)
+    _assert_n_chunk_files(src, 4)
     tbl = Table.create(
         spark,
         os.path.join(work, "tbl"),
@@ -62,9 +84,10 @@ def stream_corpus_ingest(spark: SparkSession, sf: str) -> DataFrame:
         for i in tbl.timeline.completed_data_instants()
         if i.meta.get("sink_name") == "corpus_quality"
     )
-    if n_stream_commits < 2:
+    if n_stream_commits != 4:
         raise AssertionError(
-            f"expected multiple micro-batch commits, got {n_stream_commits}"
+            f"expected exactly 4 micro-batch commits (one per pinned chunk "
+            f"file), got {n_stream_commits}"
         )
     return tbl.read().select("doc_id", "lang", "n_words", "q_num", "band").orderBy("doc_id")
 
@@ -90,9 +113,10 @@ def stream_dedup_ingest(spark: SparkSession, sf: str) -> DataFrame:
     work = _workdir("stream_dedup_ingest", sf)
     src = os.path.join(work, "src")
     docs = t(spark, sf, "documents").select("doc_id", "text", "n_chars")
-    docs.withColumn("chunk", (F.col("doc_id") % 4).cast("int")).write.partitionBy(
+    docs.withColumn("chunk", (F.col("doc_id") % 4).cast("int")).repartition(
         "chunk"
-    ).parquet(src)
+    ).write.partitionBy("chunk").parquet(src)
+    _assert_n_chunk_files(src, 4)
     tbl = Table.create(
         spark,
         os.path.join(work, "tbl"),
@@ -121,8 +145,11 @@ def stream_dedup_ingest(spark: SparkSession, sf: str) -> DataFrame:
         for i in tbl.timeline.completed_data_instants()
         if i.meta.get("sink_name") == "dedup_gate"
     )
-    if n_commits < 2:
-        raise AssertionError(f"expected multiple micro-batch commits, got {n_commits}")
+    if n_commits != 4:
+        raise AssertionError(
+            f"expected exactly 4 micro-batch commits (one per pinned chunk "
+            f"file), got {n_commits}"
+        )
     return (
         tbl.read()
         .select("h", F.col("doc_id").alias("canonical_doc"), "n_chars")

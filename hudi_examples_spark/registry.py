@@ -7,6 +7,7 @@ from hudi_examples_spark.operators.spec import QuerySpec
 
 def all_specs() -> list[QuerySpec]:
     from hudi_examples_spark.operators import (
+        domain_curation,
         llm_pipeline,
         llm_pipeline2,
         llm_pipeline3,
@@ -49,6 +50,7 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(llm_pipeline9.SPECS)
     specs.extend(llm_pipeline10.SPECS)
     specs.extend(llm_pipeline11.SPECS)
+    specs.extend(domain_curation.SPECS)
     specs.extend(scale_ops.SPECS)
     specs.extend(streaming_gate.SPECS)
     specs.extend(multimodal.SPECS)
@@ -58,87 +60,88 @@ def all_specs() -> list[QuerySpec]:
     specs.extend(relational_tpch3.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names in registry"
-    # Prefix rotation (round 9): the driver gate samples a 50-query prefix.
+    # Prefix rotation (round 10): the driver gate samples a 50-query prefix.
     # Policy (steady state): (1) debut ops with no driver row yet, (2)
-    # oldest-evidence refreshes. CORRECTNESS_r08.json came back 50/50 green,
-    # so the union ledger at the r9 cut reads: 50 rows evidenced r8, 50 r6,
-    # 50 r5, and the 18 r4-aged waiters r8's comment promised would rotate
-    # FIRST this round. Seating (audit trail): 4 round-9 debuts
-    # (mm_caption_align, mm_pair_curation, mm_pair_keep_best — the paired
-    # image-text curation family — and dedup_sketch_calibration, the
-    # measured MinHash-vs-exact error report), then the 18 r4 waiters (TPC-H battery q4/q7/q8/q9/q11/q12/
-    # q13/q15/q16/q17/q18/q19/q21/q22 + e_intersect/e_union_dedup/
-    # a_cube_order_mix/a_group_count_sort), then the 28 oldest r5-aged rows
-    # in registry order (the 18 table-DML lifecycle rows + 10 LLM-pipeline
-    # rows through pipe_dsir_affinity). The 4 debuts displace 4 of the
-    # promised 32 r5 refreshes; the 22 r5 rows still aged r5 after this
-    # round (sim_pq_topk ... a_percentile_values) rotate at r10 together
-    # with the 28 oldest r6 rows, r11 finishes the r6/r8 tail —
-    # max driver-evidence age stays ≤3 from r9 on, ≤2 from r11.
-    # Registry size at HEAD: 172; `python tests/run_parity.py` sweeps all
-    # of it.
-    r9_prefix = [
-        # round-9 debuts
-        "mm_caption_align",
-        "mm_pair_curation",
-        "mm_pair_keep_best",
-        "dedup_sketch_calibration",
-        # r4-aged waiters (named in the r8 prefix comment, seated now)
-        "q4_order_priority",
-        "q7_nation_volume",
-        "q8_market_share",
-        "q9_product_profit",
-        "q11_important_stock",
-        "q12_priority_shipping",
-        "q13_customer_distribution",
-        "q15_top_supplier",
-        "q16_supplier_part_types",
-        "q17_small_quantity_revenue",
-        "q18_large_orders",
-        "q19_bracket_revenue",
-        "q21_sole_supplier_orders",
-        "q22_idle_customers",
-        "e_intersect",
-        "e_union_dedup",
-        "a_cube_order_mix",
-        "a_group_count_sort",
-        # oldest r5-aged refreshes: the table-DML lifecycle battery
-        "tbl_upsert_cow",
-        "tbl_upsert_mor",
-        "tbl_merge_mixed",
-        "tbl_time_travel",
-        "tbl_incremental",
-        "tbl_cdc_query",
-        "tbl_zorder_prune",
-        "tbl_rollup_incremental",
-        "tbl_savepoint_restore",
-        "tbl_schema_evolution",
-        "tbl_run_services",
-        "tbl_async_compaction",
-        "tbl_log_compaction",
-        "tbl_async_clustering",
-        "tbl_record_index",
-        "tbl_metadata_tvf",
-        "tbl_partition_lifecycle",
-        "tbl_bootstrap",
-        # oldest r5-aged refreshes: LLM-pipeline rows in registry order
-        "dedup_minhash_lsh",
-        "pipe_stratified_sample",
-        "pipe_dataset_mixture",
-        "text_tfidf_topterms",
-        "pipe_doc_chunks",
-        "corpus_report",
-        "dedup_bloom_prefilter",
-        "text_bm25_topk",
-        "sim_rrf_fusion",
-        "pipe_dsir_affinity",
+    # oldest-evidence refreshes, in registry order. CORRECTNESS_r09.json came
+    # back 50/50 green, so the union ledger at the r10 cut reads: 50 rows
+    # evidenced r9, 50 r8, 50 r6, and 22 rows whose newest evidence is r5 —
+    # 5 rounds old at this cut counting exclusively (the r9 comment said
+    # "age ≤3", which was off by one; the LEDGER is the authority and this
+    # rotation retires its oldest rows regardless of how they're counted).
+    # Seating (audit trail): 3 round-10 debuts (the URL/domain curation
+    # family — dom_host_stats / dom_blocklist_filter / dom_cap_per_domain),
+    # then ALL 22 r5-aged rows exactly as the r9 comment named them
+    # (sim_pq_topk ... a_percentile_values, incl. q1/q3/q5/q6/q10,
+    # tok_bpe_merges, emb_kmeans_lloyd), then the 25 oldest r6-aged rows in
+    # registry order (table-DML tail through pipe_training_corpus). The 3
+    # debuts displace 3 of the promised 28 r6 refreshes; the 25 r6 rows
+    # still aged r6 after this round (pipe_hash_split ...
+    # fn_explode_unnest) rotate at r11 with the oldest r8 rows — after r11
+    # every row's newest evidence is ≤3 rounds old (exclusive counting) and
+    # the steady-state rotation period is 3-4 rounds for a 175-query
+    # registry at 50 rows/round. `python tests/run_parity.py` sweeps all
+    # of it every round regardless.
+    r10_prefix = [
+        # round-10 debuts: URL/domain-level curation (RefinedWeb §3.1 shape)
+        "dom_host_stats",
+        "dom_blocklist_filter",
+        "dom_cap_per_domain",
+        # the 22 r5-aged rows (named in the r9 prefix comment, seated now)
+        "sim_pq_topk",
+        "dedup_substring_spans",
+        "dedup_substring_removal",
+        "tok_bpe_merges",
+        "emb_kmeans_lloyd",
+        "pipe_length_buckets",
+        "pipe_span_corruption",
+        "a_salted_distinct_users",
+        "j_salted_skew_join",
+        "stream_dedup_ingest",
+        "mm_frame_sample",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q6_revenue_forecast",
+        "q10_returned_items",
+        "p_filter_projection",
+        "p_case_when",
+        "p_like_filter",
+        "q20_excess_suppliers",
+        "a_pivot_event_types",
+        "a_percentile_values",
+        # the 25 oldest r6-aged rows in registry order
+        "tbl_upsert_mor_compacted",
+        "tbl_delete_where",
+        "tbl_cdc_rollback",
+        "tbl_scan_pruned",
+        "tbl_join_view_incremental",
+        "tbl_batch_schedule",
+        "tbl_bloom_upsert",
+        "tbl_secondary_lookup",
+        "tbl_partial_update",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "text_stats",
+        "lang_distribution",
+        "doc_fingerprints",
+        "sim_brute_topk",
+        "sim_knn_join",
+        "sim_ann_lsh",
+        "sim_ivf_topk",
+        "emb_label_centroids",
+        "dedup_embed_cosine",
+        "dedup_embed_ann",
+        "fp_winnowing",
+        "lang_detect_ngram",
+        "pipe_training_corpus",
     ]
-    assert len(r9_prefix) == 50 and len(set(r9_prefix)) == 50, "prefix must be 50 unique names"
+    assert len(r10_prefix) == 50 and len(set(r10_prefix)) == 50, "prefix must be 50 unique names"
     by_name = {s.name: s for s in specs}
-    missing = [n for n in r9_prefix if n not in by_name]
+    missing = [n for n in r10_prefix if n not in by_name]
     assert not missing, f"prefix names not in registry: {missing}"
-    prefix_set = set(r9_prefix)
-    specs = [by_name[n] for n in r9_prefix] + [s for s in specs if s.name not in prefix_set]
+    prefix_set = set(r10_prefix)
+    specs = [by_name[n] for n in r10_prefix] + [s for s in specs if s.name not in prefix_set]
     return specs
 
 
