@@ -65,7 +65,10 @@ def phash_candidate_bound(spark, sf_dir: str) -> dict:
         F.max("bsz").alias("max_bucket"),
         F.count(F.lit(1)).alias("n_buckets"),
     ).collect()[0]
-    return {k: int(row[k]) for k in row.asDict()}
+    # max_kept_bucket is NULL when EVERY bucket exceeded the cap — the
+    # 100x fixture replicates each source text ~100 times, so all buckets
+    # are hot: exactly the degenerate-hash regime the cap exists for
+    return {k: int(row[k]) if row[k] is not None else 0 for k in row.asDict()}
 
 
 def main() -> int:
