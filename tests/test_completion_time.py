@@ -455,3 +455,31 @@ def test_multi_writer_divergence_soak(spark, tmp_path):
     # one more full compaction must not change the state
     Table(spark, t.base).compact()
     assert sorted(map(tuple, Table(spark, t.base).read().collect())) == want
+
+
+def test_read_at_completion_cut_excludes_late_publishes(spark, tmp_path):
+    """Round 10: ``Table.read_at_completion`` is the snapshot a
+    completion-cursor consumer observed at a given cursor — under a
+    divergent timeline it must EXCLUDE an instant minted before but
+    published after the cut, where ``read(as_of=...)`` (begin-id cut)
+    includes it."""
+    t = _mor(spark, tmp_path)
+    ia = t.upsert(spark.createDataFrame([(1, "minted-early-published-late", 2)], SCHEMA))
+    ib = Table(spark, t.base).upsert(
+        spark.createDataFrame([(2, "minted-late-published-early", 2)], SCHEMA)
+    )
+    _swap_completion(t.base, ia, ib)
+    t2 = Table(spark, t.base)
+    stamps = {
+        i.instant: i.committed_at for i in t2.timeline.completed_data_instants()
+    }
+    # cut at ib's publish: ia has not published yet in completion time
+    cut = {r["k"]: r["val"] for r in t2.read_at_completion(stamps[ib]).collect()}
+    assert cut == {1: "base", 2: "minted-late-published-early"}
+    # the begin-id cut at ib INCLUDES ia (ia < ib) — the divergence
+    asof = {r["k"]: r["val"] for r in t2.read(as_of=ib).collect()}
+    assert asof[1] == "minted-early-published-late"
+    # at/after ia's publish the completion cut converges to the full state
+    full = {r["k"]: r["val"] for r in t2.read_at_completion(stamps[ia]).collect()}
+    assert full == {r["k"]: r["val"] for r in t2.read().collect()}
+    assert full[1] == "minted-early-published-late"
