@@ -248,6 +248,123 @@ ORDER BY domain, rk
 """
 
 
+#: tracking parameters stripped by URL canonicalization (the industry-standard
+#: nuisance list: UTM campaign tags + click ids).
+TRACKING_PARAM_RE = "^(utm_[a-z]+|fbclid|gclid)="
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a crawled URL: lowercase scheme+host, default port
+    (:80/:443) stripped, trailing path slash stripped, fragment dropped,
+    tracking params dropped, surviving query params sorted. Pure built-in
+    regexp/array expressions — whole-stage codegen, no UDF."""
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(url, "^[a-zA-Z]+://([^/?#]+)", 1)), ":(443|80)$", ""
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(url, "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1), "/+$", ""
+    )
+    params = F.array_sort(
+        F.filter(
+            F.split(F.regexp_extract(url, "\\?([^#]*)", 1), "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    return F.concat(
+        F.lit("https://"),
+        host,
+        path,
+        F.when(F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def dedup_url_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """URL-canonicalization dedup — the FIRST dedup stage of a crawl
+    pipeline (before any content hashing): the same page is crawled under
+    scheme/host case noise, an explicit default port, trailing slashes,
+    tracking parameters, re-ordered query strings, and fragments. Canonical
+    form: lowercase scheme+host, default port stripped, trailing path slash
+    stripped, tracking params dropped, surviving params sorted, fragment
+    dropped. One row per canonical URL with the variant count and the kept
+    (min-doc_id) representative.
+
+    All parsing is built-in regexp/array expressions (codegen, no UDF);
+    the dedup itself is ONE canonical-keyed aggregation — at 100 TB the
+    shuffle key is the canonical URL (≈one row per page), the natural
+    partition key of every downstream crawl-merge.
+
+    The variant URLs are synthesized deterministically from (source,
+    doc_id) with noise drawn from doc_id residues, identically in the
+    DuckDB oracle — ~10 docs collapse onto each canonical page id."""
+    d = t(spark, sf, "documents")
+    # %97 decorrelates the page id from the generator's source = src{doc_id
+    # % 20} assignment (same trick as the TLD above): each source hosts ~10
+    # distinct pages, each crawled under ~2-3 noise variants
+    page = ((F.col("doc_id") % 97) % 10).cast("string")
+    url = F.concat(
+        F.when(F.col("doc_id") % 7 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.")).otherwise(F.lit("www.")),
+        F.col("source"),
+        F.lit(".com"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/page/"),
+        page,
+        F.when(F.col("doc_id") % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("?utm_source=feed&ref="), F.col("source")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("?ref="), F.col("source"), F.lit("&utm_campaign=x")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("?gclid=abc&ref="), F.col("source")))
+        .otherwise(F.concat(F.lit("?ref="), F.col("source"))),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#sec2")).otherwise(F.lit("")),
+    )
+    d = d.select("doc_id", url.alias("url"))
+    return (
+        d.select("doc_id", canonical_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+DEDUP_URL_CANONICAL_ORACLE = """
+WITH urls AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 7 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+         || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'www.' END)
+         || source || '.com'
+         || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+         || '/page/' || CAST((doc_id % 97) % 10 AS VARCHAR)
+         || (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END)
+         || (CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed&ref=' || source
+                             WHEN 1 THEN '?ref=' || source || '&utm_campaign=x'
+                             WHEN 2 THEN '?gclid=abc&ref=' || source
+                             ELSE '?ref=' || source END)
+         || (CASE WHEN doc_id % 5 = 0 THEN '#sec2' ELSE '' END) AS url
+  FROM documents
+), parsed AS (
+  SELECT doc_id,
+         regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)), ':(443|80)$', '') AS host,
+         regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), '/+$', '') AS path,
+         list_sort(list_filter(str_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                   p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid)='))) AS params
+  FROM urls
+), canon AS (
+  SELECT doc_id,
+         'https://' || host || path
+         || (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END) AS canonical_url
+  FROM parsed
+)
+SELECT canonical_url, count(*) AS n_variants, min(doc_id) AS keep_doc
+FROM canon
+GROUP BY canonical_url
+ORDER BY canonical_url
+"""
+
+
 SPECS = [
     QuerySpec(
         "dom_host_stats",
@@ -266,5 +383,11 @@ SPECS = [
         dom_cap_per_domain,
         DOM_CAP_PER_DOMAIN_ORACLE,
         "LLM:per-domain document cap (salted two-phase top-K sample)",
+    ),
+    QuerySpec(
+        "dedup_url_canonical",
+        dedup_url_canonical,
+        DEDUP_URL_CANONICAL_ORACLE,
+        "LLM:URL-canonicalization dedup (crawl-stage, pre-content-hash)",
     ),
 ]

@@ -68,24 +68,25 @@ def all_specs() -> list[QuerySpec]:
     # 5 rounds old at this cut counting exclusively (the r9 comment said
     # "age ≤3", which was off by one; the LEDGER is the authority and this
     # rotation retires its oldest rows regardless of how they're counted).
-    # Seating (audit trail): 3 round-10 debuts (the URL/domain curation
-    # family — dom_host_stats / dom_blocklist_filter / dom_cap_per_domain),
-    # then ALL 22 r5-aged rows exactly as the r9 comment named them
-    # (sim_pq_topk ... a_percentile_values, incl. q1/q3/q5/q6/q10,
-    # tok_bpe_merges, emb_kmeans_lloyd), then the 25 oldest r6-aged rows in
-    # registry order (table-DML tail through pipe_training_corpus). The 3
-    # debuts displace 3 of the promised 28 r6 refreshes; the 25 r6 rows
-    # still aged r6 after this round (pipe_hash_split ...
-    # fn_explode_unnest) rotate at r11 with the oldest r8 rows — after r11
-    # every row's newest evidence is ≤3 rounds old (exclusive counting) and
-    # the steady-state rotation period is 3-4 rounds for a 175-query
-    # registry at 50 rows/round. `python tests/run_parity.py` sweeps all
-    # of it every round regardless.
+    # Seating (audit trail): 4 round-10 debuts (the URL/domain curation
+    # family — dom_host_stats / dom_blocklist_filter / dom_cap_per_domain /
+    # dedup_url_canonical), then ALL 22 r5-aged rows exactly as the r9
+    # comment named them (sim_pq_topk ... a_percentile_values, incl.
+    # q1/q3/q5/q6/q10, tok_bpe_merges, emb_kmeans_lloyd), then the 24
+    # oldest r6-aged rows in registry order (table-DML tail through
+    # lang_detect_ngram). The 4 debuts displace 4 of the promised 28 r6
+    # refreshes; the 26 r6 rows still aged r6 after this round
+    # (pipe_training_corpus ... fn_explode_unnest) rotate at r11 with the
+    # oldest r8 rows — after r11 every row's newest evidence is ≤3 rounds
+    # old (exclusive counting) and the steady-state rotation period is 3-4
+    # rounds for a 176-query registry at 50 rows/round.
+    # `python tests/run_parity.py` sweeps all of it every round regardless.
     r10_prefix = [
         # round-10 debuts: URL/domain-level curation (RefinedWeb §3.1 shape)
         "dom_host_stats",
         "dom_blocklist_filter",
         "dom_cap_per_domain",
+        "dedup_url_canonical",
         # the 22 r5-aged rows (named in the r9 prefix comment, seated now)
         "sim_pq_topk",
         "dedup_substring_spans",
@@ -109,7 +110,7 @@ def all_specs() -> list[QuerySpec]:
         "q20_excess_suppliers",
         "a_pivot_event_types",
         "a_percentile_values",
-        # the 25 oldest r6-aged rows in registry order
+        # the 24 oldest r6-aged rows in registry order
         "tbl_upsert_mor_compacted",
         "tbl_delete_where",
         "tbl_cdc_rollback",
@@ -134,7 +135,6 @@ def all_specs() -> list[QuerySpec]:
         "dedup_embed_ann",
         "fp_winnowing",
         "lang_detect_ngram",
-        "pipe_training_corpus",
     ]
     assert len(r10_prefix) == 50 and len(set(r10_prefix)) == 50, "prefix must be 50 unique names"
     by_name = {s.name: s for s in specs}

@@ -9,6 +9,8 @@ from pyspark.sql.window import Window
 
 from hudi_examples_spark.operators.domain_curation import (
     DOM_CAP,
+    canonical_url,
+    dedup_url_canonical,
     dom_blocklist_filter,
     dom_cap_per_domain,
     dom_host_stats,
@@ -110,3 +112,40 @@ def test_blocklist_filter_drops_whole_domains_and_broadcasts(spark):
     ).count() == all_docs.count()
     plan = surv._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_url_canonicalization_planted_variants(spark):
+    """All crawl-noise axes collapse: scheme/host case, default port,
+    trailing slash, tracking params, param order, fragment — while real
+    differences (path, non-tracking params, non-default port) survive."""
+    want = "https://www.example.com/page/3?id=7&ref=a"
+    same = [
+        "https://www.example.com/page/3?id=7&ref=a",
+        "HTTPS://WWW.EXAMPLE.COM/page/3?id=7&ref=a",
+        "https://www.example.com:443/page/3?id=7&ref=a",
+        "https://www.example.com/page/3/?id=7&ref=a",
+        "https://www.example.com/page/3?ref=a&id=7",
+        "https://www.example.com/page/3?utm_source=x&id=7&ref=a",
+        "https://www.example.com/page/3?id=7&gclid=zzz&ref=a",
+        "https://www.example.com/page/3?id=7&ref=a#section-2",
+    ]
+    different = [
+        "https://www.example.com/page/4?id=7&ref=a",   # other path
+        "https://www.example.com/page/3?id=8&ref=a",   # other real param
+        "https://www.example.com:8443/page/3?id=7&ref=a",  # non-default port
+        "https://api.example.com/page/3?id=7&ref=a",   # other host
+        "https://www.example.com/page/3",              # no params at all
+    ]
+    df = spark.createDataFrame([(u,) for u in same + different], "url STRING")
+    got = [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert all(c == want for c in got[: len(same)]), got[: len(same)]
+    assert all(c != want for c in got[len(same):]), got[len(same):]
+    assert len(set(got[len(same):])) == len(different)  # and mutually distinct
+
+
+def test_url_dedup_keeps_min_doc_and_counts_variants(spark):
+    out = {r["canonical_url"]: (r["n_variants"], r["keep_doc"]) for r in dedup_url_canonical(spark, SF_SMALL).collect()}
+    assert sum(n for n, _ in out.values()) == 500  # every doc lands somewhere
+    assert any(n > 1 for n, _ in out.values())     # real collapse happens
+    # representative is deterministic: min doc_id of the group
+    assert all(k >= 0 for _, k in out.values())

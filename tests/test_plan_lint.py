@@ -66,6 +66,21 @@ def test_lint_accepts_small_literal_range_build(spark):
     assert lint_plan(salted) == []
 
 
+def test_bench_lifecycle_op_plans_lint_clean(spark):
+    """The bench fixtures' MEASURED op reads (index point lookups, pruned
+    CDC, zorder/pstats scans) are the plans the artifact's evidence blobs
+    describe — they must clear the same lint as the registry."""
+    from hudi_examples_spark.operators.table_dml import bench_phases
+
+    bad = {}
+    for name, (build, op) in bench_phases().items():
+        df = op(spark, SF_SMALL, build(spark, SF_SMALL))
+        v = lint_plan(df)
+        if v:
+            bad[name] = [str(x) for x in v]
+    assert not bad, f"bench op-plan violations: {bad}"
+
+
 def test_full_registry_plan_lint(spark):
     """Walk every registry spec's physical plan. Any unpartitioned window
     without a reducing subtree, any cartesian product, and any
