@@ -396,16 +396,27 @@ def dedup_sketch_calibration(spark: SparkSession, sf: str) -> DataFrame:
     joins shingles ONLY for candidate pairs (O(candidates × shingles/doc),
     never all-pairs); est16 is a zip_with fold over two 16-int arrays. At
     100 TB the background stratum is a keyed self-join on doc_id+1 — one
-    co-partitioned exchange."""
+    co-partitioned exchange.
+
+    The shingle table and the signature table are each MATERIALIZED once per
+    invocation (``localCheckpoint`` — the write-out-and-read-back of guide
+    §3.3): this report references the signature subtree four times (banded
+    self-join sides, s1, s2) and the shingle subtree three times (i1, i2,
+    ids), and Catalyst does not share common subtrees across join branches —
+    the un-materialized plan re-ran the parquet scan + shingling + 16-way md5
+    minhash SIXTEEN times (measured r10: 16 scans / 66 Exchanges, 11.5 s at
+    sf0.1). Both intermediates are O(corpus tokens) — the same bytes any
+    shuffle of the front would move once — recomputed from the parquet
+    inputs on every call, never reused across runs."""
     from hudi_examples_spark.functions.text import minhash_bands, minhash_signature
     from hudi_examples_spark.operators.llm_pipeline import _docs_shingled
 
-    d = _docs_shingled(spark, sf, 3)
+    d = _docs_shingled(spark, sf, 3).localCheckpoint()
     sig = d.select(
         "doc_id",
         minhash_signature(F.col("shingles"), 16, hash_family="md5").alias("sig"),
         F.size("shingles").cast("long").alias("n_sh"),
-    )
+    ).localCheckpoint()
     banded = sig.select(
         "doc_id", F.posexplode(minhash_bands(F.col("sig"), bands=4, rows_per_band=4))
     ).select("doc_id", F.col("pos").alias("band"), F.col("col").alias("bucket"))
@@ -417,7 +428,7 @@ def dedup_sketch_calibration(spark: SparkSession, sf: str) -> DataFrame:
         .select("d1", "d2")
         .distinct()
     )
-    ids = d.select("doc_id")
+    ids = sig.select("doc_id")  # 1:1 with d, read from the narrower checkpoint
     bg = (
         ids.select(F.col("doc_id").alias("d1"))
         .join(ids.select(F.col("doc_id").alias("d2")), F.col("d2") == F.col("d1") + 1)

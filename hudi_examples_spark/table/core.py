@@ -46,20 +46,30 @@ from pyspark.sql.types import ArrayType, BooleanType, StringType, StructField, S
 
 @contextmanager
 def _no_aqe(spark: SparkSession):
-    """Disable AQE for one tiny driver-side planning query.
+    """Disable AQE — and narrow the exchange — for one tiny driver-side
+    planning query.
 
     AQE materializes every query stage as its own Spark job; for the
     metadata-sized collects in the write path (partition location, key-range
     pruning — dozens of rows) that's 3-5 driver round-trips where a static
-    plan needs one. Data-path queries keep AQE. Safe because engine writes
-    are driver-sequential (the only in-process threads are the footer-stat
-    readers, which never touch SQL conf)."""
+    plan needs one. Data-path queries keep AQE. The shuffle width is pinned
+    small for the same reason AQE would have coalesced it: every exchange in
+    a planning query carries only DISTINCT metadata values (partition paths,
+    file names — partial aggregation runs upstream of the exchange), so the
+    data-scale shuffle width just schedules empty tasks; r10 measured the
+    width pin at ~40% of each planning job's wall-clock at local scale, and
+    at cluster scale the per-task scheduling overhead grows, not shrinks.
+    Safe because engine writes are driver-sequential (the only in-process
+    threads are the footer-stat readers, which never touch SQL conf)."""
     prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         yield
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 from pyspark.sql.window import Window
 
 
@@ -3878,6 +3888,80 @@ class Table:
         with _no_aqe(self.spark):
             return {r["p"] for r in paths.collect()}
 
+    def _plan_keyed_write(
+        self, rels: list[str], upserts: DataFrame | None, deletes: DataFrame | None
+    ) -> tuple[set[str], list[str]] | None:
+        """ONE planning job for the common keyed-COW write (r10): the batch's
+        distinct partition paths AND the key-range candidate files come back
+        from a single collect — the old shape paid one Spark job for each,
+        and both evaluated the same incoming-batch subtree. Returns
+        (batch_parts, candidate_rels), or None when this planner cannot run
+        (missing key/partition columns) — the caller then falls back to the
+        split jobs; bloom-indexed and record-indexed tables keep their richer
+        dedicated paths.
+
+        Shape: (key, partition) rows LEFT-join the broadcast per-file
+        key-range table — every batch partition survives the join (null
+        ``rel``), every range-hit (partition, file) pair lands once; the
+        exchange carries only distinct pairs (partial aggregation runs
+        upstream), so the collect is O(batch partitions + candidate files)
+        at any scale. Pruning semantics are identical to
+        ``_prune_files_by_keys``'s range phase: files without recorded
+        ranges are always kept."""
+        kps = []
+        for d in (upserts, deletes):
+            if d is None:
+                continue
+            if all(c in d.columns for c in self.config.record_key):
+                key = self._key_expr()
+            elif META_KEY in d.columns:
+                key = F.col(META_KEY)
+            else:
+                return None
+            if not all(c in d.columns for c in self.config.partition_by):
+                return None
+            kps.append(
+                d.select(
+                    key.cast("string").alias("__k"),
+                    self._partition_expr().alias("__p"),
+                )
+            )
+        if not kps:
+            return None
+        kp = kps[0] if len(kps) == 1 else kps[0].unionByName(kps[1])
+        stats = self._load_file_stats()
+        ranged, unknown = [], []
+        for r in rels:
+            kr = (stats.get(r) or {}).get(META_KEY)
+            if kr is not None:
+                ranged.append((r, str(kr[0]), str(kr[1])))
+            else:
+                unknown.append(r)
+        with _no_aqe(self.spark):
+            if not ranged:
+                parts = {r["__p"] for r in kp.select("__p").distinct().collect()}
+                kept = list(rels)
+            else:
+                rng = self.spark.createDataFrame(
+                    ranged, "rel STRING, lo STRING, hi STRING"
+                )
+                rows = (
+                    kp.join(
+                        F.broadcast(rng),
+                        (F.col("__k") >= F.col("lo")) & (F.col("__k") <= F.col("hi")),
+                        "left",
+                    )
+                    .select("__p", "rel")
+                    .distinct()
+                    .collect()
+                )
+                parts = {r["__p"] for r in rows}
+                kept = sorted(
+                    {r["rel"] for r in rows if r["rel"] is not None} | set(unknown)
+                )
+        self.last_key_prune = {"total": len(rels), "candidates": len(kept)}
+        return parts, kept
+
     def _apply_cow(
         self,
         instant: str,
@@ -3887,6 +3971,25 @@ class Table:
         extra_meta: dict | None = None,
     ) -> str:
         files, _latest = self.timeline.live_files()
+        if files and (upserts is not None or deletes is not None):
+            # Materialize the incoming batch ONCE (r10, guide §1.2/§2.4): a
+            # keyed COW write evaluates the batch subtree in up to four
+            # separate jobs (batch-partition collect, key-range prune,
+            # outside-partition confirmation, the merge+rewrite itself), and
+            # each re-ran the caller's full source plan — scans, filters,
+            # unions — from scratch. One localCheckpoint pins the batch's
+            # O(micro-batch) rows to executor blocks so every planning job
+            # reads those instead (Hudi itself persists the incoming
+            # workload profile for the same reason). Lazy (eager=False): the
+            # FIRST planning job materializes the blocks as a side effect —
+            # an eager checkpoint would add a dedicated job per batch, which
+            # r10 measured as a net LOSS on many-commit small-batch
+            # lifecycles (CDC fixtures). Empty-table inserts never reach
+            # this branch, so the initial-load path pays nothing.
+            if upserts is not None:
+                upserts = upserts.localCheckpoint(eager=False)
+            if deletes is not None:
+                deletes = deletes.localCheckpoint(eager=False)
         keys_df = self._batch_keys(upserts, deletes)
         if files and keys_df is not None:
             # Key-first planning (Hudi COW upsert granularity): ONE range/bloom
@@ -3900,37 +4003,54 @@ class Table:
             # stats are always kept), so the merge still sees every version of
             # every incoming key — including rows MOVING partitions under the
             # global index (their old-partition file is in the candidate set).
-            batch_parts = None
-            if self.config.partition_by:
-                dfs = [d for d in (upserts, deletes) if d is not None]
-                if all(
-                    all(c in d.columns for c in self.config.partition_by) for d in dfs
-                ):
-                    with _no_aqe(self.spark):
-                        batch_parts = {
-                            r["p"]
-                            for d in dfs
-                            for r in d.select(self._partition_expr().alias("p"))
-                            .distinct()
-                            .collect()
-                        }
-            if self.config.index_type == "partition" and batch_parts is not None:
-                # non-global index: trust the batch's own partition values and
-                # never look elsewhere (Hudi SIMPLE contract — a partition-
-                # changing upsert leaves the old row in place)
-                scope = [
-                    r for r in files if self._partition_path_of(r) in batch_parts
-                ]
-            else:
-                scope = sorted(files)
-            if len(scope) > 1:
-                touched_rels = self._prune_files_by_keys(sorted(scope), keys_df)
-                via_rli = bool(
-                    (getattr(self, "last_key_prune", None) or {}).get("record_index")
-                )
-            else:
-                touched_rels = list(scope)
+            combined = None
+            if (
+                self.config.partition_by
+                and self.config.index_type != "partition"
+                and not self.config.bloom_index
+                and len(files) > 1
+                and not self._record_index_ready()
+            ):
+                # common path: partition collect + range prune as ONE job
+                combined = self._plan_keyed_write(sorted(files), upserts, deletes)
+            if combined is not None:
+                batch_parts, touched_rels = combined
                 via_rli = False
+            else:
+                batch_parts = None
+                if self.config.partition_by:
+                    dfs = [d for d in (upserts, deletes) if d is not None]
+                    if all(
+                        all(c in d.columns for c in self.config.partition_by)
+                        for d in dfs
+                    ):
+                        with _no_aqe(self.spark):
+                            batch_parts = {
+                                r["p"]
+                                for d in dfs
+                                for r in d.select(self._partition_expr().alias("p"))
+                                .distinct()
+                                .collect()
+                            }
+                if self.config.index_type == "partition" and batch_parts is not None:
+                    # non-global index: trust the batch's own partition values
+                    # and never look elsewhere (Hudi SIMPLE contract — a
+                    # partition-changing upsert leaves the old row in place)
+                    scope = [
+                        r for r in files if self._partition_path_of(r) in batch_parts
+                    ]
+                else:
+                    scope = sorted(files)
+                if len(scope) > 1:
+                    touched_rels = self._prune_files_by_keys(sorted(scope), keys_df)
+                    via_rli = bool(
+                        (getattr(self, "last_key_prune", None) or {}).get(
+                            "record_index"
+                        )
+                    )
+                else:
+                    touched_rels = list(scope)
+                    via_rli = False
             if batch_parts is not None and not via_rli:
                 # (Record-index candidates are exact — an outside file IS a
                 # real holder of a moving key; the confirmation read below
