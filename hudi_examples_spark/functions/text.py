@@ -118,25 +118,51 @@ def minhash_signature(
     - ``"md5"`` (oracle mode): affine maps ``(a_i·h + b_i) mod P`` over a
       48-bit md5-derived base — reproducible in any engine with md5, which
       is what lets the DuckDB oracle value-match the whole pipeline.
-    """
+
+    Shapes differ per family because interpreted higher-order lambdas have
+    NO common-subexpression elimination (r10, guide §1.2/§4):
+
+    - xxhash64: the elementwise-min fold — each of the N hashes is an
+      independent seeded call, nothing is shared, the fold is optimal.
+    - md5: the fold form re-evaluated the md5-base expression once PER
+      AFFINE REFERENCE — 16 md5+conv per shingle, measured 5× the whole
+      signature's cost at sf0.1. Instead the base array is computed once
+      (one md5 per shingle) and BOUND as a lambda variable (the 1-element
+      ``transform(array(bases), ...)`` trick — a lambda variable is
+      evaluated once, where a repeated column expression is not), and each
+      hash takes ``array_min`` of its affine map over the bound array.
+      Value-identical (exactness + both edge shapes pinned in
+      test_text_functions)."""
     sentinel = F.lit(MINHASH_SENTINEL).cast("bigint")
-    init = F.array_repeat(sentinel, num_hashes)
     if hash_family == "xxhash64":
+        init = F.array_repeat(sentinel, num_hashes)
+
         def hashes(s):
             return F.array(*[F.xxhash64(F.lit(i), s) for i in range(num_hashes)])
-    else:
-        coeffs = minhash_coeffs(num_hashes)
-        p = F.lit(MINHASH_P)
 
-        def hashes(s):
-            hp = minhash_base(s, hash_family)
-            return F.array(*[(F.lit(a) * hp + F.lit(b)) % p for a, b in coeffs])
+        return F.aggregate(
+            shingles,
+            init,
+            lambda acc, s: F.zip_with(acc, hashes(s), lambda a, b: F.least(a, b)),
+        )
+    coeffs = minhash_coeffs(num_hashes)
+    p = F.lit(MINHASH_P)
+    bases = F.transform(shingles, lambda s: minhash_base(s, hash_family))
 
-    return F.aggregate(
-        shingles,
-        init,
-        lambda acc, s: F.zip_with(acc, hashes(s), lambda a, b: F.least(a, b)),
-    )
+    def sig_of(bs):
+        return F.array(
+            *[
+                F.coalesce(
+                    F.array_min(F.transform(bs, lambda h: (F.lit(a) * h + F.lit(b)) % p)),
+                    sentinel,
+                )
+                for a, b in coeffs
+            ]
+        )
+
+    return F.when(
+        shingles.isNull(), F.lit(None).cast("array<bigint>")
+    ).otherwise(F.element_at(F.transform(F.array(bases), sig_of), 1))
 
 
 def minhash_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
@@ -161,18 +187,35 @@ def simhash64(tokens: Column) -> Column:
     chars 1-8, lo = chars 9-16) — 64 hash bits reproducible in ANY engine with
     md5, which is what lets the driver run a full value-match DuckDB oracle
     (xxhash64, the previous bit source, is Spark-only and forced a rows-only
-    check). Expressed as 64 aggregate expressions — heavyweight to write but
-    stays whole-stage-codegen. Returns BIGINT.
-    """
+    check). Returns BIGINT.
+
+    The (hi, lo, n) triple is computed ONCE and bound as a lambda variable
+    before the 64 per-bit votes read it (r10, same class as the
+    ``minhash_signature`` md5 fix): interpreted higher-order lambdas have no
+    common-subexpression elimination, so the previous form — ``hi``/``lo``
+    as plain column expressions referenced by every vote — re-ran the whole
+    md5+conv token pass once per bit, 64× the hashing work. Bit-exact
+    (pinned against the unbound form in test_llm_pipeline)."""
     hx = F.transform(tokens, lambda w: F.md5(w))
     hi = F.transform(hx, lambda h: F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"))
     lo = F.transform(hx, lambda h: F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint"))
-    acc = F.lit(0).cast("bigint")
-    n = F.size(tokens)
-    for bit in range(64):
-        word = hi if bit < 32 else lo
-        mask32 = F.lit(1 << (bit % 32)).cast("bigint")
-        contrib = F.lit(1 << bit).cast("bigint") if bit < 63 else F.lit(-(1 << 63)).cast("bigint")
-        ones = F.size(F.filter(word, lambda h: h.bitwiseAND(mask32) != 0))
-        acc = acc + F.when(ones * 2 > n, contrib).otherwise(F.lit(0).cast("bigint"))
-    return acc
+
+    def votes(s):
+        acc = F.lit(0).cast("bigint")
+        n = s["n"]
+        for bit in range(64):
+            word = s["hi"] if bit < 32 else s["lo"]
+            mask32 = F.lit(1 << (bit % 32)).cast("bigint")
+            contrib = (
+                F.lit(1 << bit).cast("bigint")
+                if bit < 63
+                else F.lit(-(1 << 63)).cast("bigint")
+            )
+            ones = F.size(F.filter(word, lambda h: h.bitwiseAND(mask32) != 0))
+            acc = acc + F.when(ones * 2 > n, contrib).otherwise(F.lit(0).cast("bigint"))
+        return acc
+
+    bound = F.struct(
+        hi.alias("hi"), lo.alias("lo"), F.size(tokens).cast("bigint").alias("n")
+    )
+    return F.element_at(F.transform(F.array(bound), votes), 1)

@@ -105,3 +105,94 @@ def test_jaccard_shingle_fanout_is_bounded(spark):
     kept = ex_all.join(rare.select("sh"), "sh")
     worst = kept.groupBy("sh").count().agg(F.max("count").alias("m")).collect()[0]["m"]
     assert worst is not None and worst <= MAX_SHINGLE_DF
+
+
+def test_minhash_md5_signature_matches_reference_fold(spark):
+    """The r10 md5-family signature (base array bound once as a lambda
+    variable, per-hash array_min) must be value-identical to the reference
+    elementwise-min fold it replaced, including the empty-array and NULL
+    edges. Guards the optimization: a coefficient or binding regression
+    would silently shift every md5-family sketch."""
+    from hudi_examples_spark.functions.text import (
+        MINHASH_P,
+        MINHASH_SENTINEL,
+        minhash_base,
+        minhash_coeffs,
+        minhash_signature,
+    )
+
+    def reference_fold(shingles, num_hashes):
+        coeffs = minhash_coeffs(num_hashes)
+        p = F.lit(MINHASH_P)
+        init = F.array_repeat(F.lit(MINHASH_SENTINEL).cast("bigint"), num_hashes)
+
+        def hashes(s):
+            hp = minhash_base(s, "md5")
+            return F.array(*[(F.lit(a) * hp + F.lit(b)) % p for a, b in coeffs])
+
+        return F.aggregate(
+            shingles,
+            init,
+            lambda acc, s: F.zip_with(acc, hashes(s), lambda a, b: F.least(a, b)),
+        )
+
+    rows = [
+        (1, ["a b c", "b c d", "c d e", "a b c"]),
+        (2, []),
+        (3, None),
+        (4, ["solitary trigram here"]),
+        (5, [f"tok{i} tok{i+1} tok{i+2}" for i in range(50)]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, sh ARRAY<STRING>")
+    got = df.select(
+        "doc_id", minhash_signature(F.col("sh"), 16, hash_family="md5").alias("sig")
+    )
+    want = df.select("doc_id", reference_fold(F.col("sh"), 16).alias("sig"))
+    mism = (
+        got.alias("g")
+        .join(want.alias("w"), "doc_id")
+        .filter(
+            ~(
+                (F.expr("g.sig <=> w.sig"))
+            )
+        )
+        .count()
+    )
+    assert mism == 0
+    by_id = {r["doc_id"]: r["sig"] for r in got.collect()}
+    assert by_id[2] == [MINHASH_SENTINEL] * 16  # empty array -> sentinels
+    assert by_id[3] is None  # NULL array stays NULL (fold parity)
+
+
+def test_simhash64_matches_unbound_form(spark):
+    """The r10 simhash64 (hi/lo/n bound once as a lambda variable) must be
+    bit-identical to the unbound per-bit-vote form it replaced."""
+    from hudi_examples_spark.functions.text import simhash64
+
+    def unbound(tokens):
+        hx = F.transform(tokens, lambda w: F.md5(w))
+        hi = F.transform(hx, lambda h: F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"))
+        lo = F.transform(hx, lambda h: F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint"))
+        acc = F.lit(0).cast("bigint")
+        n = F.size(tokens)
+        for bit in range(64):
+            word = hi if bit < 32 else lo
+            mask32 = F.lit(1 << (bit % 32)).cast("bigint")
+            contrib = F.lit(1 << bit).cast("bigint") if bit < 63 else F.lit(-(1 << 63)).cast("bigint")
+            ones = F.size(F.filter(word, lambda h: h.bitwiseAND(mask32) != 0))
+            acc = acc + F.when(ones * 2 > n, contrib).otherwise(F.lit(0).cast("bigint"))
+        return acc
+
+    rows = [
+        (1, ["alpha", "beta", "gamma", "alpha"]),
+        (2, ["single"]),
+        (3, []),
+        (4, [f"tok{i}" for i in range(100)]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, toks ARRAY<STRING>")
+    got = df.select("doc_id", simhash64(F.col("toks")).alias("h"))
+    want = df.select("doc_id", unbound(F.col("toks")).alias("h"))
+    mism = (
+        got.alias("g").join(want.alias("w"), "doc_id").filter("g.h <> w.h").count()
+    )
+    assert mism == 0
