@@ -338,7 +338,12 @@ def dedup_semantic(spark: SparkSession, sf: str, threshold: float = 0.92) -> Dat
     threshold test.
     """
     e = t(spark, sf, "embeddings")
-    dups = semantic_dup_pairs(e, threshold)
+    # materialized once: the near-dup pair set (tiny — pairs over threshold)
+    # feeds three branches (both sides of the count union + the drop set);
+    # without the checkpoint Catalyst re-runs the whole cluster self-join +
+    # blocked-BLAS mapInPandas per branch (plans/r10/dedup_semantic_before
+    # .txt: 26 parquet scans, 6 python nodes)
+    dups = semantic_dup_pairs(e, threshold).localCheckpoint()
     dup_counts = (
         dups.select(F.col("d1").alias("vec_id"))
         .unionAll(dups.select(F.col("d2").alias("vec_id")))

@@ -276,6 +276,12 @@ def sim_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
             "s",
             F.transform("im", lambda x: x["m"]).alias("cw"),
         )
+        # materialized once: the codebook (|labels|×M rows — bounded metadata)
+        # feeds BOTH the corpus-encoding branch and the query's ADC
+        # lookup-table branch; without the checkpoint Catalyst re-runs the
+        # full two-level codebook aggregation (scan+explode+2 aggs) per
+        # branch (plans/r10/sim_pq_topk_before.txt: 8 parquet scans)
+        .localCheckpoint()
     )
     # distance of EVERY subvector (corpus rows and the query alike) to every
     # codeword of its subspace; argmin = the row's code, vec_id 0's row = the
