@@ -70,6 +70,32 @@ def _no_aqe(spark: SparkSession):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+@contextmanager
+def _static_exec(spark: SparkSession):
+    """Disable AQE for one DATA-path write whose plan cannot benefit from it,
+    keeping the session's configured (scale-parameterized) shuffle width.
+
+    AQE materializes every query stage as its own Spark job — 3-4 driver
+    round-trips per commit where a static plan needs one (r10 measured this
+    as the dominant cost of the many-commit lifecycle fixtures). A join-free
+    write plan (MOR log append, bulk load, CDC log, merge without deletes)
+    gives AQE nothing to decide: its hash-on-partition-value exchange cannot
+    be skew-split (one hive partition is one hash key in any case), the
+    file-per-dir layout is identical with or without post-shuffle coalescing
+    (the partitionBy writer splits per dir either way), and there is no join
+    strategy to adapt. Plans WITH joins keep AQE — the runtime broadcast
+    decision for delete anti-joins matters at cluster scale. Unlike
+    ``_no_aqe`` (metadata collects), the shuffle width is NOT pinned: it
+    stays ``spark.sql.shuffle.partitions``, which production callers size to
+    their cluster (session.py docstring)."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 from pyspark.sql.window import Window
 
 
@@ -850,8 +876,23 @@ class Table:
             writer = writer.option("maxRecordsPerFile", self.config.max_records_per_file)
         if write_parts:
             writer = writer.partitionBy(*write_parts)
+        # Join-free plans run statically (r10): AQE turns every exchange into
+        # its own Spark job, and a plan without joins gives it nothing to
+        # adapt (see _static_exec). Caller-planned layouts (preserve_layout /
+        # range_key_layout) keep AQE untouched — their exchange shapes were
+        # chosen by the caller and coalescing behavior is part of the small-
+        # file clustering contract.
+        static_ok = (
+            not preserve_layout
+            and not range_key_layout
+            and "Join" not in df._jdf.queryExecution().analyzed().toString()
+        )
         try:
-            writer.parquet(staging)
+            if static_ok:
+                with _static_exec(self.spark):
+                    writer.parquet(staging)
+            else:
+                writer.parquet(staging)
         finally:
             if unpersist_after_write is not None:
                 unpersist_after_write.unpersist()
@@ -1552,11 +1593,14 @@ class Table:
                 meta["valid"] = False
                 self._write_index_meta(name, meta)
                 continue
-            (
-                entries.where(F.col("val").isNotNull())
-                .write.mode("overwrite")
-                .parquet(self._index_append_dir(self._index_data_dir(name, meta)))
-            )
+            # _no_aqe (r10): exchange-free plan (column-pruned scan of the
+            # commit's files → project → write); AQE only adds stage-jobs.
+            with _no_aqe(self.spark):
+                (
+                    entries.where(F.col("val").isNotNull())
+                    .write.mode("overwrite")
+                    .parquet(self._index_append_dir(self._index_data_dir(name, meta)))
+                )
 
     def _index_publish_guard(self) -> None:
         """Run inside the locked publish, after the commit lands: if any index
@@ -1784,7 +1828,24 @@ class Table:
         names: dict[str, str] = {}
         for r in rels:
             names[os.path.basename(r)] = r
+        if len(names) == len(rels) and len(names) <= 256:
+            # small commit (the overwhelmingly common case): the basename →
+            # rel mapping rides as a MAP LITERAL expression instead of a
+            # broadcast join — the join's build side was a createDataFrame
+            # parallelized over defaultParallelism slices, a whole extra
+            # 32-task Spark job per commit for a dict of a few entries (r10).
+            m = F.create_map(
+                *[F.lit(x) for kv in sorted(names.items()) for x in kv]
+            )
+            return self._read_files(rels, with_deleted=True).select(
+                F.col(META_KEY).alias("key"),
+                F.element_at(
+                    m, F.element_at(F.split(F.input_file_name(), "/"), -1)
+                ).alias("rel"),
+            )
         if len(names) == len(rels):
+            # huge commit (thousands of files): a map literal that size would
+            # bloat codegen — keep the broadcast-join form
             m = self.spark.createDataFrame(
                 list(names.items()), "__fname STRING, rel STRING"
             )
@@ -1883,9 +1944,15 @@ class Table:
             return
         entries = self._record_entries_for(rels)
         if entries is not None:
-            entries.write.mode("overwrite").parquet(
-                self._index_append_dir(self._record_index_data_dir(meta))
-            )
+            # _no_aqe (r10): this plan has no exchange at any scale — a
+            # column-pruned scan of the commit's own files into a broadcast
+            # join with the O(files) name map, straight into the write — so
+            # AQE can only split it into extra stage-jobs (measured 2 → 1
+            # job per commit); there is no shuffle for it to coalesce.
+            with _no_aqe(self.spark):
+                entries.write.mode("overwrite").parquet(
+                    self._index_append_dir(self._record_index_data_dir(meta))
+                )
 
     def _record_index_candidates(
         self, rels: list[str], keys_df: DataFrame
@@ -1906,9 +1973,13 @@ class Table:
         # no forced broadcast: a write batch's key set is usually tiny (AQE
         # broadcasts it from its runtime size), but a 100 TB-scale bulk
         # ingest can carry more distinct keys than a driver can broadcast —
-        # the probe must degrade to a shuffled join, not an OOM
+        # the probe must degrade to a shuffled join, not an OOM.
+        # No pre-join distinct on the probe side (r10): a LEFT SEMI join is
+        # set-semantic over the build side, so deduping first only adds a
+        # full exchange of the batch keys — measured as 2 extra AQE stage-
+        # jobs on every RLI write's planning pass.
         hit = (
-            entries.join(keys.distinct(), "key", "leftsemi")
+            entries.join(keys, "key", "leftsemi")
             .select("rel")
             .distinct()
             .collect()
@@ -2012,21 +2083,41 @@ class Table:
                 **({"bloom_pruned": len(rels) - len(kept)} if self.config.bloom_index else {}),
             }
             return kept
-        rng = self.spark.createDataFrame(ranged, "rel STRING, lo STRING, hi STRING")
-        # no pre-join distinct: the broadcast range join tolerates duplicate
-        # keys and the post-join file-name distinct is tiny — skipping it saves
-        # one full exchange of the batch on EVERY keyed write's planning pass
+        # no pre-join distinct: the range probe tolerates duplicate keys and
+        # the post-probe file-name distinct is tiny — skipping it saves one
+        # full exchange of the batch on EVERY keyed write's planning pass
         keys = keys_df.select(F.col(META_KEY).cast("string").alias("__k"))
         with _no_aqe(self.spark):
-            hit = (
-                keys.join(
-                    F.broadcast(rng),
-                    (F.col("__k") >= F.col("lo")) & (F.col("__k") <= F.col("hi")),
+            if len(ranged) <= self.RANGE_LITERAL_MAX:
+                # literal-array probe (r10): same inner-join semantics, no
+                # broadcast-build job (see _plan_keyed_write)
+                hit = (
+                    keys.select(
+                        F.explode(
+                            F.filter(
+                                self._range_literal_array(ranged),
+                                lambda s: (F.col("__k") >= s["lo"])
+                                & (F.col("__k") <= s["hi"]),
+                            )
+                        ).alias("__s")
+                    )
+                    .select(F.col("__s.rel").alias("rel"))
+                    .distinct()
+                    .collect()
                 )
-                .select("rel")
-                .distinct()
-                .collect()
-            )
+            else:
+                rng = self.spark.createDataFrame(
+                    ranged, "rel STRING, lo STRING, hi STRING"
+                )
+                hit = (
+                    keys.join(
+                        F.broadcast(rng),
+                        (F.col("__k") >= F.col("lo")) & (F.col("__k") <= F.col("hi")),
+                    )
+                    .select("rel")
+                    .distinct()
+                    .collect()
+                )
         kept = sorted({r["rel"] for r in hit} | set(unknown))
         n_range = len(kept)
         if self.config.bloom_index:
@@ -3888,6 +3979,25 @@ class Table:
         with _no_aqe(self.spark):
             return {r["p"] for r in paths.collect()}
 
+    #: max per-file key ranges shipped as a literal struct array in planning
+    #: probes (beyond this the expression tree would bloat analysis/codegen —
+    #: the broadcast-join form takes over, amortized against a genuinely
+    #: large planning problem)
+    RANGE_LITERAL_MAX = 256
+
+    @staticmethod
+    def _range_literal_array(ranged: list[tuple[str, str, str]]):
+        """(rel, lo, hi) triples as a literal array<struct> expression — zero
+        Spark jobs to 'build', unlike a broadcast relation."""
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("rel"), F.lit(lo).alias("lo"), F.lit(hi).alias("hi")
+                )
+                for r, lo, hi in ranged
+            ]
+        )
+
     def _plan_keyed_write(
         self, rels: list[str], upserts: DataFrame | None, deletes: DataFrame | None
     ) -> tuple[set[str], list[str]] | None:
@@ -3941,6 +4051,32 @@ class Table:
             if not ranged:
                 parts = {r["__p"] for r in kp.select("__p").distinct().collect()}
                 kept = list(rels)
+            elif len(ranged) <= self.RANGE_LITERAL_MAX:
+                # bounded range count (r10): the per-file ranges ride as a
+                # LITERAL struct array probed by a higher-order filter — the
+                # broadcast-join form paid a whole extra Spark job just to
+                # build its tiny broadcast (createDataFrame parallelizes the
+                # local list over defaultParallelism slices). explode_outer
+                # keeps no-match rows exactly like the left join did.
+                rows = (
+                    kp.select(
+                        "__p",
+                        F.explode_outer(
+                            F.filter(
+                                self._range_literal_array(ranged),
+                                lambda s: (F.col("__k") >= s["lo"])
+                                & (F.col("__k") <= s["hi"]),
+                            )
+                        ).alias("__s"),
+                    )
+                    .select("__p", F.col("__s.rel").alias("rel"))
+                    .distinct()
+                    .collect()
+                )
+                parts = {r["__p"] for r in rows}
+                kept = sorted(
+                    {r["rel"] for r in rows if r["rel"] is not None} | set(unknown)
+                )
             else:
                 rng = self.spark.createDataFrame(
                     ranged, "rel STRING, lo STRING, hi STRING"
@@ -4013,25 +4149,46 @@ class Table:
             ):
                 # common path: partition collect + range prune as ONE job
                 combined = self._plan_keyed_write(sorted(files), upserts, deletes)
+            rli_defer = False
             if combined is not None:
                 batch_parts, touched_rels = combined
                 via_rli = False
             else:
                 batch_parts = None
-                if self.config.partition_by:
-                    dfs = [d for d in (upserts, deletes) if d is not None]
-                    if all(
-                        all(c in d.columns for c in self.config.partition_by)
-                        for d in dfs
-                    ):
-                        with _no_aqe(self.spark):
-                            batch_parts = {
-                                r["p"]
-                                for d in dfs
-                                for r in d.select(self._partition_expr().alias("p"))
-                                .distinct()
-                                .collect()
-                            }
+                dfs = [d for d in (upserts, deletes) if d is not None]
+                can_parts = bool(self.config.partition_by) and all(
+                    all(c in d.columns for c in self.config.partition_by)
+                    for d in dfs
+                )
+
+                def _collect_batch_parts() -> set:
+                    with _no_aqe(self.spark):
+                        return {
+                            r["p"]
+                            for d in dfs
+                            for r in d.select(self._partition_expr().alias("p"))
+                            .distinct()
+                            .collect()
+                        }
+
+                # Defer the batch-partition collect on RLI plans (r10): the
+                # record index resolves candidates EXACTLY, so the only
+                # remaining consumer of batch_parts is the OCC footprint —
+                # and that is derivable from the files actually written
+                # (every surviving batch row lands in a written file; a
+                # batch partition whose rows ALL lose the precombine merge
+                # changes nothing there, and its keys' holder files are in
+                # touched_rels, so key conflicts are still caught). Early
+                # conflict detection still collects up front: its marker
+                # must declare the footprint BEFORE the merge runs.
+                rli_defer = (
+                    can_parts
+                    and self.config.index_type != "partition"
+                    and not self.config.early_conflict_detection
+                    and self._record_index_ready()
+                )
+                if can_parts and not rli_defer:
+                    batch_parts = _collect_batch_parts()
                 if self.config.index_type == "partition" and batch_parts is not None:
                     # non-global index: trust the batch's own partition values
                     # and never look elsewhere (Hudi SIMPLE contract — a
@@ -4051,6 +4208,12 @@ class Table:
                 else:
                     touched_rels = list(scope)
                     via_rli = False
+                if rli_defer and not via_rli:
+                    # rare fallback (index invalidated between the readiness
+                    # check and the probe): the confirmation read below and
+                    # the up-front footprint DO need the batch partitions
+                    batch_parts = _collect_batch_parts()
+                    rli_defer = False
             if batch_parts is not None and not via_rli:
                 # (Record-index candidates are exact — an outside file IS a
                 # real holder of a moving key; the confirmation read below
@@ -4086,13 +4249,16 @@ class Table:
             if self.config.partition_by:
                 # OCC footprint: the batch's own partitions plus the partitions
                 # of every candidate file (a superset of the partitions that
-                # hold the keys — derived from file paths, zero extra jobs)
+                # hold the keys — derived from file paths, zero extra jobs).
+                # Deferred RLI plans add the batch side AFTER the write, from
+                # the written files' paths — still zero extra jobs.
                 touched = (batch_parts or set()) | {
                     self._partition_path_of(r) for r in touched_rels
                 }
             else:
                 touched = None  # unpartitioned: conservative full-table footprint
         else:
+            rli_defer = False
             # pk-less batches (or no derivable keys): partition-scope via the
             # legacy location filter, full rewrite within touched partitions
             touched = self._touched_partition_filter(upserts, deletes) if files else None
@@ -4133,6 +4299,11 @@ class Table:
                 merged = survivors
 
             rels = self._write_files(merged, instant)
+            if rli_defer and touched is not None:
+                # deferred footprint completion: the batch's partitions are
+                # exactly the written files' partitions (plus the candidate
+                # partitions already in `touched`)
+                touched = touched | {self._partition_path_of(r) for r in rels}
             self._maintain_indexes(rels)
             self._publish_occ(
                 Instant(instant, "commit", rels, touched_rels, {"operation": op, **(extra_meta or {})}),
