@@ -43,9 +43,42 @@ def l2_sq(a: Column | str, b: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity; 0.0 for zero-norm inputs rather than NaN."""
-    denom = l2_norm(a) * l2_norm(b)
-    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+    """Cosine similarity; 0.0 for zero-norm inputs rather than NaN.
+
+    Fused single-fold form (r10, guide §4.1: interpreted higher-order
+    functions have no common-subexpression elimination): the naive
+    ``when(l2(a)*l2(b)==0, 0).otherwise(dot(a,b)/(l2(a)*l2(b)))`` evaluated
+    FIVE separate array folds per row — two norms in the condition, two
+    MORE in the otherwise branch, plus the dot — each re-casting its
+    inputs. One ``zip_with`` + one fold accumulate (Σxy, Σx², Σy²)
+    together, then the scalar combination binds once through a 1-element
+    ``transform``. Value-identical: every sum is accumulated left-to-right
+    over the same elements in the same order as the separate folds did,
+    and the final expression is the same ``sqrt(Σx²)·sqrt(Σy²)`` test and
+    quotient."""
+    stats = F.aggregate(
+        F.zip_with(
+            _as_double(a),
+            _as_double(b),
+            lambda x, y: F.struct(
+                (x * y).alias("d"), (x * x).alias("na"), (y * y).alias("nb")
+            ),
+        ),
+        F.struct(
+            F.lit(0.0).alias("d"), F.lit(0.0).alias("na"), F.lit(0.0).alias("nb")
+        ),
+        lambda acc, s: F.struct(
+            (acc["d"] + s["d"]).alias("d"),
+            (acc["na"] + s["na"]).alias("na"),
+            (acc["nb"] + s["nb"]).alias("nb"),
+        ),
+    )
+    return F.transform(
+        F.array(stats),
+        lambda s: F.when(
+            F.sqrt(s["na"]) * F.sqrt(s["nb"]) == 0.0, F.lit(0.0)
+        ).otherwise(s["d"] / (F.sqrt(s["na"]) * F.sqrt(s["nb"]))),
+    )[0]
 
 
 def lsh_multi_table_buckets(
@@ -57,12 +90,19 @@ def lsh_multi_table_buckets(
     explode) for exponentially better recall at a fixed per-table selectivity,
     the standard ANN construction. Table index is baked into the bucket id so a
     single (bucket) equi-join key suffices downstream."""
-    cols = []
-    for ti, planes in enumerate(tables):
-        bucket = lsh_hyperplane_bits(a, planes)
-        # disjoint bucket spaces per table: shift in the table index
-        cols.append(bucket + F.lit(ti << 56).cast("bigint"))
-    return F.array(*cols)
+    # bind the double-cast input ONCE for all tables' plane dots (r10: the
+    # per-plane ``dot`` re-ran the cast transform — |tables|×|planes| times)
+    def buckets_from(base: Column) -> Column:
+        cols = []
+        for ti, planes in enumerate(tables):
+            bucket = _hyperplane_bits_precast(base, planes)
+            # disjoint bucket spaces per table: shift in the table index
+            cols.append(bucket + F.lit(ti << 56).cast("bigint"))
+        return F.array(*cols)
+
+    return F.transform(
+        F.array(F.struct(_as_double(a).alias("e"))), lambda s: buckets_from(s["e"])
+    )[0]
 
 
 def lsh_hyperplane_bits(a: Column | str, planes: list[list[float]]) -> Column:
@@ -71,11 +111,22 @@ def lsh_hyperplane_bits(a: Column | str, planes: list[list[float]]) -> Column:
     (seeded, ≤ 63 planes) so the expression is a pure literal tree — executors
     evaluate it with no shuffle and no Python.
     """
+    return _hyperplane_bits_precast(_as_double(a), planes)
+
+
+def _hyperplane_bits_precast(base: Column, planes: list[list[float]]) -> Column:
+    """``lsh_hyperplane_bits`` over an ALREADY double-cast array expression —
+    callers that evaluate many plane dots bind the cast once (r10)."""
     if len(planes) > 63:
         raise ValueError("at most 63 hyperplanes (bits of a signed 64-bit bucket id)")
     bucket = F.lit(0).cast("bigint")
     for i, plane in enumerate(planes):
         plane_col = F.array(*[F.lit(float(v)) for v in plane])
-        bit = F.when(dot(a, plane_col) >= 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        d = F.aggregate(
+            F.zip_with(base, plane_col, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(d >= 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         bucket = bucket + (bit * F.lit(1 << i).cast("bigint"))
     return bucket

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hudi_examples_spark.functions.text import (
     doc_fingerprint,
@@ -93,12 +94,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """
     d = _docs_shingled(spark, sf, 3)
     ex_all = d.select("doc_id", F.explode("shingles").alias("sh"))
-    rare = ex_all.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= MAX_SHINGLE_DF
+    # r10 reshape (values identical): the old form computed the DF cap as a
+    # groupBy + join-back and the per-doc counts as ANOTHER groupBy + join —
+    # and then evaluated that whole chain once per self-join side (the
+    # shingle front ran ~4×). Window counts deliver the same integers with
+    # one exchange each (a window partition is exactly the old join's
+    # co-partition; rows per (doc, sh) are distinct, so count(*) over the
+    # partition IS the df / n_sh the aggregations produced), and the
+    # checkpoint lets both self-join sides read the front's blocks.
+    w_sh = Window.partitionBy("sh")
+    w_doc = Window.partitionBy("doc_id")
+    ex = (
+        ex_all.withColumn("__df", F.count(F.lit(1)).over(w_sh))
+        .filter(F.col("__df") <= MAX_SHINGLE_DF)
+        .withColumn("n_sh", F.count(F.lit(1)).over(w_doc))
+        .select("doc_id", "n_sh", "sh")
+        .localCheckpoint(eager=False)
     )
-    kept = ex_all.join(rare.select("sh"), "sh")
-    counts = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    ex = kept.join(counts, "doc_id")
     a = ex.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"), "sh")
     b = ex.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"), "sh")
     pairs = (

@@ -202,11 +202,19 @@ def _wp_vocab(spark: SparkSession, sf: str) -> tuple[list, list, DataFrame]:
     one count shuffle keyed on (form, piece), and a bounded ``LIMIT`` — the
     vocab that comes back to the driver is tokenizer METADATA (like
     ``tok_bpe_merges``' merge list), never data."""
+    # Materialize the word-TYPE table once (r10, guide §3.3/§5): every
+    # consumer — the substring count + its collect, the char-inventory
+    # collect, and each caller's encode pass(es) — referenced this subtree
+    # and Catalyst re-ran the corpus scan + word explode + groupBy per
+    # reference (3× inside this helper alone, up to 7× in tok_vocab_prune).
+    # The table is vocabulary-sized (word TYPES, not occurrences), so the
+    # checkpoint is bounded at any corpus scale.
     wt = (
         _docs(spark, sf)
         .select(F.explode(words("text")).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     # all substrings of length 2..WP_MAXP with their word position; guard the
     # sequence bound (Spark's sequence(1, 0) counts DOWN) with a CASE
@@ -414,7 +422,10 @@ def tok_vocab_prune(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.sum("cnt").cast("long").alias("occ"))
         )
 
-    u1 = usage(starts, conts)
+    # u1 feeds the prune decision AND the final before/after join — checkpoint
+    # once (bounded: one row per vocab token) so the round-1 encode fold runs
+    # once, not three times (r10, same pattern as dedup_sketch_calibration)
+    u1 = usage(starts, conts).localCheckpoint(eager=False)
     keep = (
         u1.filter(
             F.when(

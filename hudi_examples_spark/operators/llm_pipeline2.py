@@ -153,11 +153,15 @@ def embed_near_dup_pairs(
     duplicates in tests/test_llm_pipeline2.py.
     """
     tables = tables if tables is not None else _TABLES
+    # materialize the banded rows once (r10): both join sides reference this
+    # subtree, and Catalyst re-ran the |tables|×|planes| hyperplane dots per
+    # side — the checkpoint halves the hash work and the codegen compile of
+    # its large literal expression tree
     banded = e.select(
         F.col(id_col).alias("__id"),
         F.col(emb_col).alias("__emb"),
         F.explode(lsh_multi_table_buckets(emb_col, tables)).alias("bucket"),
-    )
+    ).localCheckpoint(eager=False)
     a = banded.select(F.col("__id").alias("d1"), F.col("__emb").alias("emb1"), "bucket")
     b = banded.select(F.col("__id").alias("d2"), F.col("__emb").alias("emb2"), "bucket")
     cand = (

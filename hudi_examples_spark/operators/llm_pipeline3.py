@@ -143,7 +143,12 @@ def dedup_clusters(spark: SparkSession, sf: str, max_iters: int = 15) -> DataFra
     components layout (label propagation, cf. Kiveris et al. "Connected
     Components in MapReduce"); lineage is cut per round with a local
     checkpoint so plans stay O(1) deep."""
-    pairs = dedup_ngram_jaccard(spark, sf).select("d1", "d2")
+    # materialize the Jaccard pair front once (r10): the symmetric-edge union
+    # references `pairs` twice, and Catalyst re-ran the whole shingle +
+    # min-hash + pair-score front per reference (the dominant cost here)
+    pairs = dedup_ngram_jaccard(spark, sf).select("d1", "d2").localCheckpoint(
+        eager=False
+    )
     edges = (
         pairs.unionByName(pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2")))
         .distinct()
@@ -159,22 +164,31 @@ def dedup_clusters(spark: SparkSession, sf: str, max_iters: int = 15) -> DataFra
         nbr = edges.join(
             labels.select(F.col("doc_id").alias("d2"), F.col("label").alias("nl")), "d2"
         ).groupBy(F.col("d1").alias("doc_id")).agg(F.min("nl").alias("nmin"))
+        # carry the changed flag THROUGH the checkpoint (r10): the old form
+        # re-joined new vs old labels for the convergence count — a whole
+        # extra shuffle per round; the flag is decided in the same join that
+        # builds the new labels, and the count folds over checkpoint blocks
         new_labels = (
             labels.join(nbr, "doc_id", "left")
             .select(
                 "doc_id",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "__new_label"
+                ),
+                F.col("label").alias("__old_label"),
+            )
+            .select(
+                "doc_id",
+                F.col("__new_label").alias("label"),
+                (F.col("__new_label") != F.col("__old_label")).alias("__changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(
+            F.sum(F.col("__changed").cast("long")).alias("c")
+        ).collect()[0]["c"]
+        labels = new_labels.select("doc_id", "label")
+        if not changed:
             break
     return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")
 
