@@ -896,17 +896,30 @@ class Table:
         finally:
             if unpersist_after_write is not None:
                 unpersist_after_write.unpersist()
+        import pyarrow.parquet as pq
+
         rels: list[str] = []
         n = 0
         for root, _dirs, fns in os.walk(staging):
             for fn in sorted(fns):
                 if not fn.endswith(".parquet"):
                     continue
+                src = os.path.join(root, fn)
+                # Zero-row part files (an empty shuffle partition under static
+                # execution emits one) never become table files: they would
+                # inflate the file listing forever and carry no footer stats
+                # for the key-range index. The footer check only runs on files
+                # small enough to possibly be empty.
+                if (
+                    os.path.getsize(src) < 65536
+                    and pq.ParquetFile(src).metadata.num_rows == 0
+                ):
+                    continue
                 relpart = os.path.relpath(root, staging)
                 dest_dir = self.base if relpart == "." else os.path.join(self.base, relpart)
                 os.makedirs(dest_dir, exist_ok=True)
                 dest = os.path.join(dest_dir, f"{instant}_{n:05d}.parquet")
-                os.replace(os.path.join(root, fn), dest)
+                os.replace(src, dest)
                 rels.append(os.path.relpath(dest, self.base))
                 n += 1
         shutil.rmtree(staging, ignore_errors=True)
