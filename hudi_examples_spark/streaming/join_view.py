@@ -131,6 +131,11 @@ class IncrementalJoinView:
                 )
             )
             touched = t_r if touched is None else touched.unionByName(t_r).distinct()
+        # The touched-key set feeds THREE broadcast joins below; without
+        # materialization each broadcast re-evaluates the CDC-window read
+        # (Catalyst shares no common subtrees across joins). Bounded rows:
+        # distinct join keys of the change window, never table-scale.
+        touched = touched.localCheckpoint(eager=False)
 
         k = self.join_key
         # each side is read AT its consumed completion cut, not at "latest":
@@ -149,7 +154,10 @@ class IncrementalJoinView:
             .join(F.broadcast(touched), k, "semi")
             .select(k, *[c for c in self.right_cols if c != k])
         )
-        slice_now = lhs.join(rhs, k)
+        # Referenced twice (the upsert branch and the stale anti-join's key
+        # set); one materialization keeps the slice recompute single-pass.
+        # Bounded by the change volume: only touched key slices join here.
+        slice_now = lhs.join(rhs, k).localCheckpoint(eager=False)
 
         pk = list(self.dst.config.record_key)
         stale = (
