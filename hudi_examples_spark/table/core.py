@@ -903,14 +903,21 @@ class Table:
             writer = writer.option("maxRecordsPerFile", self.config.max_records_per_file)
         if write_parts:
             writer = writer.partitionBy(*write_parts)
-        # Join-free plans run statically (r10): AQE turns every exchange into
-        # its own Spark job, and a plan without joins gives it nothing to
-        # adapt (see _static_exec). Caller-planned layouts (preserve_layout /
-        # range_key_layout) keep AQE untouched — their exchange shapes were
-        # chosen by the caller and coalescing behavior is part of the small-
-        # file clustering contract.
+        # Join-free PARTITIONED plans run statically (r10): AQE turns every
+        # exchange into its own Spark job, and a hash-on-partition-value
+        # exchange gives it nothing to adapt — each partition value lands
+        # wholly in one task, so the file-per-dir layout is identical with or
+        # without coalescing. UNPARTITIONED writes keep AQE: there the final
+        # exchange width IS the output file count, and AQE's partition
+        # coalescing is the scale-adaptive file sizing (without it a 32-wide
+        # merge exchange emitted up to 32 tiny files per commit — measured as
+        # the expression-index fixture growing 4 → 35 files). Caller-planned
+        # layouts (preserve_layout / range_key_layout) keep AQE untouched —
+        # their exchange shapes were chosen by the caller and coalescing
+        # behavior is part of the small-file clustering contract.
         static_ok = (
-            not preserve_layout
+            bool(write_parts)
+            and not preserve_layout
             and not range_key_layout
             and "Join" not in df._jdf.queryExecution().analyzed().toString()
         )
