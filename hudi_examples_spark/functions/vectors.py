@@ -45,39 +45,39 @@ def l2_sq(a: Column | str, b: Column | str) -> Column:
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; 0.0 for zero-norm inputs rather than NaN.
 
-    Fused single-fold form (r10, guide §4.1: interpreted higher-order
-    functions have no common-subexpression elimination): the naive
-    ``when(l2(a)*l2(b)==0, 0).otherwise(dot(a,b)/(l2(a)*l2(b)))`` evaluated
-    FIVE separate array folds per row — two norms in the condition, two
-    MORE in the otherwise branch, plus the dot — each re-casting its
-    inputs. One ``zip_with`` + one fold accumulate (Σxy, Σx², Σy²)
-    together, then the scalar combination binds once through a 1-element
-    ``transform``. Value-identical: every sum is accumulated left-to-right
-    over the same elements in the same order as the separate folds did,
-    and the final expression is the same ``sqrt(Σx²)·sqrt(Σy²)`` test and
-    quotient."""
-    stats = F.aggregate(
-        F.zip_with(
-            _as_double(a),
-            _as_double(b),
-            lambda x, y: F.struct(
-                (x * y).alias("d"), (x * x).alias("na"), (y * y).alias("nb")
-            ),
-        ),
-        F.struct(
-            F.lit(0.0).alias("d"), F.lit(0.0).alias("na"), F.lit(0.0).alias("nb")
-        ),
-        lambda acc, s: F.struct(
-            (acc["d"] + s["d"]).alias("d"),
-            (acc["na"] + s["na"]).alias("na"),
-            (acc["nb"] + s["nb"]).alias("nb"),
-        ),
-    )
+    Three primitive folds, everything bound once (r11). History: the pre-r10
+    naive ``when(l2(a)*l2(b)==0, 0).otherwise(dot(a,b)/(l2(a)*l2(b)))``
+    evaluated FIVE folds per row (two norms twice); r10 fused them into ONE
+    fold accumulating a (Σxy, Σx², Σy²) struct — but that allocates a 3-field
+    struct per array element in the ``zip_with`` plus a struct accumulator per
+    fold step, and the r10 PERF artifact caught it ~40% SLOWER on the
+    brute-force cross-join shape (sim_knn_join 0.65→1.05 s). The r11 A/B
+    (tools/ab_cosine.py) shows three SEPARATE primitive folds — no struct
+    allocation anywhere — win on every consumer shape: knn cross-join
+    1.09→0.86 s, 1-query brute 0.47→0.36 s, pair rescore 1.27→0.69 s vs the
+    fused form at sf0.1. The double-cast inputs bind once through a 1-element
+    ``transform(array(struct(x, y)))``, and the three fold results bind once
+    the same way, so no subtree is evaluated twice. Value-identical to both
+    prior forms: each accumulator folds left-to-right over the same elements
+    in the same order, and the scalar combination is the same
+    ``sqrt(Σx²)·sqrt(Σy²)`` test and quotient."""
+
+    def combine(x: Column, y: Column) -> Column:
+        d = F.aggregate(
+            F.zip_with(x, y, lambda u, v: u * v), F.lit(0.0), lambda acc, u: acc + u
+        )
+        na = F.aggregate(x, F.lit(0.0), lambda acc, u: acc + u * u)
+        nb = F.aggregate(y, F.lit(0.0), lambda acc, u: acc + u * u)
+        return F.transform(
+            F.array(F.struct(d.alias("d"), na.alias("na"), nb.alias("nb"))),
+            lambda s: F.when(
+                F.sqrt(s["na"]) * F.sqrt(s["nb"]) == 0.0, F.lit(0.0)
+            ).otherwise(s["d"] / (F.sqrt(s["na"]) * F.sqrt(s["nb"]))),
+        )[0]
+
     return F.transform(
-        F.array(stats),
-        lambda s: F.when(
-            F.sqrt(s["na"]) * F.sqrt(s["nb"]) == 0.0, F.lit(0.0)
-        ).otherwise(s["d"] / (F.sqrt(s["na"]) * F.sqrt(s["nb"]))),
+        F.array(F.struct(_as_double(a).alias("x"), _as_double(b).alias("y"))),
+        lambda s: combine(s["x"], s["y"]),
     )[0]
 
 

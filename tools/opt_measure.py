@@ -23,7 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from hudi_examples_spark import registry
 from hudi_examples_spark.session import get_spark
 
-PLANS_DIR = Path(__file__).resolve().parent.parent / "plans" / "r10"
+PLANS_DIR = Path(__file__).resolve().parent.parent / "plans" / "r11"
 
 
 def _fns():
