@@ -81,6 +81,53 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     )[0]
 
 
+def _planes_sql(planes: list[list[float]]) -> str:
+    """``array(array(...))`` SQL text for a plane matrix. ``repr(float)``
+    round-trips IEEE doubles exactly and Spark's lexer parses the ``D``
+    suffix (incl. e-notation and -0.0) to the bit-identical double —
+    unit-checked in tests."""
+    return (
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in p) + ")" for p in planes
+        )
+        + ")"
+    )
+
+
+def _bit_weights_lit(n: int) -> Column:
+    """``array(1L, 2L, 4L, ...)`` — the per-plane bit weights, little-endian."""
+    return F.expr("array(" + ",".join(f"{1 << i}L" for i in range(n)) + ")")
+
+
+def _bucket_from(base: Column, planes_col: Column, weights_col: Column) -> Column:
+    """Sign-bit bucket of ``base`` against a plane matrix COLUMN.
+
+    Value-identical to the r10 unrolled form: each plane's dot is the same
+    left-to-right ``zip_with``+fold, and the bit-weight sum is integer
+    addition (exact in any order; the zip preserves plane order anyway).
+    The win is plan size — the unrolled form inlined |planes| separate
+    fold trees over |dim| ``F.lit`` calls each (~15k py4j round-trips and
+    a ~2.6 s plan-construction cost per dedup_embed_ann invocation, r11
+    profile); this form is a fixed ~30-node tree over two array literals
+    parsed from ONE SQL string each (guide §7.3: very large expression
+    trees make planning itself the bottleneck)."""
+    dots = F.transform(
+        planes_col,
+        lambda p: F.aggregate(
+            F.zip_with(base, p, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    zero = F.lit(0).cast("bigint")
+    return F.aggregate(
+        F.zip_with(dots, weights_col, lambda d, w: F.when(d >= 0, w).otherwise(zero)),
+        zero,
+        lambda acc, x: acc + x,
+    )
+
+
 def lsh_multi_table_buckets(
     a: Column | str, tables: list[list[list[float]]]
 ) -> Column:
@@ -90,15 +137,32 @@ def lsh_multi_table_buckets(
     explode) for exponentially better recall at a fixed per-table selectivity,
     the standard ANN construction. Table index is baked into the bucket id so a
     single (bucket) equi-join key suffices downstream."""
+    for planes in tables:
+        if len(planes) > 63:
+            raise ValueError("at most 63 hyperplanes (bits of a signed 64-bit bucket id)")
     # bind the double-cast input ONCE for all tables' plane dots (r10: the
     # per-plane ``dot`` re-ran the cast transform — |tables|×|planes| times)
     def buckets_from(base: Column) -> Column:
-        cols = []
-        for ti, planes in enumerate(tables):
-            bucket = _hyperplane_bits_precast(base, planes)
-            # disjoint bucket spaces per table: shift in the table index
-            cols.append(bucket + F.lit(ti << 56).cast("bigint"))
-        return F.array(*cols)
+        if len({len(t) for t in tables}) == 1:
+            # uniform plane count: ONE 3-D literal + an index-aware transform
+            tables3d = F.expr(
+                "array(" + ",".join(_planes_sql(t) for t in tables) + ")"
+            )
+            w = _bit_weights_lit(len(tables[0]))
+            shift = F.lit(1 << 56).cast("bigint")
+            return F.transform(
+                tables3d,
+                # disjoint bucket spaces per table: shift in the table index
+                lambda planes, ti: _bucket_from(base, planes, w)
+                + ti.cast("bigint") * shift,
+            )
+        return F.array(
+            *[
+                _bucket_from(base, F.expr(_planes_sql(planes)), _bit_weights_lit(len(planes)))
+                + F.lit(ti << 56).cast("bigint")
+                for ti, planes in enumerate(tables)
+            ]
+        )
 
     return F.transform(
         F.array(F.struct(_as_double(a).alias("e"))), lambda s: buckets_from(s["e"])
@@ -119,14 +183,4 @@ def _hyperplane_bits_precast(base: Column, planes: list[list[float]]) -> Column:
     callers that evaluate many plane dots bind the cast once (r10)."""
     if len(planes) > 63:
         raise ValueError("at most 63 hyperplanes (bits of a signed 64-bit bucket id)")
-    bucket = F.lit(0).cast("bigint")
-    for i, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(float(v)) for v in plane])
-        d = F.aggregate(
-            F.zip_with(base, plane_col, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(d >= 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        bucket = bucket + (bit * F.lit(1 << i).cast("bigint"))
-    return bucket
+    return _bucket_from(base, F.expr(_planes_sql(planes)), _bit_weights_lit(len(planes)))

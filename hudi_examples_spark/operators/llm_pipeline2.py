@@ -162,19 +162,38 @@ def embed_near_dup_pairs(
         F.col(emb_col).alias("__emb"),
         F.explode(lsh_multi_table_buckets(emb_col, tables)).alias("bucket"),
     ).localCheckpoint(eager=False)
+    # Pin the bucket-join width explicitly (r11): the banded side is a
+    # localCheckpoint a few MB wide, so AQE coalesces the join exchange to ~1
+    # partition — but the join OUTPUT is quadratic in bucket occupancy and
+    # now carries the cosine rescore, and AQE sizes by input bytes, not
+    # output compute. An explicit repartition(N, bucket) is exempt from AQE
+    # coalescing, satisfies the join's hash requirement on both sides (no
+    # extra exchange), and spreads the rescore across the cluster. N follows
+    # defaultParallelism — scale-adaptive, not a local constant.
+    n_part = e.sparkSession.sparkContext.defaultParallelism
+    banded = banded.repartition(n_part, "bucket")
     a = banded.select(F.col("__id").alias("d1"), F.col("__emb").alias("emb1"), "bucket")
     b = banded.select(F.col("__id").alias("d2"), F.col("__emb").alias("emb2"), "bucket")
-    cand = (
+    # Rescore and threshold BEFORE the pair dedup (r11, guide §2.3: shuffle
+    # keys and metadata, not payloads): a pair colliding in k tables appears
+    # k times, and deduping first shuffled every candidate row with BOTH
+    # 64-float embeddings attached (~1 KB/row; measured 1.05M candidate rows
+    # for a 2000-vector corpus at sf0.1 — a ~1 GB exchange). Cosine is
+    # deterministic per (d1,d2), so computing it map-side after the bucket
+    # join and deduping on the 24-byte (d1,d2,cos_sim) rows — post-threshold,
+    # which drops non-near pairs before they ever shuffle — is value-identical
+    # (dedup keeps an arbitrary row among identical ones; filter-then-dedup ≡
+    # dedup-then-filter for a pair-deterministic value). The ~k× extra cosine
+    # evaluations are cheap JVM folds; the exchange shrinks by the payload
+    # width × the filter selectivity.
+    return (
         a.join(b, "bucket")
         .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", "emb1", "emb2")
-        .dropDuplicates(["d1", "d2"])
-    )
-    return (
-        cand.select(
+        .select(
             "d1", "d2", F.round(cosine_similarity("emb1", "emb2"), 6).alias("cos_sim")
         )
         .filter(F.col("cos_sim") >= threshold)
+        .dropDuplicates(["d1", "d2"])
         .orderBy(F.desc("cos_sim"), "d1", "d2")
     )
 

@@ -213,8 +213,18 @@ def pipe_semantic_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
         "embedding",
         F.explode(lsh_multi_table_buckets("embedding", _TABLES)).alias("bucket"),
     )
-    train = banded.filter(F.col("split") == "train").select(
-        F.col("doc_id").alias("train_id"), F.col("embedding").alias("emb_t"), "bucket"
+    # Explicit width on the train side (r11): the rescore below runs in THIS
+    # stage (the eval side broadcasts, so there is no join exchange), and the
+    # embeddings join upstream leaves too few/too-coalesced partitions for a
+    # candidate count that is quadratic in bucket occupancy. A user
+    # repartition is exempt from AQE coalescing; width follows
+    # defaultParallelism (scale-adaptive).
+    train = (
+        banded.filter(F.col("split") == "train")
+        .select(
+            F.col("doc_id").alias("train_id"), F.col("embedding").alias("emb_t"), "bucket"
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "bucket")
     )
     ev = banded.filter(F.col("split") != "train").select(
         F.col("doc_id").alias("eval_id"),
@@ -222,9 +232,15 @@ def pipe_semantic_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
         F.col("embedding").alias("emb_e"),
         "bucket",
     )
+    # Rescore + threshold BEFORE the pair dedup (r11, guide §2.3): deduping
+    # first shuffled every (train, eval, bucket) collision row with both
+    # embeddings attached; cosine is deterministic per (train_id, eval_id)
+    # (and eval_split is a function of eval_id), so scoring map-side after
+    # the broadcast join and deduping the skinny thresholded rows is
+    # value-identical while the exchange carries 4 scalars instead of two
+    # 64-float arrays per row — and only rows past the threshold at all.
     cand = (
         train.join(F.broadcast(ev), "bucket")
-        .dropDuplicates(["train_id", "eval_id"])
         .select(
             "train_id",
             "eval_id",
@@ -232,6 +248,7 @@ def pipe_semantic_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
             F.round(cosine_similarity("emb_t", "emb_e"), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= SEMANTIC_DECON_THRESHOLD)
+        .dropDuplicates(["train_id", "eval_id"])
     )
     w_best = Window.partitionBy("train_id").orderBy(
         F.desc("cos_sim"), F.asc("eval_id")

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hudi_examples_spark.sparkutil import free_local_checkpoint
 from hudi_examples_spark.table import Table, TableConfig
 from hudi_examples_spark.streaming.rollup import _map_begin_id_to_completion
 
@@ -168,12 +169,20 @@ class IncrementalJoinView:
         out = slice_now.select(*self.dst.data_cols).withColumn(
             "_op", F.lit("U")
         ).unionByName(stale.select(*self.dst.data_cols).withColumn("_op", F.lit("D")))
-        self.dst.write_cdc(
-            out,
-            extra_meta={
-                "src_offsets_ct": {"left": repr(cut_l), "right": repr(cut_r)}
-            },
-        )
+        try:
+            self.dst.write_cdc(
+                out,
+                extra_meta={
+                    "src_offsets_ct": {"left": repr(cut_l), "right": repr(cut_r)}
+                },
+            )
+        finally:
+            # release the checkpointed RDD blocks once the commit published —
+            # a long-running refresh loop must not accumulate cached blocks
+            # until driver GC happens to drop the DataFrame references
+            # (ADVICE r10; DataFrame.unpersist does not free checkpoint blocks)
+            free_local_checkpoint(touched)
+            free_local_checkpoint(slice_now)
         self._off_l, self._off_r = cut_l, cut_r
         return True
 

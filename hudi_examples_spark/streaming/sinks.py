@@ -52,18 +52,20 @@ def make_batch_handler(
             return
         if pre_commit_validator is not None:
             pre_commit_validator(batch_df)
+        # the (sink, batch_id) identity stamp rides IN the commit's metadata —
+        # atomic with the instant publish (a crash can no longer land between
+        # commit and stamp, which would have replayed the batch; keyed-table
+        # replay was idempotent anyway, but now the window is gone) and one
+        # timeline write + zero timeline re-scans per micro-batch instead of
+        # a post-commit instant rewrite (r11, guide §6: fewer metadata
+        # round-trips per commit cycle)
+        stamp = {"sink_name": sink_name, "stream_batch_id": batch_id}
         if partial:
-            instant = table.update_partial(batch_df)
+            table.update_partial(batch_df, extra_meta=stamp)
         elif op_col is not None and op_col in batch_df.columns:
-            instant = table.write_cdc(batch_df, op_col)
+            table.write_cdc(batch_df, op_col, extra_meta=stamp)
         else:
-            instant = table.upsert(batch_df)
-        # stamp the instant with stream identity for idempotent replay
-        for inst in table.timeline.completed_data_instants():
-            if inst.instant == instant:
-                inst.meta.update({"sink_name": sink_name, "stream_batch_id": batch_id})
-                table.timeline.write(inst)
-                break
+            table.upsert(batch_df, extra_meta=stamp)
         if (
             compact_every
             and table.config.table_type == "mor"

@@ -54,7 +54,7 @@ def _sql_str_lit(s: str) -> str:
     literal tables). Safe ASCII quotes directly; anything else — quotes,
     backslashes, control chars, non-ASCII — rides as hex through
     decode(unhex(...)), which Catalyst constant-folds once at plan time."""
-    if _SQL_LIT_SAFE.match(s):
+    if _SQL_LIT_SAFE.fullmatch(s):
         return f"'{s}'"
     return f"decode(unhex('{s.encode('utf-8').hex()}'),'UTF-8')"
 
@@ -266,6 +266,7 @@ def _promotes(declared, batch) -> bool:
         )
     return False
 
+from hudi_examples_spark.sparkutil import free_local_checkpoint
 from hudi_examples_spark.table.timeline import (
     TIMELINE_DIR,
     Instant,
@@ -932,8 +933,12 @@ class Table:
                 unpersist_after_write.unpersist()
         import pyarrow.parquet as pq
 
-        rels: list[str] = []
-        n = 0
+        # Decide keep/drop for EVERY staged file before any rename: a
+        # truncated/corrupt part file must fail the whole write while the
+        # table dir is still untouched, never mid-promotion with some files
+        # already moved (orphans). read_metadata opens and closes the footer
+        # (no leaked handle).
+        keep: list[tuple[str, str]] = []
         for root, _dirs, fns in os.walk(staging):
             for fn in sorted(fns):
                 if not fn.endswith(".parquet"):
@@ -946,16 +951,18 @@ class Table:
                 # small enough to possibly be empty.
                 if (
                     os.path.getsize(src) < 65536
-                    and pq.ParquetFile(src).metadata.num_rows == 0
+                    and pq.read_metadata(src).num_rows == 0
                 ):
                     continue
-                relpart = os.path.relpath(root, staging)
-                dest_dir = self.base if relpart == "." else os.path.join(self.base, relpart)
-                os.makedirs(dest_dir, exist_ok=True)
-                dest = os.path.join(dest_dir, f"{instant}_{n:05d}.parquet")
-                os.replace(src, dest)
-                rels.append(os.path.relpath(dest, self.base))
-                n += 1
+                keep.append((root, src))
+        rels: list[str] = []
+        for n, (root, src) in enumerate(keep):
+            relpart = os.path.relpath(root, staging)
+            dest_dir = self.base if relpart == "." else os.path.join(self.base, relpart)
+            os.makedirs(dest_dir, exist_ok=True)
+            dest = os.path.join(dest_dir, f"{instant}_{n:05d}.parquet")
+            os.replace(src, dest)
+            rels.append(os.path.relpath(dest, self.base))
         shutil.rmtree(staging, ignore_errors=True)
         rels = sorted(rels)
         if self._stat_cols():
@@ -3188,7 +3195,7 @@ class Table:
             .drop("__rn", "__has_full", META_PARTIAL)
         )
 
-    def update_partial(self, df: DataFrame) -> str:
+    def update_partial(self, df: DataFrame, extra_meta: dict | None = None) -> str:
         """Hudi 1.0 partial update: a log commit carrying ONLY the provided
         columns (plus keys and precombine) — the write-amplification answer
         for wide tables where a stream touches 2 of 200 columns. Absent
@@ -3265,7 +3272,7 @@ class Table:
                 "deltacommit",
                 rels,
                 [],
-                {"operation": "update_partial", "partial_cols": partial_cols},
+                {"operation": "update_partial", "partial_cols": partial_cols, **(extra_meta or {})},
             )
         )
         return instant
@@ -3652,7 +3659,7 @@ class Table:
 
     # ----------------------------------------------------------------- writes
 
-    def insert(self, df: DataFrame, dedup: bool = False) -> str:
+    def insert(self, df: DataFrame, dedup: bool = False, extra_meta: dict | None = None) -> str:
         """M2/S7: INSERT INTO. Keyed tables with a precombine field resolve by
         key — Hudi's Spark-SQL default routes INSERT INTO a
         primaryKey+preCombineField table through the upsert merge
@@ -3660,11 +3667,15 @@ class Table:
         in snapshots. Pk-less / no-precombine tables append. Use
         ``bulk_insert`` for the raw no-key-lookup load (Hudi 'bulk_insert')."""
         if self.config.record_key and self.config.precombine:
-            return self._write_changes(upserts=df, deletes=None, op="insert")
-        return self.bulk_insert(df, dedup=dedup)
+            return self._write_changes(upserts=df, deletes=None, op="insert", extra_meta=extra_meta)
+        return self.bulk_insert(df, dedup=dedup, extra_meta=extra_meta)
 
     def bulk_insert(
-        self, df: DataFrame, dedup: bool = False, sort_mode: str = "none"
+        self,
+        df: DataFrame,
+        dedup: bool = False,
+        sort_mode: str = "none",
+        extra_meta: dict | None = None,
     ) -> str:
         """S7 bulk load: blind append, no key lookup (Hudi 'bulk_insert').
 
@@ -3704,7 +3715,7 @@ class Table:
             rels = self._write_files(out, instant)
         self._maintain_indexes(rels)
         self._publish_with_index_guard(
-            Instant(instant, "commit", rels, [], {"operation": "insert"})
+            Instant(instant, "commit", rels, [], {"operation": "insert", **(extra_meta or {})})
         )
         return instant
 
@@ -3722,10 +3733,13 @@ class Table:
         )
         return instant
 
-    def upsert(self, df: DataFrame) -> str:
+    def upsert(self, df: DataFrame, extra_meta: dict | None = None) -> str:
         """M7: precombine-dedup + key-merge + touched-partition rewrite (COW) or
-        log append (MOR)."""
-        return self._write_changes(upserts=df, deletes=None, op="upsert")
+        log append (MOR). ``extra_meta`` rides in the commit's timeline
+        metadata (streaming sinks stamp their (sink, batch_id) identity here
+        atomically with the commit instead of rewriting the instant after —
+        one timeline write per micro-batch, not two)."""
+        return self._write_changes(upserts=df, deletes=None, op="upsert", extra_meta=extra_meta)
 
     def delete(self, keys_df: DataFrame) -> str:
         """M9: delete-by-key batch (``hoodie.datasource.write.operation=delete``)."""
@@ -3865,7 +3879,13 @@ class Table:
         df = df.localCheckpoint(eager=False)
         ups = df.filter(F.col(op_col).isin("I", "U", "+I", "+U")).drop(op_col)
         dels = df.filter(F.col(op_col).isin("D", "-D")).drop(op_col)
-        return self._write_changes(upserts=ups, deletes=dels, op="cdc", extra_meta=extra_meta)
+        try:
+            return self._write_changes(upserts=ups, deletes=dels, op="cdc", extra_meta=extra_meta)
+        finally:
+            # blocks are dead once the commit published (the per-branch
+            # checkpoints in _apply_cow copied what they need) — free now
+            # rather than at some future driver GC (ADVICE r10)
+            free_local_checkpoint(df)
 
     # ------------------------------------------------------- unified write path
 
@@ -3880,7 +3900,7 @@ class Table:
             # pk-less tables degrade upsert to append (reference's pkless matrix rows
             # — ``spark_sql_testing.sh:87-93``); pk-less deletes fall through and are
             # resolved by full-row anti join in _apply_cow.
-            return self.insert(upserts)
+            return self.insert(upserts, extra_meta=extra_meta)
         # adopt any concurrent writer's schema evolution BEFORE planning the
         # rewrite: a stale handle that skipped this would rebuild touched
         # files through its old column list and erase the evolved column's
@@ -4154,6 +4174,7 @@ class Table:
         extra_meta: dict | None = None,
     ) -> str:
         files, _latest = self.timeline.live_files()
+        _batch_ckpts: list[DataFrame] = []
         if files and (upserts is not None or deletes is not None):
             # Materialize the incoming batch ONCE (r10, guide §1.2/§2.4): a
             # keyed COW write evaluates the batch subtree in up to four
@@ -4171,8 +4192,10 @@ class Table:
             # this branch, so the initial-load path pays nothing.
             if upserts is not None:
                 upserts = upserts.localCheckpoint(eager=False)
+                _batch_ckpts.append(upserts)
             if deletes is not None:
                 deletes = deletes.localCheckpoint(eager=False)
+                _batch_ckpts.append(deletes)
         keys_df = self._batch_keys(upserts, deletes)
         if files and keys_df is not None:
             # Key-first planning (Hudi COW upsert granularity): ONE range/bloom
@@ -4363,6 +4386,12 @@ class Table:
                 marker_hb.set()
             if self.config.early_conflict_detection:
                 shutil.rmtree(self._marker_dir(instant), ignore_errors=True)
+            # the batch's checkpoint blocks are dead once the commit published
+            # (or the write aborted) — free them now instead of waiting for
+            # driver GC + ContextCleaner; a many-commit writer otherwise
+            # accumulates block-manager entries for every batch (ADVICE r10)
+            for _d in _batch_ckpts:
+                free_local_checkpoint(_d)
 
     def _apply_mor(
         self,

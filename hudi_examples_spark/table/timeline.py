@@ -95,6 +95,29 @@ class Timeline:
     def __init__(self, base: str):
         self.base = base
         self.dir = os.path.join(base, TIMELINE_DIR)
+        #: (directory stat signature, parsed instants) — see ``instants()``
+        self._instants_cache: tuple[tuple, list[Instant]] | None = None
+
+    def _dir_signature(self) -> tuple | None:
+        """Cheap change detector for the timeline directory: the sorted
+        (name, mtime_ns, size) of every instant file, from one ``scandir``
+        (stat-only — no file is opened). Every mutation path changes it:
+        ``write`` publishes via ``os.replace`` of a freshly written tmp (new
+        inode, new mtime_ns), ``remove``/archive unlink entries, and another
+        PROCESS's writes land through the same rename protocol — so the
+        signature is as multi-writer-safe as the directory itself. Returns
+        None when the directory does not exist yet."""
+        try:
+            with os.scandir(self.dir) as it:
+                return tuple(
+                    sorted(
+                        (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                        for e in it
+                        if e.name.endswith(".json")
+                    )
+                )
+        except FileNotFoundError:
+            return None
 
     def _checkpoint_path(self) -> str:
         return os.path.join(self.dir, self.ARCHIVE_DIR, "checkpoint.json")
@@ -207,25 +230,49 @@ class Timeline:
         return len(to_archive)
 
     def instants(self) -> list[Instant]:
-        if not os.path.isdir(self.dir):
+        """Parsed instants, oldest-first by filename.
+
+        Cached on the directory stat signature (r11): the write path reads
+        the timeline dozens of times per commit (planning, publish, index
+        guards, snapshot reads), and re-opening + re-parsing every instant
+        JSON each call made per-commit driver cost O(total commits) — O(n²)
+        across a many-commit fixture. A signature hit costs one stat-only
+        ``scandir``; any write (this process or another — the signature keys
+        on (name, mtime_ns, size), and publishes are tmp+rename so content
+        rewrites always present a new inode/mtime) re-reads from disk.
+        Returned ``Instant`` objects are fresh copies per call so a caller
+        mutating ``meta`` (or the lists) cannot corrupt the cache."""
+        sig = self._dir_signature()
+        if sig is None:
             return []
-        out = []
-        for fn in sorted(os.listdir(self.dir)):
-            if not fn.endswith(".json"):
-                continue
-            with open(os.path.join(self.dir, fn)) as f:
-                d = json.load(f)
-            out.append(
-                Instant(
-                    d["instant"],
-                    d["action"],
-                    d.get("files_added", []),
-                    d.get("files_removed", []),
-                    d.get("meta", {}),
-                    d.get("committed_at"),
+        cached = self._instants_cache
+        if cached is None or cached[0] != sig:
+            out = []
+            for fn in sorted(n for n, _m, _s in sig):
+                with open(os.path.join(self.dir, fn)) as f:
+                    d = json.load(f)
+                out.append(
+                    Instant(
+                        d["instant"],
+                        d["action"],
+                        d.get("files_added", []),
+                        d.get("files_removed", []),
+                        d.get("meta", {}),
+                        d.get("committed_at"),
+                    )
                 )
+            self._instants_cache = cached = (sig, out)
+        return [
+            Instant(
+                i.instant,
+                i.action,
+                list(i.files_added),
+                list(i.files_removed),
+                dict(i.meta),
+                i.committed_at,
             )
-        return out
+            for i in cached[1]
+        ]
 
     def completion_order(self) -> dict[str, int] | None:
         """Instant → completion rank, or None when completion order equals
@@ -367,11 +414,8 @@ class Timeline:
         return files, latest
 
     def completed_data_instants(self) -> list[Instant]:
-        rolled_back = {
-            i.meta.get("target") for i in self.instants() if i.action == "rollback"
-        }
+        insts = self.instants()
+        rolled_back = {i.meta.get("target") for i in insts if i.action == "rollback"}
         return [
-            i
-            for i in self.instants()
-            if i.is_data_commit and i.instant not in rolled_back
+            i for i in insts if i.is_data_commit and i.instant not in rolled_back
         ]

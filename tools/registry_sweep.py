@@ -22,18 +22,15 @@ from hudi_examples_spark.session import get_spark
 
 
 def main() -> None:
-    sf = "/root/testdata/sf0.01"
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    sf, passes, out_path = args.sf, args.passes, args.out
     warm_sf = "/root/testdata/sf0.001"
-    passes = 2
-    out_path = None
-    it = iter(sys.argv[1:])
-    for a in it:
-        if a == "--sf":
-            sf = next(it)
-        elif a == "--passes":
-            passes = int(next(it))
-        elif a == "--out":
-            out_path = next(it)
 
     spark = get_spark(app_name="registry-sweep")
     spark.sparkContext.setLogLevel("ERROR")
