@@ -57,7 +57,25 @@ def dedup_embed_cosine(spark: SparkSession, sf: str, top_k: int = 20, block_size
     )
     a = packed.select(F.col("b").alias("b1"), F.col("rows").alias("rows1"))
     bb = packed.select(F.col("b").alias("b2"), F.col("rows").alias("rows2"))
+    # Explicit width before the scoring stage (r11): block-pair rows are FEW
+    # and FAT (a 1024-vector block ≈ 0.5 MB per side), so AQE coalesces the
+    # exchange to ~1 partition by bytes and every BLAS matmul runs in one
+    # task — the sf1 scaling pair measured ratio 1.03 across 4× cores. A
+    # user repartition on (b1, b2) is AQE-exempt and spreads the O(blocks²)
+    # matmuls cluster-wide; partitioning does not affect results (each block
+    # pair is scored independently; the global top-k merge is ordered). The
+    # width is the block-PAIR count (known driver-side from nblocks), capped
+    # at the cluster width — at small sf the exchange stays as narrow as the
+    # work (a blanket defaultParallelism width measured +0.26 s at sf0.1 for
+    # 3 pairs), at scale it is one task per pair up to every core.
+    n_pairs = nblocks * (nblocks + 1) // 2
+    width = max(1, min(e.sparkSession.sparkContext.defaultParallelism, n_pairs))
     block_pairs = a.join(bb, F.col("b1") <= F.col("b2"))
+    if n_pairs > 4:
+        # a near-single-block corpus (≤2 blocks → ≤3 pairs) has nothing to
+        # spread; the exchange of its fat rows is pure cost (+0.09 s at
+        # sf0.1, A/B'd) — skip it and keep the r10 plan shape exactly
+        block_pairs = block_pairs.repartition(width, "b1", "b2")
 
     out_schema = "d1 BIGINT, d2 BIGINT, cos_sim DOUBLE"
 

@@ -276,7 +276,19 @@ def semantic_dup_pairs(
         )
         pa = packed.select("label", F.col("sb").alias("sb1"), F.col("rows").alias("rows1"))
         pb = packed.select("label", F.col("sb").alias("sb2"), F.col("rows").alias("rows2"))
+        # explicit AQE-exempt width before the BLAS stage: few fat block rows
+        # coalesce to ~1 partition by bytes while the matmul work is
+        # O(blocks²) — same fix as dedup_embed_cosine (r11); partitioning
+        # does not affect results (block pairs score independently). Width =
+        # total block-pair count (known driver-side from the nb dict), capped
+        # at the cluster width, so a small corpus pays no extra exchange width.
+        n_pairs = sum(k * (k + 1) // 2 for k in nb.values())
+        width = max(1, min(e.sparkSession.sparkContext.defaultParallelism, n_pairs))
         block_pairs = pa.join(pb, "label").filter(F.col("sb1") <= F.col("sb2"))
+        if n_pairs > 4:
+            # same tiny-corpus gate as dedup_embed_cosine: nothing to spread
+            # below a handful of pairs, so skip the fat-row exchange
+            block_pairs = block_pairs.repartition(width, "label", "sb1", "sb2")
 
         def score(batches):
             for pdf in batches:
